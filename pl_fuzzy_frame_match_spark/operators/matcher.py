@@ -1,0 +1,284 @@
+"""The composite fuzzy-join operator — the engine's flagship.
+
+Capability parity with the reference's pipeline
+(/root/reference/pl_fuzzy_frame_match/matcher.py:419-658, process.py):
+
+  PHASE A  plan: counts, approx-distinct selectivity, mapping order,
+           low-uniqueness input dedup, collision renames, output order
+  PHASE B  row identity: __left_index / __right_index
+  PHASE C  per-mapping loop: key dedup (group->index list) -> adaptive
+           candidate generation (exact cross join | LSH approx) ->
+           score on DISTINCT key pairs -> threshold filter -> explode
+  PHASE D  conjunction of all mappings + payload re-attach
+
+Spark-first deviations from the reference (same *semantics*, different
+machinery — documented per the survey's guidance):
+
+- Row ids come from ``monotonically_increasing_id`` + an immediate
+  ``localCheckpoint`` (ids must not change across re-evaluation; the
+  reference pins them by spilling to Arrow IPC, matcher.py:416).
+- Refinement rounds 2..n carry score columns forward through a single
+  join per round instead of materializing per-round frames and
+  re-intersecting them at the end (reference ``combine_matches``,
+  matcher.py:388-392) — one shuffle per mapping instead of two.
+- The reference's explicit spill-to-temp-dir machinery (_utils.py) and
+  manual chunking/partitioned-dedup (matcher.py:52-96, 343-385)
+  dissolve into Spark's native shuffle spill / partitioning.
+- Filter-before-explode ordering (reference process.py:150-155) is
+  preserved by construction: the threshold filter runs on the grouped
+  (distinct-key) frame, so the row-level expansion only materializes
+  surviving pairs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from ..functions.kernels import distance_column
+from ..models import FuzzyMapping
+from ..naming import (
+    get_rename_right_columns_to_ensure_no_overlap,
+    rename_fuzzy_right_mapping,
+    set_output_column_names,
+)
+from ..plans.planner import (
+    DEFAULT_CROSS_OVER,
+    choose_candidate_strategy,
+    get_approx_uniqueness,
+    order_mappings_by_selectivity,
+    should_deduplicate_inputs,
+)
+from .candidates import DEFAULT_TOP_N, approx_candidates, exact_candidates
+
+LEFT_INDEX = "__left_index"
+RIGHT_INDEX = "__right_index"
+_DIST = "__fuzzy_dist"
+_SCORE = "__fuzzy_score"
+
+
+def add_index_column(df: DataFrame, name: str) -> DataFrame:
+    """Assign stable synthetic row ids (reference matcher.py:395-416).
+
+    ``monotonically_increasing_id`` is unique but plan-dependent, so the
+    lineage is truncated immediately with ``localCheckpoint`` — the
+    Spark analogue of the reference's spill-to-IPC id pinning. The ids
+    are opaque join keys only; sequentiality is never relied upon.
+    """
+    return df.withColumn(name, F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
+    )
+
+
+def build_key_frame(df: DataFrame, col: str, index_col: str) -> DataFrame:
+    """Key dedup (A1): one row per distinct non-null key value carrying
+    all source row ids — scoring then happens once per distinct string,
+    not once per row (reference process.py:59-111)."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.collect_list(index_col).alias(index_col))
+    )
+
+
+def score_and_explode(
+    candidates: DataFrame, mapping: FuzzyMapping
+) -> DataFrame:
+    """C5: lowercase -> normalized distance -> threshold filter ->
+    similarity flip -> double explode of the index lists
+    (reference process.py:8-56, 114-155). Returns
+    (__left_index, __right_index, <score col>)."""
+    a = F.lower(F.col(mapping.left_col))
+    b = F.lower(F.col(mapping.right_col))
+    d = distance_column(mapping.fuzzy_type, a, b)
+    return (
+        candidates.withColumn(_DIST, d)
+        .filter(F.col(_DIST) <= F.lit(mapping.reversed_threshold_score))
+        .withColumn(_SCORE, F.lit(1.0) - F.col(_DIST))
+        .select(_SCORE, LEFT_INDEX, RIGHT_INDEX)
+        .withColumn(LEFT_INDEX, F.explode(LEFT_INDEX))
+        .withColumn(RIGHT_INDEX, F.explode(RIGHT_INDEX))
+        .select(
+            LEFT_INDEX, RIGHT_INDEX, F.col(_SCORE).alias(mapping.output_column_name)
+        )
+    )
+
+
+def first_round_matches(
+    left: DataFrame,
+    right: DataFrame,
+    mapping: FuzzyMapping,
+    use_appr_nearest_neighbor: Optional[bool],
+    top_n: int,
+    cross_over: float,
+) -> DataFrame:
+    """Round 1 of the per-mapping loop (reference matcher.py:419-504):
+    build key frames, pick exact/approx strategy on the cartesian of
+    distinct-key counts, generate candidates, score."""
+    left_keys = build_key_frame(left, mapping.left_col, LEFT_INDEX)
+    right_keys = build_key_frame(right, mapping.right_col, RIGHT_INDEX)
+    left_keys.persist()
+    right_keys.persist()
+    try:
+        n_left = left_keys.count()
+        n_right = right_keys.count()
+        strategy = choose_candidate_strategy(
+            n_left, n_right, use_appr_nearest_neighbor, cross_over
+        )
+        if strategy.use_approx:
+            # larger key set on the probe side (reference matcher.py:16-49)
+            if n_left >= n_right:
+                cands = approx_candidates(
+                    left_keys, right_keys, mapping.left_col, mapping.right_col,
+                    top_n=top_n,
+                )
+            else:
+                cands = approx_candidates(
+                    right_keys, left_keys, mapping.right_col, mapping.left_col,
+                    top_n=top_n,
+                )
+            pairs = score_and_explode(cands, mapping)
+            # LSH banding can emit a pair per colliding band; dedup
+            # (exact path is duplicate-free by construction — distinct
+            # keys in, cartesian out — so it skips this shuffle)
+            pairs = pairs.dropDuplicates([LEFT_INDEX, RIGHT_INDEX])
+        else:
+            cands = exact_candidates(left_keys, right_keys, n_left, n_right)
+            pairs = score_and_explode(cands, mapping)
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        left_keys.unpersist()
+        right_keys.unpersist()
+
+
+def refine_matches(
+    left: DataFrame,
+    right: DataFrame,
+    existing: DataFrame,
+    mapping: FuzzyMapping,
+) -> DataFrame:
+    """Rounds 2..n (reference matcher.py:188-238, 456-491): restrict to
+    surviving index pairs, score each DISTINCT (left value, right value)
+    pair once, keep pairs passing this mapping's threshold, carry all
+    prior score columns forward. Conjunction semantics — output can only
+    shrink (pinned by the reference's monotonicity tests)."""
+    vals = (
+        existing.join(
+            left.select(LEFT_INDEX, mapping.left_col), on=LEFT_INDEX, how="inner"
+        )
+        .join(
+            right.select(RIGHT_INDEX, mapping.right_col), on=RIGHT_INDEX, how="inner"
+        )
+        .filter(
+            F.col(mapping.left_col).isNotNull()
+            & F.col(mapping.right_col).isNotNull()
+        )
+    )
+    distinct_pairs = vals.select(mapping.left_col, mapping.right_col).distinct()
+    a = F.lower(F.col(mapping.left_col))
+    b = F.lower(F.col(mapping.right_col))
+    scored = (
+        distinct_pairs.withColumn(
+            _DIST, distance_column(mapping.fuzzy_type, a, b)
+        )
+        .filter(F.col(_DIST) <= F.lit(mapping.reversed_threshold_score))
+        .withColumn(mapping.output_column_name, F.lit(1.0) - F.col(_DIST))
+        .drop(_DIST)
+    )
+    # the distinct-value-pair frame is tiny relative to row-level pairs;
+    # AQE turns this into a broadcast join at runtime when it fits
+    return vals.join(
+        scored, on=[mapping.left_col, mapping.right_col], how="inner"
+    ).drop(mapping.left_col, mapping.right_col)
+
+
+def _empty_result(
+    spark, left: DataFrame, right: DataFrame, fuzzy_maps: Sequence[FuzzyMapping]
+) -> DataFrame:
+    fields = list(left.schema.fields) + list(right.schema.fields) + [
+        StructField(m.output_column_name, DoubleType(), True) for m in fuzzy_maps
+    ]
+    return spark.createDataFrame([], StructType(fields))
+
+
+def fuzzy_match_dfs(
+    left: DataFrame,
+    right: DataFrame,
+    fuzzy_maps: Sequence[FuzzyMapping],
+    *,
+    use_appr_nearest_neighbor: Optional[bool] = None,
+    top_n: int = DEFAULT_TOP_N,
+    cross_over_for_appr_nearest_neighbor: float = DEFAULT_CROSS_OVER,
+) -> DataFrame:
+    """Fuzzy-join ``left`` and ``right`` on every mapping in
+    ``fuzzy_maps`` (conjunction). Returns a lazy DataFrame with all left
+    columns ++ all (collision-renamed) right columns ++ one similarity
+    score column per mapping, in that order (reference matcher.py:624,
+    661-722).
+
+    The result is lazy — this is the union of the reference's eager
+    ``fuzzy_match_dfs`` and lazy ``fuzzy_match_dfs_with_context`` entry
+    points; call an action to materialize.
+    """
+    if not fuzzy_maps:
+        raise ValueError("fuzzy_maps must be non-empty")
+    spark = left.sparkSession
+
+    # ---- PHASE A: plan (reference pre_process.py:281-327)
+    rename = get_rename_right_columns_to_ensure_no_overlap(
+        left.columns, right.columns
+    )
+    if rename:
+        right = right.withColumnsRenamed(rename)
+    maps = rename_fuzzy_right_mapping(list(fuzzy_maps), rename)
+
+    left_count = left.count()
+    right_count = right.count()
+    maps = set_output_column_names(maps)
+    if left_count == 0 or right_count == 0:  # O7 early exit
+        return _empty_result(spark, left, right, maps)
+
+    left_uniq = get_approx_uniqueness(left, [m.left_col for m in maps])
+    right_uniq = get_approx_uniqueness(right, [m.right_col for m in maps])
+    maps = order_mappings_by_selectivity(
+        maps, left_uniq, right_uniq, left_count, right_count
+    )
+    if should_deduplicate_inputs(maps, left_count, right_count):  # O3
+        left = left.dropDuplicates([m.left_col for m in maps])
+        right = right.dropDuplicates([m.right_col for m in maps])
+    maps = set_output_column_names(maps)
+    output_cols = (
+        list(left.columns)
+        + list(right.columns)
+        + [m.output_column_name for m in maps]
+    )
+
+    # ---- PHASE B: row identity
+    left_i = add_index_column(left, LEFT_INDEX)
+    right_i = add_index_column(right, RIGHT_INDEX)
+
+    # ---- PHASE C: per-mapping loop
+    matches: Optional[DataFrame] = None
+    for mapping in maps:
+        if matches is None:
+            matches = first_round_matches(
+                left_i,
+                right_i,
+                mapping,
+                use_appr_nearest_neighbor,
+                top_n,
+                cross_over_for_appr_nearest_neighbor,
+            )
+        else:
+            matches = refine_matches(left_i, right_i, matches, mapping)
+
+    # ---- PHASE D: payload re-attach + frozen column order
+    result = (
+        matches.join(left_i, on=LEFT_INDEX, how="inner")
+        .join(right_i, on=RIGHT_INDEX, how="inner")
+        .select(*output_cols)
+    )
+    return result

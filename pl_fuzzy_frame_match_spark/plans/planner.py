@@ -1,0 +1,110 @@
+"""Driver-side heuristic planner for the fuzzy join.
+
+Capability parity with the reference's pre-processing optimizer
+(/root/reference/pl_fuzzy_frame_match/pre_process.py):
+
+- O1 selectivity-ordered join sequencing: approximate distinct counts
+  per match column -> combined uniqueness score -> most-selective
+  mapping first (pre_process.py:95-119). Catalyst's CBO cannot reason
+  about similarity-join selectivity, so this stays engine-side Python.
+- O3 input dedup under low selectivity: sum(uniqueness) < 1.2 and
+  cartesian > 1e6 -> dropDuplicates the inputs on the key columns
+  (pre_process.py:135-171, 317-322; intentionally changes output
+  cardinality — pinned by the reference's own tests).
+- O4 adaptive physical strategy: exact cross join below the crossover,
+  LSH-approximate above it, hard abort past ABORT_CARTESIAN
+  (matcher.py:241-340).
+
+Spark mechanics: the distinct counts use one ``approx_count_distinct``
+aggregate per frame (single pass, HyperLogLog — same family as Polars'
+``approx_n_unique``); everything else is driver-side arithmetic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..models import FuzzyMapping
+
+# Reference constants (pre_process.py:149, matcher.py:250,322)
+UNIQUENESS_DEDUP_THRESHOLD = 1.2
+CARTESIAN_DEDUP_THRESHOLD = 1_000_000
+DEFAULT_CROSS_OVER = 100_000_000
+ABORT_CARTESIAN = 1e14
+
+
+def get_approx_uniqueness(df: DataFrame, columns: Sequence[str]) -> Dict[str, int]:
+    """Approximate distinct count per column in ONE aggregate pass
+    (reference pre_process.py:12-28 runs approx_n_unique per column)."""
+    if not columns:
+        return {}
+    row = df.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in columns]
+    ).collect()[0]
+    return {c: int(row[c]) for c in columns}
+
+
+def calculate_uniqueness(a: float, b: float) -> float:
+    """Combined uniqueness score of a mapping from the two distinct
+    ratios — reference pre_process.py:31-45, value-pinned by its tests:
+    ((a+0.5)^2 + (b+0.5)^2)/2 - 0.25 + 0.5*|a-b|."""
+    return ((a + 0.5) ** 2 + (b + 0.5) ** 2) / 2 - 0.25 + 0.5 * abs(a - b)
+
+
+def order_mappings_by_selectivity(
+    fuzzy_maps: Sequence[FuzzyMapping],
+    left_uniq: Dict[str, int],
+    right_uniq: Dict[str, int],
+    left_count: int,
+    right_count: int,
+) -> List[FuzzyMapping]:
+    """Fill ``perc_unique`` and sort most-selective-first (O1)."""
+    out = []
+    for m in fuzzy_maps:
+        a = left_uniq.get(m.left_col, 0) / max(left_count, 1)
+        b = right_uniq.get(m.right_col, 0) / max(right_count, 1)
+        out.append(m.copy_with(perc_unique=calculate_uniqueness(a, b)))
+    return sorted(out, key=lambda m: m.perc_unique, reverse=True)
+
+
+def should_deduplicate_inputs(
+    fuzzy_maps: Sequence[FuzzyMapping], left_count: int, right_count: int
+) -> bool:
+    """O3 trigger: total uniqueness below 1.2 AND cartesian above 1e6
+    (reference pre_process.py:135-149)."""
+    total = sum(m.perc_unique for m in fuzzy_maps)
+    return (
+        total < UNIQUENESS_DEDUP_THRESHOLD
+        and left_count * right_count > CARTESIAN_DEDUP_THRESHOLD
+    )
+
+
+@dataclass
+class Strategy:
+    use_approx: bool
+    cartesian: int
+
+
+def choose_candidate_strategy(
+    n_left_keys: int,
+    n_right_keys: int,
+    use_appr_nearest_neighbor: bool | None = None,
+    cross_over: float = DEFAULT_CROSS_OVER,
+) -> Strategy:
+    """O4: exact cross join vs approximate (LSH) candidate generation,
+    on the cartesian of *distinct key counts* (reference matcher.py:241-340)."""
+    cartesian = n_left_keys * n_right_keys
+    if cartesian > ABORT_CARTESIAN:
+        raise ValueError(
+            f"cartesian of distinct keys {cartesian:.3g} exceeds hard limit "
+            f"{ABORT_CARTESIAN:.0g}; refusing to plan"
+        )
+    if use_appr_nearest_neighbor is None:
+        use_approx = cartesian > cross_over
+    else:
+        use_approx = bool(use_appr_nearest_neighbor)
+    return Strategy(use_approx=use_approx, cartesian=cartesian)

@@ -1,0 +1,33 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]``; the same config block is what we'd
+ship to a 1000-executor cluster (AQE on, skew-join handling on, Arrow
+for the pandas-UDF kernels, UTC so timestamp semantics match the DuckDB
+oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "pl-fuzzy-frame-match-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.crossJoin.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

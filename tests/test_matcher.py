@@ -1,0 +1,173 @@
+"""End-to-end fuzzy-join tests replicating the reference's golden suite
+(reference tests/test_pl_fuzzy_frame_match.py:339-404 and the edge cases
+in tests/match_utils.py:116-193)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pl_fuzzy_frame_match_spark import FuzzyMapping, fuzzy_match_dfs
+
+LEFT = {
+    "id": [1, 2, 3, 4, 5],
+    "company_name": ["Apple Inc.", "Microsft", "Amazon", "Gogle", "Facebok"],
+    "address": [
+        "1 Apple Park", "One Microsoft Way", "410 Terry Ave N",
+        "1600 Amphitheatre", "1 Hacker Way",
+    ],
+    "contact": ["Tim Cook", "Satya Ndella", "Andy Jessy", "Sundar Pichai", "Mark Zukerberg"],
+}
+RIGHT = {
+    "id": [101, 102, 103, 104, 105],
+    "organization": [
+        "Apple Incorporated", "Microsoft Corp", "Amazon.com Inc",
+        "Google LLC", "Facebook Inc",
+    ],
+    "location": [
+        "Apple Park, Cupertino", "Microsoft Way, Redmond",
+        "Terry Ave North, Seattle", "Amphitheatre Pkwy, Mountain View",
+        "Hacker Way, Menlo Park",
+    ],
+    "ceo": ["Timothy Cook", "Satya Nadella", "Andy Jassy", "Sundar Pichai", "Mark Zuckerberg"],
+}
+
+GOLDEN_JW = [0.88, 0.9142857142857143, 0.8857142857142858, 0.8666666666666667, 0.9166666666666667]
+GOLDEN_LEV = [0.6666666666666667, 0.9230769230769231, 0.9, 1.0, 0.9333333333333333]
+
+
+def _df(spark, data):
+    cols = list(data.keys())
+    rows = list(zip(*data.values()))
+    return spark.createDataFrame(rows, cols)
+
+
+def _mappings():
+    return [
+        FuzzyMapping("company_name", "organization", fuzzy_type="jaro_winkler", threshold_score=20.0),
+        FuzzyMapping("contact", "ceo", fuzzy_type="levenshtein", threshold_score=30.0),
+    ]
+
+
+def test_golden_five_by_five(spark):
+    result = fuzzy_match_dfs(_df(spark, LEFT), _df(spark, RIGHT), _mappings())
+    assert result.columns == [
+        "id", "company_name", "address", "contact",
+        "id_right", "organization", "location", "ceo",
+        "company_name_vs_organization_jaro_winkler", "contact_vs_ceo_levenshtein",
+    ]
+    rows = sorted(result.collect(), key=lambda r: r["id"])
+    assert len(rows) == 5
+    for i, r in enumerate(rows):
+        assert r["id"] == LEFT["id"][i]
+        assert r["id_right"] == RIGHT["id"][i]
+        assert r["company_name"] == LEFT["company_name"][i]
+        assert r["organization"] == RIGHT["organization"][i]
+        assert r["company_name_vs_organization_jaro_winkler"] == pytest.approx(GOLDEN_JW[i], abs=1e-9)
+        assert r["contact_vs_ceo_levenshtein"] == pytest.approx(GOLDEN_LEV[i], abs=1e-9)
+
+
+def test_golden_with_column_collision(spark):
+    # left company_name renamed to organization -> right becomes organization_right
+    left = _df(spark, LEFT).withColumnRenamed("company_name", "organization")
+    maps = [
+        FuzzyMapping("organization", "organization", fuzzy_type="jaro_winkler", threshold_score=20.0),
+        FuzzyMapping("contact", "ceo", fuzzy_type="levenshtein", threshold_score=30.0),
+    ]
+    result = fuzzy_match_dfs(left, _df(spark, RIGHT), maps)
+    assert "organization_right" in result.columns
+    assert "organization_vs_organization_right_jaro_winkler" in result.columns
+    rows = sorted(result.collect(), key=lambda r: r["id"])
+    assert len(rows) == 5
+    for i, r in enumerate(rows):
+        assert r["organization_vs_organization_right_jaro_winkler"] == pytest.approx(GOLDEN_JW[i], abs=1e-9)
+
+
+def test_single_mapping_keeps_more_rows(spark):
+    # permissive threshold on one mapping -> more than the diagonal
+    result = fuzzy_match_dfs(
+        _df(spark, LEFT), _df(spark, RIGHT),
+        [FuzzyMapping("company_name", "organization", fuzzy_type="jaro_winkler", threshold_score=20.0)],
+    )
+    assert result.count() > 5
+
+
+def test_multi_mapping_monotone_shrinkage(spark):
+    # reference tests/test_pl_fuzzy_frame_match.py:284-325: each extra
+    # mapping can only shrink the match set
+    left, right = _df(spark, LEFT), _df(spark, RIGHT)
+    m1 = [FuzzyMapping("company_name", "organization", fuzzy_type="jaro_winkler", threshold_score=20.0)]
+    m2 = m1 + [FuzzyMapping("contact", "ceo", fuzzy_type="levenshtein", threshold_score=30.0)]
+    c1 = fuzzy_match_dfs(left, right, m1).count()
+    c2 = fuzzy_match_dfs(left, right, m2).count()
+    assert c2 <= c1
+    assert c2 == 5
+
+
+def test_empty_inputs(spark):
+    left = _df(spark, LEFT).limit(0)
+    right = _df(spark, RIGHT)
+    result = fuzzy_match_dfs(left, right, _mappings())
+    assert result.count() == 0
+    assert "company_name_vs_organization_jaro_winkler" in result.columns
+
+
+def test_null_keys_never_match(spark):
+    left = spark.createDataFrame(
+        [(1, None), (2, "Acme Corp")], ["id", "name"]
+    )
+    right = spark.createDataFrame(
+        [(10, None), (11, "Acme Corp")], ["id", "name"]
+    )
+    result = fuzzy_match_dfs(
+        left, right, [FuzzyMapping("name", "name", fuzzy_type="levenshtein", threshold_score=50.0)]
+    )
+    rows = result.collect()
+    # nulls never match (reference process.py:94,97): only the non-null pair
+    assert len(rows) == 1
+    assert rows[0]["id"] == 2 and rows[0]["id_right"] == 11
+
+
+def test_one_to_many_and_many_to_one(spark):
+    one = spark.createDataFrame([(1, "ACME Corporation")], ["id", "name"])
+    many = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(
+            ["ACME Corp", "ACME Corporation", "ACME Co", "Acme Corporation Inc", "Completely Different"]
+        )],
+        ["id", "name"],
+    )
+    maps = [FuzzyMapping("name", "name", fuzzy_type="jaro_winkler", threshold_score=80.0)]
+    assert fuzzy_match_dfs(one, many, maps).count() == 4
+    assert fuzzy_match_dfs(many, one, maps).count() == 4
+
+
+def test_duplicate_rows_produce_pairwise_matches(spark):
+    # row identity: every input row pairs independently
+    left = spark.createDataFrame([(1, "same"), (2, "same")], ["id", "name"])
+    right = spark.createDataFrame([(10, "same")], ["id", "name"])
+    maps = [FuzzyMapping("name", "name", threshold_score=90.0)]
+    assert fuzzy_match_dfs(left, right, maps).count() == 2
+
+
+def test_exact_cross_cardinality_no_matches(spark):
+    # deterministic non-matching data: threshold high, disjoint strings
+    left = spark.createDataFrame([(i, f"Company_{i}") for i in range(10)], ["id", "name"])
+    right = spark.createDataFrame([(i, f"Zebra_{i}{i}{i}") for i in range(8)], ["id", "name"])
+    maps = [FuzzyMapping("name", "name", threshold_score=95.0)]
+    assert fuzzy_match_dfs(left, right, maps).count() == 0
+
+
+def test_forced_ann_subset_of_exact(spark):
+    # ANN path is lossy by design: subset of the exact result
+    # (reference tests/test_pl_fuzzy_frame_match.py:132-133)
+    left = _df(spark, LEFT)
+    right = _df(spark, RIGHT)
+    maps = [FuzzyMapping("company_name", "organization", fuzzy_type="jaro_winkler", threshold_score=80.0)]
+    exact = {
+        (r["id"], r["id_right"])
+        for r in fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=False).collect()
+    }
+    approx = {
+        (r["id"], r["id_right"])
+        for r in fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=True).collect()
+    }
+    assert approx <= exact
+    assert len(exact) > 0
