@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line with per-query seconds.
+
+Materialization uses the noop sink so every output column is computed
+(count() would let Catalyst prune the payload columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "fuzzy_join_lev",
+    "fuzzy_join_multi",
+    "fuzzy_join_jw_part",
+    "fuzzy_join_ann",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pl_fuzzy_frame_match_spark import queries as q
+    from pl_fuzzy_frame_match_spark.session import get_spark
+
+    spark = get_spark("bench")
+    registry = q.queries()
+    # JVM/codegen warmup on the smallest SF so per-query timings measure
+    # the queries, not first-run class loading and JIT
+    try:
+        registry["fuzzy_join_lev"](spark, "/root/testdata/sf0.001").write.mode(
+            "overwrite"
+        ).format("noop").save()
+    except Exception:
+        pass
+    names = [n for n in HEADLINE if n in registry]
+    # optional extension headliners, present once implemented
+    for extra in ("dedup_minhash", "dedup_embedding", "ann_topk", "text_quality"):
+        if extra in registry:
+            names.append(extra)
+
+    timings = {}
+    for name in names:
+        # time plan construction + materialization: fuzzy_match_dfs runs
+        # eager planner actions (counts, approx-distinct, checkpoints)
+        # during construction, which belong to the query's wall clock
+        t0 = time.perf_counter()
+        df = registry[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,10 +30,23 @@ from pyspark.sql import functions as F
 # broadcast budget on a production executor.
 BROADCAST_KEY_LIMIT = 2_000_000
 
+# Candidate pairs each task should score. The key frames are tiny in
+# ROWS but the cross join is huge in COMPUTE — without an explicit
+# repartition AQE coalesces the small aggregate output to one partition
+# and the whole O(n*m) scoring loop runs serially on a single core.
+# Parallelism must track pair volume, not input row count.
+PAIRS_PER_TASK = 250_000
+
 DEFAULT_TOP_N = 500
-DEFAULT_NUM_HASH_TABLES = 8
-DEFAULT_JACCARD_DISTANCE = 0.9
+DEFAULT_NUM_HASH_TABLES = 4
+DEFAULT_JACCARD_DISTANCE = 0.8
 SHINGLE_FEATURES = 1 << 18
+
+
+def _compute_parallelism(df: DataFrame, pair_volume: int) -> int:
+    sc = df.sparkSession.sparkContext
+    by_volume = pair_volume // PAIRS_PER_TASK + 1
+    return int(max(1, min(by_volume, sc.defaultParallelism * 2)))
 
 
 def exact_candidates(
@@ -43,13 +56,17 @@ def exact_candidates(
     n_right_keys: int,
 ) -> DataFrame:
     """Cartesian of the deduped key frames (J1). Broadcasts the smaller
-    side when it fits, so the cross join runs shuffle-free."""
-    if n_right_keys <= n_left_keys:
-        if n_right_keys <= BROADCAST_KEY_LIMIT:
-            right_keys = F.broadcast(right_keys)
-    elif n_left_keys <= BROADCAST_KEY_LIMIT:
-        left_keys = F.broadcast(left_keys)
-    return left_keys.crossJoin(right_keys)
+    side when it fits (shuffle-free BroadcastNestedLoopJoin) and
+    repartitions the probe side so scoring parallelism matches the
+    cartesian's compute volume, not its (tiny) input row count."""
+    n_parts = _compute_parallelism(left_keys, n_left_keys * n_right_keys)
+    if n_right_keys <= n_left_keys and n_right_keys <= BROADCAST_KEY_LIMIT:
+        return left_keys.repartition(n_parts).crossJoin(F.broadcast(right_keys))
+    if n_left_keys < n_right_keys and n_left_keys <= BROADCAST_KEY_LIMIT:
+        return right_keys.repartition(n_parts).crossJoin(F.broadcast(left_keys))
+    # both sides huge: partitioned cartesian; give the bigger side the
+    # explicit parallelism and let Spark pair partitions
+    return left_keys.repartition(n_parts).crossJoin(right_keys)
 
 
 def _with_shingle_features(df: DataFrame, col: str, out: str) -> DataFrame:
@@ -92,7 +109,10 @@ def approx_candidates(
     """
     from pyspark.ml.feature import MinHashLSH
 
-    lf = _with_shingle_features(left_keys, left_col, "__features")
+    # parallelism must track the (unknown, potentially large) candidate
+    # volume of the bucket join, not the tiny key-frame row counts
+    n_parts = left_keys.sparkSession.sparkContext.defaultParallelism * 2
+    lf = _with_shingle_features(left_keys.repartition(n_parts), left_col, "__features")
     rf = _with_shingle_features(right_keys, right_col, "__features")
 
     mh = MinHashLSH(

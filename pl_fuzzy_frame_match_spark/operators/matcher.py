@@ -48,7 +48,7 @@ from ..naming import (
 from ..plans.planner import (
     DEFAULT_CROSS_OVER,
     choose_candidate_strategy,
-    get_approx_uniqueness,
+    get_count_and_approx_uniqueness,
     order_mappings_by_selectivity,
     should_deduplicate_inputs,
 )
@@ -111,47 +111,50 @@ def first_round_matches(
     left: DataFrame,
     right: DataFrame,
     mapping: FuzzyMapping,
+    n_left_keys: int,
+    n_right_keys: int,
     use_appr_nearest_neighbor: Optional[bool],
     top_n: int,
     cross_over: float,
 ) -> DataFrame:
     """Round 1 of the per-mapping loop (reference matcher.py:419-504):
     build key frames, pick exact/approx strategy on the cartesian of
-    distinct-key counts, generate candidates, score."""
+    distinct-key counts, generate candidates, score.
+
+    ``n_left_keys`` / ``n_right_keys`` are the planner's HyperLogLog
+    approximate distinct counts — the reference recounts the key frames
+    exactly (process.py:101-102); reusing the estimates saves two
+    materializations per mapping, and the strategy/broadcast thresholds
+    they feed are order-of-magnitude heuristics where ~2% HLL error is
+    immaterial. The whole round stays lazy: one Spark job executes
+    groupBy -> cross/LSH join -> score -> explode end-to-end.
+    """
     left_keys = build_key_frame(left, mapping.left_col, LEFT_INDEX)
     right_keys = build_key_frame(right, mapping.right_col, RIGHT_INDEX)
-    left_keys.persist()
-    right_keys.persist()
-    try:
-        n_left = left_keys.count()
-        n_right = right_keys.count()
-        strategy = choose_candidate_strategy(
-            n_left, n_right, use_appr_nearest_neighbor, cross_over
-        )
-        if strategy.use_approx:
-            # larger key set on the probe side (reference matcher.py:16-49)
-            if n_left >= n_right:
-                cands = approx_candidates(
-                    left_keys, right_keys, mapping.left_col, mapping.right_col,
-                    top_n=top_n,
-                )
-            else:
-                cands = approx_candidates(
-                    right_keys, left_keys, mapping.right_col, mapping.left_col,
-                    top_n=top_n,
-                )
-            pairs = score_and_explode(cands, mapping)
-            # LSH banding can emit a pair per colliding band; dedup
-            # (exact path is duplicate-free by construction — distinct
-            # keys in, cartesian out — so it skips this shuffle)
-            pairs = pairs.dropDuplicates([LEFT_INDEX, RIGHT_INDEX])
+    strategy = choose_candidate_strategy(
+        n_left_keys, n_right_keys, use_appr_nearest_neighbor, cross_over
+    )
+    if strategy.use_approx:
+        # larger key set on the probe side (reference matcher.py:16-49)
+        if n_left_keys >= n_right_keys:
+            cands = approx_candidates(
+                left_keys, right_keys, mapping.left_col, mapping.right_col,
+                top_n=top_n,
+            )
         else:
-            cands = exact_candidates(left_keys, right_keys, n_left, n_right)
-            pairs = score_and_explode(cands, mapping)
-        return pairs.localCheckpoint(eager=True)
-    finally:
-        left_keys.unpersist()
-        right_keys.unpersist()
+            cands = approx_candidates(
+                right_keys, left_keys, mapping.right_col, mapping.left_col,
+                top_n=top_n,
+            )
+        pairs = score_and_explode(cands, mapping)
+        # LSH banding can emit a pair per colliding band; dedup
+        # (exact path is duplicate-free by construction — distinct
+        # keys in, cartesian out — so it skips this shuffle)
+        pairs = pairs.dropDuplicates([LEFT_INDEX, RIGHT_INDEX])
+    else:
+        cands = exact_candidates(left_keys, right_keys, n_left_keys, n_right_keys)
+        pairs = score_and_explode(cands, mapping)
+    return pairs
 
 
 def refine_matches(
@@ -164,7 +167,14 @@ def refine_matches(
     surviving index pairs, score each DISTINCT (left value, right value)
     pair once, keep pairs passing this mapping's threshold, carry all
     prior score columns forward. Conjunction semantics — output can only
-    shrink (pinned by the reference's monotonicity tests)."""
+    shrink (pinned by the reference's monotonicity tests).
+
+    ``existing`` is materialized first (the Spark analogue of the
+    reference's per-round spill, matcher.py:492): the plan below
+    references it on two branches (distinct-pair scoring and the
+    row-level probe), and without truncation the whole previous round
+    would be recomputed once per branch."""
+    existing = existing.localCheckpoint(eager=True)
     vals = (
         existing.join(
             left.select(LEFT_INDEX, mapping.left_col), on=LEFT_INDEX, how="inner"
@@ -235,14 +245,17 @@ def fuzzy_match_dfs(
         right = right.withColumnsRenamed(rename)
     maps = rename_fuzzy_right_mapping(list(fuzzy_maps), rename)
 
-    left_count = left.count()
-    right_count = right.count()
+    # one aggregate pass per side: row count + per-column HLL distinct
+    left_count, left_uniq = get_count_and_approx_uniqueness(
+        left, [m.left_col for m in maps]
+    )
+    right_count, right_uniq = get_count_and_approx_uniqueness(
+        right, [m.right_col for m in maps]
+    )
     maps = set_output_column_names(maps)
     if left_count == 0 or right_count == 0:  # O7 early exit
         return _empty_result(spark, left, right, maps)
 
-    left_uniq = get_approx_uniqueness(left, [m.left_col for m in maps])
-    right_uniq = get_approx_uniqueness(right, [m.right_col for m in maps])
     maps = order_mappings_by_selectivity(
         maps, left_uniq, right_uniq, left_count, right_count
     )
@@ -268,6 +281,8 @@ def fuzzy_match_dfs(
                 left_i,
                 right_i,
                 mapping,
+                left_uniq[mapping.left_col],
+                right_uniq[mapping.right_col],
                 use_appr_nearest_neighbor,
                 top_n,
                 cross_over_for_appr_nearest_neighbor,

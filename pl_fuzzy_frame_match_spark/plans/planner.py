@@ -37,15 +37,27 @@ DEFAULT_CROSS_OVER = 100_000_000
 ABORT_CARTESIAN = 1e14
 
 
+def get_count_and_approx_uniqueness(
+    df: DataFrame, columns: Sequence[str]
+) -> Tuple[int, Dict[str, int]]:
+    """Row count AND approximate distinct count per column in ONE
+    aggregate pass — the reference runs these as separate eager collects
+    (pre_process.py:12-28, 48-67); fusing them halves the planner's job
+    count, which matters because every extra Spark job is fixed
+    scheduling overhead at small scale and an extra full scan at 100 TB."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("__fuzzy_n"),
+        *[F.approx_count_distinct(c).alias(c) for c in dict.fromkeys(columns)],
+    ).collect()[0]
+    return int(row["__fuzzy_n"]), {c: int(row[c]) for c in dict.fromkeys(columns)}
+
+
 def get_approx_uniqueness(df: DataFrame, columns: Sequence[str]) -> Dict[str, int]:
     """Approximate distinct count per column in ONE aggregate pass
     (reference pre_process.py:12-28 runs approx_n_unique per column)."""
     if not columns:
         return {}
-    row = df.agg(
-        *[F.approx_count_distinct(c).alias(c) for c in columns]
-    ).collect()[0]
-    return {c: int(row[c]) for c in columns}
+    return get_count_and_approx_uniqueness(df, columns)[1]
 
 
 def calculate_uniqueness(a: float, b: float) -> float:
