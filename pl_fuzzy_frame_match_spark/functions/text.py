@@ -1,0 +1,182 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+tokenization stats, quality scoring, language-ID heuristic, document
+fingerprints (md5 + rolling-hash winnowing), shingling, simhash.
+
+Everything except the winnowing/simhash kernels is pure Catalyst
+expressions (JVM, codegen); the two kernels are Arrow-batched pandas
+UDFs with deterministic md5-based hashing (no Python ``hash()`` — it is
+salted per process and would break reproducibility across executors).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Sequence
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# fixed stopword list shared with the DuckDB oracle
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# language -> marker words for the heuristic language id
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "las", "y"),
+}
+_LANG_ORDER = ("en", "de", "fr", "es")  # deterministic tie-break order
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (lowercased), with no empty tokens — matches
+    DuckDB ``regexp_extract_all(lower(text), '\\S+')``."""
+    return F.regexp_extract_all(F.lower(text), F.lit(r"\S+"), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_stop.cast("double") / F.size(toks))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
+    return F.when(
+        F.length(text) > 0, n_punct.cast("double") / F.length(text)
+    )
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards moderate length,
+    low punctuation density, presence of stopwords (prose-likeness).
+    Deterministic arithmetic only — reproducible in the SQL oracle."""
+    len_score = F.least(F.length(text).cast("double") / F.lit(400.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    sw_score = F.least(stopword_ratio(text) * 8.0, F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.3 * (1.0 - punct_penalty) + 0.3 * sw_score, 6
+    )
+
+
+def lang_marker_hits(text: Column, lang: str) -> Column:
+    words = "|".join(LANG_MARKERS[lang])
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(rf"\b({words})\b"), 0)
+    )
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax of marker-word hits with deterministic tie-break
+    (en > de > fr > es in priority order, 'unknown' when no hits)."""
+    hits = {lang: lang_marker_hits(text, lang) for lang in _LANG_ORDER}
+    best = F.greatest(*hits.values())
+    expr = F.lit("unknown")
+    # build CASE in reverse priority so earlier langs win ties
+    for lang in reversed(_LANG_ORDER):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Exact-content fingerprint: md5 of the lowercased text (identical
+    in Spark and DuckDB)."""
+    return F.md5(F.lower(text))
+
+
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-grams as strings, JVM-side: the input to
+    n-gram Jaccard similarity and MinHash dedup."""
+    toks = tokens(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(joined)
+
+
+def jaccard_similarity(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two (distinct-element) arrays, JVM-side."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# pandas-UDF kernels (deterministic md5-based hashing)
+# --------------------------------------------------------------------------
+
+def _stable_hash64(data: bytes) -> int:
+    """First 8 bytes of md5 as an unsigned 64-bit int — process- and
+    machine-independent."""
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+
+
+def simhash64_py(text: str) -> int:
+    """64-bit SimHash over lowercase word unigrams (signed int64 for
+    Spark LongType)."""
+    votes = [0] * 64
+    for w in text.lower().split():
+        h = _stable_hash64(w.encode("utf-8"))
+        for bit in range(64):
+            votes[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if votes[bit] > 0:
+            out |= 1 << bit
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def winnow_fingerprints_py(
+    text: str, k: int = 8, window: int = 4
+) -> List[int]:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    rolling k-gram hashes, minimum per sliding window, deduplicated.
+    Standard plagiarism/near-dup fingerprint."""
+    s = " ".join(text.lower().split())
+    if len(s) < k:
+        return [_stable_hash64(s.encode("utf-8")) - (1 << 63)] if s else []
+    hashes = [
+        _stable_hash64(s[i : i + k].encode("utf-8"))
+        for i in range(len(s) - k + 1)
+    ]
+    picked = []
+    for i in range(max(1, len(hashes) - window + 1)):
+        picked.append(min(hashes[i : i + window]))
+    return sorted({h - (1 << 63) for h in picked})
+
+
+@F.pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if t is None else simhash64_py(t) for t in texts], dtype="Int64"
+    )
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def winnow_fingerprints(texts: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if t is None else winnow_fingerprints_py(t) for t in texts]
+    )

@@ -1,0 +1,211 @@
+"""Deduplication operators for 100 TB-scale document corpora.
+
+Five strategies, cheapest first:
+
+- **exact**: md5-groupBy. One shuffle on the 32-char digest (never on
+  the document body — at scale the shuffle payload matters).
+- **ngram-Jaccard**: exact word-n-gram Jaccard over candidate pairs.
+- **MinHash + LSH**: shingle -> HashingTF -> MinHashLSH banding join;
+  the scale path for all-pairs near-dup (candidates ~ linear, not
+  quadratic).
+- **SimHash**: 64-bit fingerprint; banding on 16-bit chunks turns
+  hamming-<=k search into 4 equi-joins + a popcount filter
+  (``bit_count(a ^ b)``) — all JVM-side after the fingerprint UDF.
+- **embedding cosine**: near-dup by semantic similarity.
+
+Each returns a DataFrame of duplicate pairs (or groups) — composable
+with an anti-join to produce the deduplicated corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    jaccard_similarity,
+    md5_fingerprint,
+    simhash64,
+    word_shingles,
+)
+from ..functions.vectors import cosine_similarity
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct content fingerprint: representative id
+    (min), copy count. Shuffles 16-byte digests, not documents."""
+    return (
+        df.select(F.col(id_col), md5_fingerprint(F.col(text_col)).alias("__fp"))
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, F.col("__fp").alias("fingerprint"), "n_copies")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deduplicated corpus: keep the min-id row per distinct content.
+    Window-free formulation (join back on (fingerprint, min_id)) so the
+    heavy side never sorts."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n: int = 2,
+) -> DataFrame:
+    """All-pairs exact word-n-gram Jaccard >= threshold (i < j).
+
+    This is the EXACT (quadratic) formulation — the correctness oracle
+    for the MinHash path. At 100 TB you run :func:`minhash_dedup_pairs`
+    instead; this one is for bounded inputs (a blocking key upstream,
+    or validation samples)."""
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh")
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    pairs = (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), "inner")
+        .select(
+            F.col(f"a.{id_col}").alias("left_id"),
+            F.col(f"b.{id_col}").alias("right_id"),
+            jaccard_similarity(F.col("a.__sh"), F.col("b.__sh")).alias(
+                "jaccard_sim"
+            ),
+        )
+        .filter(F.col("jaccard_sim") >= F.lit(threshold))
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    jaccard_distance: float = 0.7,
+    num_hash_tables: int = 5,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHash LSH banding over word
+    shingles (the linear-candidate scale path). Returns
+    (left_id, right_id, est_jaccard_dist), i < j, deduplicated."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    shingled = (
+        df.repartition(n_parts)
+        .select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+    )
+    htf = HashingTF(
+        inputCol="__sh", outputCol="__features", numFeatures=1 << 18, binary=True
+    )
+    feats = htf.transform(shingled)
+    mh = MinHashLSH(
+        inputCol="__features",
+        outputCol="__hashes",
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = mh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, jaccard_distance, distCol="__dist"
+    )
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("left_id"),
+            F.col(f"datasetB.{id_col}").alias("right_id"),
+            F.col("__dist").alias("est_jaccard_dist"),
+        )
+        .filter(F.col("left_id") < F.col("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= ``max_hamming``.
+
+    Pigeonhole banding: with 4 bands of 16 bits, any pair within
+    hamming distance 3 agrees exactly on >= 1 band — so candidate
+    generation is ``bands`` equi-joins (shuffle on a 16-bit key), then
+    an exact ``bit_count(a ^ b)`` filter. No quadratic stage.
+    """
+    sh = df.select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("__simhash")
+    ).persist()
+    band_width = 64 // bands
+    banded = sh.select(
+        id_col,
+        "__simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("__simhash"), i * band_width
+                        ).bitwiseAND(F.lit((1 << band_width) - 1)).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select(id_col, "__simhash", "__band.band", "__band.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("left_id"),
+            F.col(f"b.{id_col}").alias("right_id"),
+            F.bit_count(
+                F.col("a.__simhash").bitwiseXOR(F.col("b.__simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine similarity >= threshold
+    (exact all-pairs; blocked/LSH variants live in operators.similarity)."""
+    a = df.alias("a")
+    b = df.alias("b")
+    n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        a.repartition(n_parts)
+        .join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), "inner")
+        .select(
+            F.col(f"a.{id_col}").alias("left_id"),
+            F.col(f"b.{id_col}").alias("right_id"),
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= F.lit(threshold))
+    )

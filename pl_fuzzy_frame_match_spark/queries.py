@@ -217,3 +217,343 @@ for _metric, _expr in _KERNEL_ORACLES.items():
         else None
     )
     register(f"kernel_{_metric}", _sql)(_kernel_query(_metric))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions: dedup / similarity / text / multimodal /
+# event streams (first-class engine components beyond the reference surface)
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') w "
+    "FROM documents)"
+)
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, md5(lower(text)) AS fingerprint,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(lower(text))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_TOKS_CTE},
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(w) - 1, 1) + 1),
+        i -> concat_ws(' ', w[i], w[i + 1]))) s
+      FROM toks
+    )
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           round(len(list_intersect(a.s, b.s))
+                 / len(list_distinct(a.s || b.s)), 6) AS jaccard_sim
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))
+          / len(list_distinct(a.s || b.s)) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2, n=2)
+    return _round6(out, "jaccard_sim")
+
+
+@register("dedup_minhash", None)  # probabilistic banding -> rows-only
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "text", "doc_id", jaccard_distance=0.8)
+
+
+@register("dedup_simhash", None)  # hash-dependent fingerprint -> rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+@register(
+    "dedup_embedding",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+               FROM embeddings)
+    SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_dedup_pairs(emb, "embedding", "vec_id", threshold=0.4)
+    return _round6(out, "cosine_sim")
+
+
+@register(
+    "ann_topk",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+               FROM embeddings),
+    s AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(a.e, b.e) AS sim
+      FROM v a CROSS JOIN v b
+      WHERE a.vec_id < 50 AND a.vec_id != b.vec_id
+    ),
+    r AS (SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    out = brute_force_topk(probes, emb, "embedding", "vec_id", k=5)
+    return _round6(out, "cosine_sim").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@register("ann_lsh", None)  # approximate (recall < 1) -> rows-only
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    out = lsh_topk(probes, emb, "embedding", "vec_id", k=5, n_planes=8)
+    return _round6(out, "cosine_sim").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@register(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT)
+               AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(lower(text), '\\S+')), 1), 6)
+               AS mean_token_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import mean_token_length, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(
+            F.coalesce(mean_token_length(F.col("text")), F.lit(0.0)), 6
+        ).alias("mean_token_len"),
+    )
+
+
+@register(
+    "text_quality",
+    """
+    WITH q AS (
+      SELECT doc_id,
+        least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) AS len_score,
+        least((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+               / length(text)) * 5.0, 1.0) AS punct_penalty,
+        least((CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                 t -> list_contains(['the','a','and','of','to','in','is','it'], t)))
+               AS DOUBLE)
+               / len(regexp_extract_all(lower(text), '\\S+'))) * 8.0, 1.0)
+            AS sw_score
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           round(0.4 * len_score + 0.3 * (1.0 - punct_penalty)
+                 + 0.3 * sw_score, 6) AS quality
+    FROM q
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "lang_id",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|is)\\b')) AS h_en,
+        len(regexp_extract_all(lower(text), '\\b(der|die|und|das)\\b')) AS h_de,
+        len(regexp_extract_all(lower(text), '\\b(le|la|et|les)\\b')) AS h_fr,
+        len(regexp_extract_all(lower(text), '\\b(el|los|las|y)\\b')) AS h_es
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      CASE
+        WHEN h_en > 0 AND h_en >= greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+        WHEN h_de > 0 AND h_de >= greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+        WHEN h_fr > 0 AND h_fr >= greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+        WHEN h_es > 0 AND h_es >= greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+        ELSE 'unknown'
+      END AS predicted_lang
+    FROM h
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import predicted_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", predicted_lang(F.col("text")).alias("predicted_lang")
+    )
+
+
+@register("doc_fingerprint_winnow", None)  # rolling-hash kernel -> rows-only
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(winnow_fingerprints(F.col("text"))).cast("long").alias(
+            "n_fingerprints"
+        ),
+    )
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import binary_metadata, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = binary_metadata(with_binary_payload(docs, "text"))
+    return out.select(
+        "doc_id", F.col("n_bytes").cast("long"), "payload_md5"
+    )
+
+
+@register("multimodal_decode_stub", None)  # stubbed decoder -> rows-only
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_image, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image(with_binary_payload(docs, "text"), fake=True)
+
+
+@register(
+    "events_windowed",
+    """
+    SELECT CAST(epoch_ns(ts) // 300000000000 * 300 AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stream_ops import windowed_event_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return windowed_event_counts(events, window_seconds=300)
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, ts, epoch_ns(ts) // 1000000000 AS es FROM events
+    ),
+    g AS (
+      SELECT user_id, ts, es,
+        CASE WHEN es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    s AS (
+      SELECT user_id, es,
+        CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           CAST(min(es) AS BIGINT) AS session_start,
+           CAST(max(es) AS BIGINT) AS session_end
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stream_ops import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, gap_seconds=1800)
+
+
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic OLAP aggregation (TPC-H Q1 shape) — the engine is a full
+    DataFrame surface, not only fuzzy ops; map-side partial aggregation
+    and column pruning come from Catalyst for free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

@@ -28,6 +28,18 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the events table stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read nanos as long and truncate to microsecond
+        # timestamps (the DuckDB oracle truncates identically via
+        # epoch_ns(ts) // 1000 so both engines see the same instants)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
