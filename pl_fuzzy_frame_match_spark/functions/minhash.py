@@ -1,0 +1,104 @@
+"""Pure-SQL MinHash: signatures, LSH banding, estimated Jaccard.
+
+Whole-stage-codegen replacement for Spark ML's ``MinHashLSH``
+(reference capability: the ANN candidate join of
+/root/reference/pl_fuzzy_frame_match/matcher.py:99-161, delegated there
+to the ``polars-simed`` Rust plugin). ``approxSimilarityJoin`` pays a
+Scala sparse-vector UDF per candidate pair plus a vector-explode join;
+everything below stays inside Catalyst expressions:
+
+- signature slot ``i``  = ``min`` over shingles of ``xxhash64(shingle, i)``
+  (one independent hash family per slot — ``xxhash64`` hashes the extra
+  int literal into the key, and is deterministic across executors)
+- LSH banding: band key = ``xxhash64`` of a signature slice; two keys
+  land in the same bucket for band ``j`` iff their slices agree exactly,
+  so candidate generation is ``bands`` equi-joins (shuffle on a long)
+- estimated Jaccard = fraction of equal signature slots
+
+The standard banding guarantee applies: with ``r = num_hashes/bands``
+rows per band, a pair of true Jaccard similarity ``s`` collides with
+probability ``1 - (1 - s^r)^bands``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct lowercased character n-grams. Strings shorter than ``n``
+    contribute themselves as a single shingle so the set is never empty
+    for non-empty input."""
+    low = F.lower(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(low) - (n - 1), F.lit(1))),
+            lambda i: low.substr(i, F.lit(n)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """``array<long>`` of ``num_hashes`` MinHash slots. Null/empty
+    shingle sets produce null slots — callers must filter empties."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_structs(sig: Column, num_hashes: int, bands: int) -> Column:
+    """``array<struct<band:int, band_key:long>>`` ready to ``explode``:
+    one bucket key per band, hashing ``r = num_hashes // bands``
+    consecutive signature slots."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(F.slice(sig, j * r + 1, r)).alias("band_key"),
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def est_jaccard(a: Column, b: Column) -> Column:
+    """MinHash Jaccard estimate: fraction of equal signature slots."""
+    eq = F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0))
+    return (
+        F.aggregate(eq, F.lit(0), lambda acc, x: acc + x).cast("double")
+        / F.size(a)
+    )
+
+
+def banded_buckets(
+    df,
+    key_cols: list,
+    shingles: Column,
+    num_hashes: int,
+    bands: int,
+    sig_col: str = "__sig",
+):
+    """Slim banded frame ``(*key_cols, sig_col, band, band_key)`` —
+    one row per (input row, band). The signature rides along so bucket
+    joins can score candidates without a join back to the source."""
+    sig = minhash_signature(shingles, num_hashes)
+    return (
+        df.select(*key_cols, sig.alias(sig_col))
+        .select(
+            *key_cols,
+            sig_col,
+            F.explode(band_structs(F.col(sig_col), num_hashes, bands)).alias("__b"),
+        )
+        .select(*key_cols, sig_col, "__b.band", "__b.band_key")
+    )

@@ -104,17 +104,40 @@ def md5_fingerprint(text: Column) -> Column:
 
 def word_shingles(text: Column, n: int = 2) -> Column:
     """Distinct word n-grams as strings, JVM-side: the input to
-    n-gram Jaccard similarity and MinHash dedup."""
+    n-gram Jaccard similarity and MinHash dedup.
+
+    Built by ``zip_with``-folding progressively shifted copies of the
+    token array — NOT by indexing ``element_at(toks, i)`` inside a
+    ``transform`` lambda, which re-evaluates the regexp tokenization
+    per element and turns shingling O(tokens^2) per document. With the
+    fold, the tokenization is evaluated a constant number of times per
+    row regardless of document length.
+
+    Documents with fewer than ``n`` tokens contribute their full token
+    join as a single shingle (matches the DuckDB oracle's
+    ``greatest(len(w) - 1, 1)`` lower bound for n=2)."""
     toks = tokens(text)
     if n == 1:
         return F.array_distinct(toks)
-    joined = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + k) for k in range(n)]
-        ),
+    acc = toks
+    for k in range(1, n):
+        shifted = F.slice(
+            toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))
+        )
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat_ws(" ", a, b)
+            ),
+        )
+    grams = F.filter(acc, lambda x: x.isNotNull())
+    # short-document fallback: all tokens joined as one shingle ('' for
+    # an empty document — mirrors the oracle's concat_ws over nulls)
+    fallback = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(
+        F.when(F.size(grams) > 0, grams).otherwise(fallback)
     )
-    return F.array_distinct(joined)
 
 
 def jaccard_similarity(a: Column, b: Column) -> Column:

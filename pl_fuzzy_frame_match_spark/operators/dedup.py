@@ -5,7 +5,7 @@ Five strategies, cheapest first:
 - **exact**: md5-groupBy. One shuffle on the 32-char digest (never on
   the document body — at scale the shuffle payload matters).
 - **ngram-Jaccard**: exact word-n-gram Jaccard over candidate pairs.
-- **MinHash + LSH**: shingle -> HashingTF -> MinHashLSH banding join;
+- **MinHash + LSH**: shingle -> pure-SQL MinHash banding join;
   the scale path for all-pairs near-dup (candidates ~ linear, not
   quadratic).
 - **SimHash**: 64-bit fingerprint; banding on 16-bit chunks turns
@@ -90,42 +90,62 @@ def minhash_dedup_pairs(
     text_col: str,
     id_col: str,
     jaccard_distance: float = 0.7,
-    num_hash_tables: int = 5,
+    num_hashes: int = 16,
+    bands: int = 8,
     shingle_n: int = 2,
 ) -> DataFrame:
-    """Approximate near-dup pairs via MinHash LSH banding over word
-    shingles (the linear-candidate scale path). Returns
-    (left_id, right_id, est_jaccard_dist), i < j, deduplicated."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    """Approximate near-dup pairs via pure-SQL MinHash LSH banding over
+    word shingles (the linear-candidate scale path; whole-stage codegen,
+    no ML sparse-vector UDFs). Candidate pairs come from ``bands``
+    equi-joins on band keys; survivors are verified with the EXACT
+    n-gram Jaccard (shingle arrays re-attached by id — candidates after
+    banding are ~linear, so the verification join is cheap). Returns
+    (left_id, right_id, jaccard_dist), i < j, deduplicated."""
+    from ..functions.minhash import banded_buckets
 
     n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
     shingled = (
         df.repartition(n_parts)
         .select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh"))
         .filter(F.size("__sh") > 0)
+        .persist()
     )
-    htf = HashingTF(
-        inputCol="__sh", outputCol="__features", numFeatures=1 << 18, binary=True
+    banded = banded_buckets(
+        shingled, [id_col], F.col("__sh"), num_hashes, bands
+    ).select(id_col, "band", "band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("left_id"),
+            F.col(f"b.{id_col}").alias("right_id"),
+        )
+        .distinct()
     )
-    feats = htf.transform(shingled)
-    mh = MinHashLSH(
-        inputCol="__features",
-        outputCol="__hashes",
-        numHashTables=num_hash_tables,
-        seed=42,
+    lsh = shingled.select(
+        F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh")
     )
-    model = mh.fit(feats)
-    joined = model.approxSimilarityJoin(
-        feats, feats, jaccard_distance, distCol="__dist"
+    rsh = shingled.select(
+        F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh")
     )
     return (
-        joined.select(
-            F.col(f"datasetA.{id_col}").alias("left_id"),
-            F.col(f"datasetB.{id_col}").alias("right_id"),
-            F.col("__dist").alias("est_jaccard_dist"),
+        cand.join(lsh, on="left_id", how="inner")
+        .join(rsh, on="right_id", how="inner")
+        .select(
+            "left_id",
+            "right_id",
+            (
+                F.lit(1.0)
+                - jaccard_similarity(F.col("__lsh"), F.col("__rsh"))
+            ).alias("jaccard_dist"),
         )
-        .filter(F.col("left_id") < F.col("right_id"))
-        .dropDuplicates(["left_id", "right_id"])
+        .filter(F.col("jaccard_dist") <= F.lit(jaccard_distance))
     )
 
 

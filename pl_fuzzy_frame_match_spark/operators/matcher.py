@@ -146,11 +146,10 @@ def first_round_matches(
                 right_keys, left_keys, mapping.right_col, mapping.left_col,
                 top_n=top_n,
             )
+        # no dedup needed: approx_candidates collapses banding
+        # collisions to distinct value pairs before returning, so the
+        # exploded index pairs are unique — same as the exact path
         pairs = score_and_explode(cands, mapping)
-        # LSH banding can emit a pair per colliding band; dedup
-        # (exact path is duplicate-free by construction — distinct
-        # keys in, cartesian out — so it skips this shuffle)
-        pairs = pairs.dropDuplicates([LEFT_INDEX, RIGHT_INDEX])
     else:
         cands = exact_candidates(left_keys, right_keys, n_left_keys, n_right_keys)
         pairs = score_and_explode(cands, mapping)

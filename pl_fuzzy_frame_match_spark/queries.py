@@ -150,7 +150,7 @@ def fuzzy_join_jw_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("fuzzy_join_ann", None)  # ANN is lossy by design -> rows-only check
 def fuzzy_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forced LSH-approximate candidate path (reference
-    cross_join_large_files): MinHashLSH over 3-gram shingles, top-N per
+    cross_join_large_files): MinHash banding over 3-gram shingles, top-N per
     key, then exact rescoring + threshold."""
     left = load_table(spark, sf_dir, "customer")
     right = load_table(spark, sf_dir, "supplier")
