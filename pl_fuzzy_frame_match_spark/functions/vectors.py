@@ -1,10 +1,17 @@
 """Vector similarity primitives over ``array<float|double>`` columns.
 
-Spark-first: dot product / norms / cosine are built from
-``F.zip_with`` + ``F.aggregate`` so they run inside whole-stage codegen
-on the JVM — no Python in the hot path. A vectorized pandas-UDF variant
-(numpy matmul) exists for the brute-force top-k operator where batching
-whole blocks through BLAS beats per-row expression evaluation.
+Two tiers:
+
+- **JVM expressions** (``dot`` / ``norm`` / ``cosine_similarity``):
+  ``zip_with`` + ``aggregate`` higher-order functions. No Python, but
+  Catalyst evaluates HOFs *interpreted* (they are excluded from
+  whole-stage codegen) — right for per-pair scoring on small candidate
+  sets (e.g. inside LSH buckets), wrong for dense all-pairs work.
+- **BLAS block kernel** (``normalized_matrix`` + callers'
+  ``mapInPandas``): Arrow-batched numpy matmul for brute-force top-k
+  and all-pairs threshold scans — orders of magnitude faster than
+  per-pair expression evaluation, and the shape that survives scale
+  (per-executor GEMM on broadcast corpus blocks).
 
 Everything computes in float64 regardless of storage type so results
 are reproducible against the DuckDB oracle (`list_cosine_similarity`
@@ -13,7 +20,8 @@ on a DOUBLE[] cast).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import numpy as np
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -41,3 +49,22 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     null rather than NaN so downstream filters drop degenerate rows)."""
     denom = norm(a) * norm(b)
     return F.when(denom > 0, dot(a, b) / denom)
+
+
+def normalized_matrix(
+    df: DataFrame, vec_col: str, id_col: str
+) -> tuple:
+    """Collect ``(ids, row-normalized float64 matrix)`` for broadcast to
+    the BLAS kernels. Zero-norm rows normalize to zero vectors (cosine 0
+    against everything, consistently dropped by > 0 thresholds).
+
+    The collect bounds this helper to corpora that fit one executor
+    (~10^7 x 64-dim float64 = ~5 GB). Past that the same kernel applies
+    per corpus *block*: partition the corpus, broadcast one block at a
+    time, union the per-block results (callers keep that loop)."""
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms

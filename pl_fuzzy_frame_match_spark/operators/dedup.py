@@ -212,20 +212,58 @@ def embedding_dedup_pairs(
     id_col: str,
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine similarity >= threshold
-    (exact all-pairs; blocked/LSH variants live in operators.similarity)."""
-    a = df.alias("a")
-    b = df.alias("b")
-    n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    """Near-dup pairs (left_id < right_id) by embedding cosine
+    similarity >= threshold — exact all-pairs via the BLAS block kernel:
+    the corpus is broadcast as a row-normalized numpy matrix and each
+    Arrow batch of rows scores against it with one GEMM, emitting only
+    surviving pairs. No quadratic row-level join ever materializes.
+    At corpus sizes past broadcast limits, run the same kernel per
+    corpus block and union (see functions/vectors.normalized_matrix)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.vectors import normalized_matrix
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(normalized_matrix(df, vec_col, id_col))
+    schema = StructType(
+        [
+            StructField("left_id", LongType()),
+            StructField("right_id", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        corpus_ids, corpus_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0.0] = 1.0
+            sims = (q / qn) @ corpus_mat.T
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            # i < j orientation: keep each unordered pair exactly once
+            keep = (sims >= threshold) & (qids[:, None] < corpus_ids[None, :])
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "left_id": qids[rows],
+                    "right_id": corpus_ids[cols],
+                    "cosine_sim": sims[rows, cols],
+                }
+            )
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
-        a.repartition(n_parts)
-        .join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), "inner")
-        .select(
-            F.col(f"a.{id_col}").alias("left_id"),
-            F.col(f"b.{id_col}").alias("right_id"),
-            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias(
-                "cosine_sim"
-            ),
-        )
-        .filter(F.col("cosine_sim") >= F.lit(threshold))
+        df.select(id_col, vec_col)
+        .repartition(n_parts)
+        .mapInPandas(scan, schema)
     )

@@ -2,14 +2,16 @@
 
 Two physical strategies:
 
-- **brute-force top-k** — the exact baseline: probe x corpus cross
-  join with JVM-side cosine, per-probe ``row_number`` window. At scale
-  the corpus side is broadcast in blocks; on a 1000-executor cluster
-  this is the right shape up to ~10^7 corpus rows per probe batch.
+- **brute-force top-k** — the exact baseline: the corpus is collected,
+  row-normalized, and broadcast as a numpy matrix; ``mapInPandas`` over
+  the probe partitions computes each Arrow batch's cosine block with
+  one BLAS GEMM and selects top-k in-core (``argpartition``). No
+  row-level cross join, no window shuffle — the per-probe sort never
+  leaves the executor. At scale the same kernel runs per corpus
+  *block* (broadcast one block at a time, union, final top-k merge).
 - **random-hyperplane LSH top-k** — the scale path: sign-bit sketches
-  bucket the corpus; probes only score their own bucket (plus
-  multi-probe neighbors). Recall < 1 by design; the brute-force path
-  is its correctness reference.
+  bucket the corpus; probes only score their own bucket. Recall < 1 by
+  design; the brute-force path is its correctness reference.
 
 Hyperplanes are generated from a seeded numpy RNG on the driver and
 broadcast as literal arrays — deterministic across runs and executors.
@@ -17,11 +19,30 @@ broadcast as literal arrays — deterministic across runs and executors.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
-from ..functions.vectors import cosine_similarity, dot
+from ..functions.vectors import cosine_similarity, dot, normalized_matrix
+
+TOPK_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cosine_sim", DoubleType()),
+        StructField("rank", IntegerType()),
+    ]
+)
 
 
 def brute_force_topk(
@@ -32,31 +53,42 @@ def brute_force_topk(
     k: int = 5,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per probe (excluding self-matches).
-    Returns (query_id, neighbor_id, cosine_sim, rank)."""
-    a = probes.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    Returns (query_id, neighbor_id, cosine_sim, rank); ties broken by
+    ascending neighbor id for determinism."""
+    spark = probes.sparkSession
+    bc = spark.sparkContext.broadcast(
+        normalized_matrix(corpus, vec_col, id_col)
     )
-    b = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    n_parts = probes.sparkSession.sparkContext.defaultParallelism * 2
-    scored = (
-        a.repartition(n_parts)
-        .crossJoin(F.broadcast(b))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
-        )
-    )
-    win = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= k)
-    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        corpus_ids, corpus_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0.0] = 1.0
+            sims = (q / qn) @ corpus_mat.T  # one GEMM per Arrow batch
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            # mask self-matches by id, then take k best per row
+            sims[qids[:, None] == corpus_ids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1] - 1) if sims.shape[1] > 1 else 0
+            if kk <= 0:
+                continue
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out = {"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []}
+            for row, cols in enumerate(part):
+                vals = sims[row, cols]
+                # exact order within the k-subset: sim desc, id asc
+                order = np.lexsort((corpus_ids[cols], -vals))
+                for rank, j in enumerate(order, start=1):
+                    out["query_id"].append(qids[row])
+                    out["neighbor_id"].append(corpus_ids[cols[j]])
+                    out["cosine_sim"].append(vals[j])
+                    out["rank"].append(rank)
+            yield pd.DataFrame(out)
+
+    return probes.select(id_col, vec_col).mapInPandas(score, TOPK_SCHEMA)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list:
