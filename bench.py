@@ -21,6 +21,7 @@ HEADLINE = [
     "fuzzy_join_multi",
     "fuzzy_join_jw_part",
     "fuzzy_join_ann",
+    "fuzzy_join_auto_xl",
 ]
 
 
@@ -34,13 +35,19 @@ def main() -> None:
     spark = get_spark("bench")
     registry = q.queries()
     # JVM/codegen warmup on the smallest SF so per-query timings measure
-    # the queries, not first-run class loading and JIT
-    try:
-        registry["fuzzy_join_lev"](spark, "/root/testdata/sf0.001").write.mode(
-            "overwrite"
-        ).format("noop").save()
-    except Exception:
-        pass
+    # the queries, not first-run class loading and JIT. Each distinct
+    # physical path needs its own warmup: exact cross join (codegen
+    # levenshtein), ANN sketch scan (interpreted sketch expression +
+    # Python worker pool), MinHash banding, and the BLAS mapInPandas
+    # kernels — the sketch expression in particular runs ~5x slower
+    # until C2-compiled.
+    for warm in ("fuzzy_join_lev", "fuzzy_join_ann", "dedup_minhash", "ann_topk"):
+        try:
+            registry[warm](spark, "/root/testdata/sf0.001").write.mode(
+                "overwrite"
+            ).format("noop").save()
+        except Exception:
+            pass
     names = [n for n in HEADLINE if n in registry]
     # optional extension headliners, present once implemented
     for extra in ("dedup_minhash", "dedup_embedding", "ann_topk", "text_quality"):

@@ -6,13 +6,19 @@ search, text analysis, multimodal plumbing, streaming).
 """
 
 from .models import FUZZY_TYPES, FuzzyMapping, FuzzyTypeLiteral
-from .operators.matcher import fuzzy_match_dfs
+from .operators.matcher import (
+    fuzzy_match_dfs,
+    fuzzy_match_dfs_with_context,
+    fuzzy_match_temp_dir,
+)
 
 __all__ = [
     "FuzzyMapping",
     "FuzzyTypeLiteral",
     "FUZZY_TYPES",
     "fuzzy_match_dfs",
+    "fuzzy_match_dfs_with_context",
+    "fuzzy_match_temp_dir",
 ]
 
 __version__ = "0.1.0"

@@ -81,6 +81,35 @@ def est_jaccard(a: Column, b: Column) -> Column:
     )
 
 
+def simhash_sketch_expr(shingles_col: str) -> Column:
+    """64-bit SimHash of a shingle-set column (by name), as a long.
+
+    Bit ``k`` is set iff more shingles hash with bit ``k`` set than not
+    (majority vote). Built as a SQL lambda expression because the
+    Python ``shiftrightunsigned``/``shiftleft`` wrappers only accept
+    int literals for the shift amount, not a lambda-bound column.
+
+    Cost is O(|shingles| * 64) *interpreted* ops per row — linear per
+    key, never per pair; each shingle is hashed exactly once. The
+    per-PAIR distance this sketch enables (``bit_count(a ^ b)``) is a
+    single codegen'd instruction, which is the whole point: it makes a
+    brute-force candidate scan cheap enough to beat LSH banding
+    whenever banding would degenerate (near-identical key families
+    collapsing into one bucket)."""
+    votes = (
+        f"aggregate(transform(`{shingles_col}`, s -> xxhash64(s)),"
+        " array_repeat(0, 64),"
+        " (acc, h) -> zip_with(acc, sequence(0, 63),"
+        "   (a, k) -> a + IF((shiftrightunsigned(h, k) & 1) = 1, 1, -1)))"
+    )
+    pack = (
+        f"aggregate(zip_with({votes}, sequence(0, 63),"
+        " (v, k) -> IF(v > 0, shiftleft(1L, k), 0L)),"
+        " 0L, (a, x) -> a | x)"
+    )
+    return F.expr(pack)
+
+
 def banded_buckets(
     df,
     key_cols: list,

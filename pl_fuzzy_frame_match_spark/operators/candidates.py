@@ -12,13 +12,27 @@ Two physical strategies, mirroring the reference's adaptive choice
 
 - **approx** (`cross_join_large_files`, matcher.py:99-161): the
   reference calls a Rust ANN plugin in 10k-row chunks with
-  ``top_n=500`` per row. Spark-first re-expression: character-3-gram
-  shingles -> pure-SQL MinHash banding (functions/minhash.py) -> bucket
-  equi-join -> estimated-Jaccard threshold -> per-left-key
-  ``row_number`` window keeping the top-N nearest candidates.
-  Entirely whole-stage codegen (no ML sparse-vector UDFs), partition-
-  parallel — no manual chunking; lossy by design exactly like the
-  reference (candidate set is a subset of the cartesian).
+  ``top_n=500`` per row — effectively a SIMD-accelerated sketch scan.
+  Spark-first re-expression, two physical shapes chosen by pair
+  volume:
+
+  * **SimHash sketch scan** (default, up to ~1e11 pairs): each
+    distinct key gets a 64-bit SimHash of its 3-gram shingle set; the
+    candidate scan is a cross join over ``(key, sketch)`` pairs with
+    ``bit_count(a ^ b) <= max_hamming`` — one codegen'd instruction
+    per pair, no buckets, so it is *immune to LSH skew collapse*
+    (near-identical key families, e.g. sequential id-styled names,
+    put every key in one LSH bucket and OOM a banding join; a scan's
+    memory stays O(survivors)).
+  * **MinHash banding** (past the scan budget): pure-SQL signatures +
+    band-key equi-joins (functions/minhash.py) — candidates ~linear
+    when keys are diverse, which at that scale they must be for ANY
+    sublinear method to work.
+
+  Both end with a per-left-key ``row_number`` window keeping the top-N
+  nearest candidates, then re-attach the per-key index lists. Lossy by
+  design exactly like the reference (candidate set is a subset of the
+  cartesian).
 """
 
 from __future__ import annotations
@@ -26,7 +40,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.minhash import banded_buckets, char_shingles, est_jaccard
+from ..functions.minhash import (
+    banded_buckets,
+    char_shingles,
+    est_jaccard,
+    simhash_sketch_expr,
+)
 
 # Broadcast a key frame when its distinct-key count is below this.
 # ~2M short string keys + index lists stays well under a 1-2 GB
@@ -47,6 +66,15 @@ DEFAULT_JACCARD_DISTANCE = 0.8
 # on true matches, cheap rejection of noise
 MINHASH_HASHES = 16
 MINHASH_BANDS = 8
+
+# SimHash-scan prefilter: keep pairs within this hamming distance of
+# the 64-bit shingle sketch. Random unrelated strings land at ~32 +- 4
+# bits, so 24 rejects ~97.5% of noise while a one-typo match (shingle
+# Jaccard ~0.6-0.8) lands well under it.
+DEFAULT_MAX_HAMMING = 24
+# Above this candidate-pair volume the brute sketch scan stops being
+# economical and the ANN path falls back to MinHash banding.
+SKETCH_SCAN_CAP = 1e11
 
 
 def _compute_parallelism(df: DataFrame, pair_volume: int) -> int:
@@ -81,27 +109,177 @@ def approx_candidates(
     left_col: str,
     right_col: str,
     top_n: int = DEFAULT_TOP_N,
+    n_left_keys: int = 0,
+    n_right_keys: int = 0,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
     jaccard_distance: float = DEFAULT_JACCARD_DISTANCE,
     num_hashes: int = MINHASH_HASHES,
     bands: int = MINHASH_BANDS,
 ) -> DataFrame:
-    """LSH-approximate candidate pairs (J2): at most ``top_n`` nearest
-    right keys per left key, ranked by MinHash-estimated Jaccard
-    distance of 3-gram shingle sets.
+    """LSH/sketch-approximate candidate pairs (J2): at most ``top_n``
+    nearest right keys per left key.
 
     Callers should pass the *larger* key set as ``left_keys`` (the
     reference swaps sides the same way, matcher.py:16-49) so the per-row
-    budget applies to the bigger side.
+    budget applies to the bigger side, and supply the (approximate)
+    distinct-key counts so the physical shape and parallelism can be
+    chosen from pair volume.
 
-    Shuffle discipline for scale: the bucket join moves only
-    ``(key string, 16-slot signature, band key)`` — the potentially huge
-    per-key index lists are re-attached *after* the top-N truncation, so
-    the heavy columns never ride through the quadratic-ish stage. The
-    returned pairs are distinct by construction (groupBy on the value
-    pair), which lets the caller skip a row-level dropDuplicates.
+    Shuffle discipline for scale: the quadratic-ish stage moves only
+    ``(key string, 8-byte sketch)`` rows — the potentially huge per-key
+    index lists are re-attached *after* the top-N truncation. Returned
+    pairs are distinct by construction, which lets the caller skip a
+    row-level dropDuplicates.
     """
-    # parallelism must track the (unknown, potentially large) candidate
-    # volume of the bucket join, not the tiny key-frame row counts
+    pair_volume = max(n_left_keys, 1) * max(n_right_keys, 1)
+    # the sketch scan broadcasts the (smaller) right side's sketches;
+    # callers already put the larger key set on the left
+    if pair_volume <= SKETCH_SCAN_CAP and n_right_keys <= BROADCAST_KEY_LIMIT:
+        topn = _sketch_scan_topn(
+            left_keys, right_keys, left_col, right_col, top_n,
+            n_left_keys, n_right_keys, max_hamming,
+        )
+    else:
+        topn = _banded_topn(
+            left_keys, right_keys, left_col, right_col, top_n,
+            jaccard_distance, num_hashes, bands,
+        )
+    # re-attach the index lists only for surviving candidates
+    return topn.join(left_keys, on=left_col, how="inner").join(
+        right_keys, on=right_col, how="inner"
+    )
+
+
+_POPCOUNT_LUT = None
+
+
+def _popcount_lut():
+    import numpy as np
+
+    global _POPCOUNT_LUT
+    if _POPCOUNT_LUT is None:
+        _POPCOUNT_LUT = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None], axis=1
+        ).sum(axis=1).astype(np.uint16)
+    return _POPCOUNT_LUT
+
+
+def _sketch_scan_topn(
+    left_keys: DataFrame,
+    right_keys: DataFrame,
+    left_col: str,
+    right_col: str,
+    top_n: int,
+    n_left_keys: int,
+    n_right_keys: int,
+    max_hamming: int,
+    probe_chunk: int = 512,
+) -> DataFrame:
+    """Brute sketch scan as a vectorized kernel: the right side's
+    ``(key, 64-bit SimHash)`` pairs are broadcast as numpy arrays
+    (pre-sorted by key for deterministic tie-breaks) and each Arrow
+    batch of left keys XORs against the whole right sketch vector,
+    popcounts via a byte LUT, and selects the per-row top-N with one
+    ``argpartition`` over a combined (hamming, key-rank) sort key — no
+    row-level candidate join, no window shuffle, skew-immune because
+    there is no bucketing at all. This mirrors the reference's chunked
+    SIMD scan (matcher.py:140-154) in Spark clothing: JVM expressions
+    build the per-KEY sketches, C-speed numpy handles the per-PAIR
+    O(n*m) stage, and only surviving pairs materialize as rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    spark = left_keys.sparkSession
+    n_parts = _compute_parallelism(
+        left_keys, max(n_left_keys, 1) * max(n_right_keys, 1)
+    )
+    default_par = spark.sparkContext.defaultParallelism
+    # repartition BEFORE the sketch projection: AQE coalesces the tiny
+    # post-groupBy key frames to one partition, and an exchange placed
+    # above the projection would leave the (interpreted, O(64*shingles)
+    # per key) sketch expression running serially on that one core
+    ls = (
+        left_keys.filter(F.length(left_col) > 0)
+        .repartition(n_parts)
+        .select(left_col, char_shingles(F.col(left_col)).alias("__sh"))
+        .withColumn("__lsk", simhash_sketch_expr("__sh"))
+        .drop("__sh")
+    )
+    rs = (
+        right_keys.filter(F.length(right_col) > 0)
+        .repartition(default_par)
+        .select(right_col, char_shingles(F.col(right_col)).alias("__sh"))
+        .withColumn("__rsk", simhash_sketch_expr("__sh"))
+        .drop("__sh")
+    )
+    rrows = sorted(rs.collect(), key=lambda r: r[0])
+    rkeys = np.array([r[0] for r in rrows], dtype=object)
+    rsk = np.array([r[1] for r in rrows], dtype=np.int64).view(np.uint64)
+    bc = spark.sparkContext.broadcast((rkeys, rsk))
+    lut = _popcount_lut()
+    schema = StructType(
+        [StructField(left_col, StringType()), StructField(right_col, StringType())]
+    )
+
+    def scan(batches):
+        rk, rv = bc.value
+        m = len(rk)
+        if m == 0:
+            return
+        kth = min(top_n, m) - 1
+        # key rank doubles as the tie-break (rv is key-sorted); packing
+        # it into the low bits makes argpartition's selection total and
+        # deterministic without any per-row sort
+        ranks = np.arange(m, dtype=np.uint64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lk = pdf[left_col].to_numpy()
+            lv = pdf["__lsk"].to_numpy(dtype=np.int64).view(np.uint64)
+            for c0 in range(0, len(lv), probe_chunk):
+                lc = lv[c0 : c0 + probe_chunk]
+                x = lc[:, None] ^ rv[None, :]
+                ham = lut[x.view(np.uint8).reshape(x.shape + (8,))].sum(
+                    axis=-1, dtype=np.uint16
+                )
+                combined = (ham.astype(np.uint64) << np.uint64(32)) | ranks
+                if kth + 1 < m:
+                    sel = np.argpartition(combined, kth, axis=1)[:, : kth + 1]
+                    sel_ham = np.take_along_axis(ham, sel, axis=1)
+                else:
+                    sel = np.broadcast_to(
+                        np.arange(m), (lc.shape[0], m)
+                    )
+                    sel_ham = ham
+                keep = sel_ham <= max_hamming
+                rows, cols = np.nonzero(keep)
+                if not len(rows):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        left_col: lk[c0 + rows],
+                        right_col: rk[sel[rows, cols]],
+                    }
+                )
+
+    return ls.mapInPandas(scan, schema)
+
+
+def _banded_topn(
+    left_keys: DataFrame,
+    right_keys: DataFrame,
+    left_col: str,
+    right_col: str,
+    top_n: int,
+    jaccard_distance: float,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """MinHash band-bucket join: candidates ~linear on diverse keys.
+    Past SKETCH_SCAN_CAP this is the only sublinear option; key
+    families degenerate enough to collapse its buckets are quadratic
+    for every method at that scale."""
     n_parts = left_keys.sparkSession.sparkContext.defaultParallelism * 2
     lb = banded_buckets(
         left_keys.filter(F.length(left_col) > 0).repartition(n_parts),
@@ -134,12 +312,8 @@ def approx_candidates(
     win = Window.partitionBy(left_col).orderBy(
         F.col("__jaccard_dist").asc(), F.col(right_col).asc()
     )
-    topn = (
+    return (
         pairs.withColumn("__rank", F.row_number().over(win))
         .filter(F.col("__rank") <= top_n)
         .select(left_col, right_col)
-    )
-    # re-attach the index lists only for surviving candidates
-    return topn.join(left_keys, on=left_col, how="inner").join(
-        right_keys, on=right_col, how="inner"
     )

@@ -32,6 +32,8 @@ machinery — documented per the survey's guidance):
 
 from __future__ import annotations
 
+import tempfile
+from contextlib import contextmanager
 from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame
@@ -139,12 +141,12 @@ def first_round_matches(
         if n_left_keys >= n_right_keys:
             cands = approx_candidates(
                 left_keys, right_keys, mapping.left_col, mapping.right_col,
-                top_n=top_n,
+                top_n=top_n, n_left_keys=n_left_keys, n_right_keys=n_right_keys,
             )
         else:
             cands = approx_candidates(
                 right_keys, left_keys, mapping.right_col, mapping.left_col,
-                top_n=top_n,
+                top_n=top_n, n_left_keys=n_right_keys, n_right_keys=n_left_keys,
             )
         # no dedup needed: approx_candidates collapses banding
         # collisions to distinct value pairs before returning, so the
@@ -217,10 +219,13 @@ def fuzzy_match_dfs(
     left: DataFrame,
     right: DataFrame,
     fuzzy_maps: Sequence[FuzzyMapping],
+    logger=None,
     *,
     use_appr_nearest_neighbor: Optional[bool] = None,
     top_n: int = DEFAULT_TOP_N,
     cross_over_for_appr_nearest_neighbor: float = DEFAULT_CROSS_OVER,
+    use_appr_nearest_neighbor_for_new_matches: Optional[bool] = None,
+    top_n_for_new_matches: Optional[int] = None,
 ) -> DataFrame:
     """Fuzzy-join ``left`` and ``right`` on every mapping in
     ``fuzzy_maps`` (conjunction). Returns a lazy DataFrame with all left
@@ -231,7 +236,17 @@ def fuzzy_match_dfs(
     The result is lazy — this is the union of the reference's eager
     ``fuzzy_match_dfs`` and lazy ``fuzzy_match_dfs_with_context`` entry
     points; call an action to materialize.
+
+    ``logger`` and the long-form kwarg spellings
+    (``use_appr_nearest_neighbor_for_new_matches`` /
+    ``top_n_for_new_matches``) are accepted for drop-in compatibility
+    with the reference's signature (matcher.py:661-722); long-form
+    spellings win when both are given.
     """
+    if use_appr_nearest_neighbor_for_new_matches is not None:
+        use_appr_nearest_neighbor = use_appr_nearest_neighbor_for_new_matches
+    if top_n_for_new_matches is not None:
+        top_n = top_n_for_new_matches
     if not fuzzy_maps:
         raise ValueError("fuzzy_maps must be non-empty")
     spark = left.sparkSession
@@ -296,3 +311,48 @@ def fuzzy_match_dfs(
         .select(*output_cols)
     )
     return result
+
+
+def fuzzy_match_dfs_with_context(
+    left: DataFrame,
+    right: DataFrame,
+    fuzzy_maps: Sequence[FuzzyMapping],
+    logger=None,
+    temp_dir: Optional[str] = None,
+    use_appr_nearest_neighbor_for_new_matches: Optional[bool] = None,
+    top_n_for_new_matches: int = DEFAULT_TOP_N,
+    cross_over_for_appr_nearest_neighbor: float = DEFAULT_CROSS_OVER,
+) -> DataFrame:
+    """Reference-compatible lazy entry point (matcher.py:580-658).
+
+    In the reference the caller owns a scratch directory for Arrow IPC
+    spills; on Spark, intermediate pinning uses ``localCheckpoint`` so
+    ``temp_dir`` is accepted for signature compatibility but unused
+    (Spark's own ``spark.local.dir`` governs shuffle/checkpoint
+    storage). The returned DataFrame is lazy — keep composing, then
+    call an action.
+    """
+    return fuzzy_match_dfs(
+        left,
+        right,
+        fuzzy_maps,
+        logger,
+        use_appr_nearest_neighbor=use_appr_nearest_neighbor_for_new_matches,
+        top_n=top_n_for_new_matches,
+        cross_over_for_appr_nearest_neighbor=cross_over_for_appr_nearest_neighbor,
+    )
+
+
+@contextmanager
+def fuzzy_match_temp_dir():
+    """Context-managed scratch directory (reference matcher.py:725-750).
+
+    Provided for drop-in compatibility with
+    ``fuzzy_match_dfs_with_context``; the Spark engine does not spill to
+    it, but callers that write their own intermediates through it keep
+    working and get the same cleanup-on-exit behavior."""
+    d = tempfile.TemporaryDirectory()
+    try:
+        yield d.name
+    finally:
+        d.cleanup()

@@ -147,6 +147,37 @@ def fuzzy_join_jw_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "p_name_vs_p_name_right_jaro_winkler")
 
 
+@register(
+    "fuzzy_join_auto_xl",
+    """
+    SELECT a.c_custkey, a.c_name, b.c_custkey AS c_custkey_right,
+           b.c_name AS c_name_right,
+           round(1.0 - levenshtein(lower(a.c_name), lower(b.c_name))
+                 / greatest(length(a.c_name), length(b.c_name), 1), 6)
+               AS c_name_vs_c_name_right_levenshtein
+    FROM customer a CROSS JOIN customer b
+    WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+      AND levenshtein(lower(a.c_name), lower(b.c_name))
+          / greatest(length(a.c_name), length(b.c_name), 1) <= 0.08
+    """,
+)
+def fuzzy_join_auto_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE-shape query: customer x customer self fuzzy join (15K x
+    15K = 225M cartesian at sf0.1) with AUTOMATIC strategy selection —
+    past the 1e8 crossover the planner switches to the MinHash-banding
+    ANN path, mirroring the reference's headline 15K x 10K / 40K x 30K
+    speedup rows (BASELINE.md; reference readme.md:40-58). At the
+    driver's sf0.01 correctness gate the cartesian is 2.25M, the planner
+    picks the LOSSLESS exact path, and the full result is checked
+    against the SQL oracle — so the same query pins both the crossover
+    behavior and exact-path correctness."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = fuzzy_match_dfs(
+        cust, cust, [FuzzyMapping("c_name", "c_name", threshold_score=92.0)]
+    )
+    return _round6(out, "c_name_vs_c_name_right_levenshtein")
+
+
 @register("fuzzy_join_ann", None)  # ANN is lossy by design -> rows-only check
 def fuzzy_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forced LSH-approximate candidate path (reference

@@ -26,7 +26,9 @@ def get_spark(app_name: str = "pl-fuzzy-frame-match-spark", shuffle_partitions: 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver == the only JVM: all 32 task threads share
+        # this heap, so size it like an executor fleet, not a driver
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.crossJoin.enabled", "true")
         .config("spark.ui.enabled", "false")
     )

@@ -171,3 +171,40 @@ def test_forced_ann_subset_of_exact(spark):
     }
     assert approx <= exact
     assert len(exact) > 0
+
+
+def test_reference_compat_entry_points(spark):
+    """The reference's full exported surface works unchanged
+    (reference __init__.py:5-16): with_context + temp-dir context
+    manager + long-form kwargs + positional logger."""
+    import logging
+    from pl_fuzzy_frame_match_spark import (
+        FuzzyMapping,
+        fuzzy_match_dfs,
+        fuzzy_match_dfs_with_context,
+        fuzzy_match_temp_dir,
+    )
+
+    left = spark.createDataFrame(
+        [("apple inc",), ("globex corp",)], ["company_name"]
+    )
+    right = spark.createDataFrame(
+        [("apple incorporated",), ("initech llc",)], ["organization"]
+    )
+    maps = [FuzzyMapping("company_name", "organization", threshold_score=60.0)]
+    base = fuzzy_match_dfs(left, right, maps).collect()
+
+    with fuzzy_match_temp_dir() as td:
+        lazy = fuzzy_match_dfs_with_context(
+            left, right, maps, logging.getLogger(__name__), td,
+            use_appr_nearest_neighbor_for_new_matches=False,
+            top_n_for_new_matches=500,
+        )
+        assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, base))
+
+    forced = fuzzy_match_dfs(
+        left, right, maps,
+        use_appr_nearest_neighbor_for_new_matches=False,
+        top_n_for_new_matches=100,
+    )
+    assert sorted(map(tuple, forced.collect())) == sorted(map(tuple, base))
