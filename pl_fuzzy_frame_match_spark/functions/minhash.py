@@ -81,6 +81,48 @@ def est_jaccard(a: Column, b: Column) -> Column:
     )
 
 
+def simhash_sketch_np(keys, _cache={}):
+    """64-bit SimHash sketches of lowercased character-3-gram sets for a
+    batch of key strings, as a numpy uint64 array. Deterministic
+    (md5-based — Python's ``hash()`` is process-salted) and identical
+    wherever it runs, so probe- and build-side sketches agree across
+    executors and the driver.
+
+    This is the vectorized sibling of :func:`simhash_sketch_expr` for
+    the sketch-scan kernel, which already runs in Python: hashing each
+    DISTINCT shingle once (process-level cache — shingle vocabulary is
+    tiny relative to key count) and accumulating bit votes with one
+    ``np.add.at`` avoids the Catalyst interpreted-HOF path, whose
+    throughput cliff before JIT warmup dominated wide scans."""
+    import hashlib
+
+    import numpy as np
+
+    idx, hashes = [], []
+    for i, k in enumerate(keys):
+        if not k:
+            continue
+        s = k.lower()
+        grams = {s[j : j + 3] for j in range(max(len(s) - 2, 1))}
+        for g in grams:
+            h = _cache.get(g)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
+                _cache[g] = h
+            idx.append(i)
+            hashes.append(h)
+    out = np.zeros(len(keys), dtype=np.uint64)
+    if not hashes:
+        return out
+    bits = np.unpackbits(
+        np.array(hashes, dtype=np.uint64)[:, None].view(np.uint8), axis=1
+    ).astype(np.int16)
+    votes = np.zeros((len(keys), 64), dtype=np.int32)
+    np.add.at(votes, np.array(idx), bits * 2 - 1)
+    sketch_bits = (votes > 0).astype(np.uint8)
+    return np.packbits(sketch_bits, axis=1).view(np.uint64).reshape(-1)
+
+
 def simhash_sketch_expr(shingles_col: str) -> Column:
     """64-bit SimHash of a shingle-set column (by name), as a long.
 

@@ -40,12 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.minhash import (
-    banded_buckets,
-    char_shingles,
-    est_jaccard,
-    simhash_sketch_expr,
-)
+from ..functions.minhash import banded_buckets, char_shingles, est_jaccard
 
 # Broadcast a key frame when its distinct-key count is below this.
 # ~2M short string keys + index lists stays well under a 1-2 GB
@@ -144,24 +139,44 @@ def approx_candidates(
             left_keys, right_keys, left_col, right_col, top_n,
             jaccard_distance, num_hashes, bands,
         )
-    # re-attach the index lists only for surviving candidates
-    return topn.join(left_keys, on=left_col, how="inner").join(
-        right_keys, on=right_col, how="inner"
+    # Re-attach the index lists only for surviving candidates. The key
+    # frames carry no size stats (they sit behind checkpoints), so
+    # without an explicit hint Spark sort-merges the multi-million-row
+    # candidate frame; broadcast them whenever the key counts allow.
+    lk = (
+        F.broadcast(left_keys)
+        if 0 < n_left_keys <= BROADCAST_KEY_LIMIT
+        else left_keys
+    )
+    rk = (
+        F.broadcast(right_keys)
+        if 0 < n_right_keys <= BROADCAST_KEY_LIMIT
+        else right_keys
+    )
+    return topn.join(lk, on=left_col, how="inner").join(
+        rk, on=right_col, how="inner"
     )
 
 
-_POPCOUNT_LUT = None
-
-
-def _popcount_lut():
+def _swar_popcount(x):
+    """Vectorized 64-bit popcount (SWAR bit-twiddling) — constant
+    per-element temporaries, unlike a byte-LUT gather which inflates
+    memory 8x and thrashes the allocator at wide right sides."""
     import numpy as np
 
-    global _POPCOUNT_LUT
-    if _POPCOUNT_LUT is None:
-        _POPCOUNT_LUT = np.unpackbits(
-            np.arange(256, dtype=np.uint8)[:, None], axis=1
-        ).sum(axis=1).astype(np.uint16)
-    return _POPCOUNT_LUT
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return (x * h01) >> np.uint64(56)
+
+
+# rank fits in 21 bits alongside 7 bits of hamming in a uint32 —
+# exactly the BROADCAST_KEY_LIMIT guarantee (2^21 = ~2.1M right keys)
+_RANK_BITS = 21
 
 
 def _sketch_scan_topn(
@@ -173,97 +188,109 @@ def _sketch_scan_topn(
     n_left_keys: int,
     n_right_keys: int,
     max_hamming: int,
-    probe_chunk: int = 512,
+    probe_chunk: int = 256,
 ) -> DataFrame:
     """Brute sketch scan as a vectorized kernel: the right side's
     ``(key, 64-bit SimHash)`` pairs are broadcast as numpy arrays
     (pre-sorted by key for deterministic tie-breaks) and each Arrow
     batch of left keys XORs against the whole right sketch vector,
-    popcounts via a byte LUT, and selects the per-row top-N with one
-    ``argpartition`` over a combined (hamming, key-rank) sort key — no
-    row-level candidate join, no window shuffle, skew-immune because
-    there is no bucketing at all. This mirrors the reference's chunked
-    SIMD scan (matcher.py:140-154) in Spark clothing: JVM expressions
-    build the per-KEY sketches, C-speed numpy handles the per-PAIR
-    O(n*m) stage, and only surviving pairs materialize as rows."""
+    popcounts (SWAR), and selects the per-row top-N with one
+    ``argpartition`` over a packed uint32 (hamming << 21 | key-rank)
+    sort key — no row-level candidate join, no window shuffle,
+    skew-immune because there is no bucketing at all. This mirrors the
+    reference's chunked SIMD scan (matcher.py:140-154) in Spark
+    clothing: JVM expressions build the per-KEY sketches, C-speed numpy
+    handles the per-PAIR O(n*m) stage, and only surviving pairs leave
+    Python — as ``(left key, right RANK)`` rows, so the Arrow transfer
+    moves a 4-byte int instead of the right key string; the rank joins
+    back to the key via the broadcast rank table."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.minhash import simhash_sketch_np
 
     spark = left_keys.sparkSession
     n_parts = _compute_parallelism(
         left_keys, max(n_left_keys, 1) * max(n_right_keys, 1)
     )
-    default_par = spark.sparkContext.defaultParallelism
-    # repartition BEFORE the sketch projection: AQE coalesces the tiny
-    # post-groupBy key frames to one partition, and an exchange placed
-    # above the projection would leave the (interpreted, O(64*shingles)
-    # per key) sketch expression running serially on that one core
-    ls = (
-        left_keys.filter(F.length(left_col) > 0)
-        .repartition(n_parts)
-        .select(left_col, char_shingles(F.col(left_col)).alias("__sh"))
-        .withColumn("__lsk", simhash_sketch_expr("__sh"))
-        .drop("__sh")
+    # sketches for BOTH sides come from the same numpy routine (driver
+    # for the broadcast build side, inside the kernel for probes) — no
+    # JVM interpreted-HOF expression in the path, and bit-for-bit
+    # agreement is guaranteed by construction
+    ls = left_keys.filter(F.length(left_col) > 0).repartition(n_parts).select(
+        left_col
     )
-    rs = (
-        right_keys.filter(F.length(right_col) > 0)
-        .repartition(default_par)
-        .select(right_col, char_shingles(F.col(right_col)).alias("__sh"))
-        .withColumn("__rsk", simhash_sketch_expr("__sh"))
-        .drop("__sh")
+    rkeys = sorted(
+        r[0]
+        for r in right_keys.filter(F.length(right_col) > 0)
+        .select(right_col)
+        .collect()
     )
-    rrows = sorted(rs.collect(), key=lambda r: r[0])
-    rkeys = np.array([r[0] for r in rrows], dtype=object)
-    rsk = np.array([r[1] for r in rrows], dtype=np.int64).view(np.uint64)
-    bc = spark.sparkContext.broadcast((rkeys, rsk))
-    lut = _popcount_lut()
+    if len(rkeys) >= (1 << _RANK_BITS):
+        raise ValueError(
+            "sketch scan right side exceeds rank budget; raise"
+            " SKETCH_SCAN_CAP gating or use the banded path"
+        )
+    rsk = simhash_sketch_np(rkeys)
+    bc = spark.sparkContext.broadcast(rsk)
     schema = StructType(
-        [StructField(left_col, StringType()), StructField(right_col, StringType())]
+        [StructField(left_col, StringType()), StructField("__rrank", IntegerType())]
     )
 
     def scan(batches):
-        rk, rv = bc.value
-        m = len(rk)
+        rv = bc.value
+        m = len(rv)
         if m == 0:
             return
         kth = min(top_n, m) - 1
         # key rank doubles as the tie-break (rv is key-sorted); packing
         # it into the low bits makes argpartition's selection total and
         # deterministic without any per-row sort
-        ranks = np.arange(m, dtype=np.uint64)
+        ranks = np.arange(m, dtype=np.uint32)
+        # strict < against (max_hamming + 1) << RANK_BITS keeps every
+        # pair with hamming <= max_hamming regardless of its rank bits
+        ham_cap = np.uint32((max_hamming + 1) << _RANK_BITS)
         for pdf in batches:
             if not len(pdf):
                 continue
             lk = pdf[left_col].to_numpy()
-            lv = pdf["__lsk"].to_numpy(dtype=np.int64).view(np.uint64)
+            lv = simhash_sketch_np(lk)
             for c0 in range(0, len(lv), probe_chunk):
                 lc = lv[c0 : c0 + probe_chunk]
-                x = lc[:, None] ^ rv[None, :]
-                ham = lut[x.view(np.uint8).reshape(x.shape + (8,))].sum(
-                    axis=-1, dtype=np.uint16
-                )
-                combined = (ham.astype(np.uint64) << np.uint64(32)) | ranks
+                ham = _swar_popcount(lc[:, None] ^ rv[None, :])
+                combined = (
+                    ham.astype(np.uint32) << np.uint32(_RANK_BITS)
+                ) | ranks
                 if kth + 1 < m:
                     sel = np.argpartition(combined, kth, axis=1)[:, : kth + 1]
-                    sel_ham = np.take_along_axis(ham, sel, axis=1)
+                    sel_comb = np.take_along_axis(combined, sel, axis=1)
                 else:
-                    sel = np.broadcast_to(
-                        np.arange(m), (lc.shape[0], m)
-                    )
-                    sel_ham = ham
-                keep = sel_ham <= max_hamming
-                rows, cols = np.nonzero(keep)
+                    sel = np.broadcast_to(np.arange(m), (lc.shape[0], m))
+                    sel_comb = combined
+                rows, cols = np.nonzero(sel_comb < ham_cap)
                 if not len(rows):
                     continue
                 yield pd.DataFrame(
                     {
                         left_col: lk[c0 + rows],
-                        right_col: rk[sel[rows, cols]],
+                        "__rrank": sel[rows, cols].astype(np.int32),
                     }
                 )
 
-    return ls.mapInPandas(scan, schema)
+    pairs = ls.mapInPandas(scan, schema)
+    # rank -> right key via the (tiny, broadcast) rank table
+    rank_df = spark.createDataFrame(
+        list(enumerate(rkeys)), ["__rrank", right_col]
+    )
+    return pairs.join(F.broadcast(rank_df), on="__rrank", how="inner").drop(
+        "__rrank"
+    )
 
 
 def _banded_topn(
