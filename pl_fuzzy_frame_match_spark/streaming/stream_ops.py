@@ -73,6 +73,117 @@ def stream_windowed_counts(
     )
 
 
+def stream_sessionize(
+    spark,
+    events_path: str,
+    schema,
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming sessionization with Spark's native ``session_window``
+    (gap-based dynamic windows + watermark state eviction) — the
+    idiomatic Structured Streaming counterpart of :func:`sessionize`.
+    Emit with ``writeStream`` in append mode once sessions close past
+    the watermark, or complete/update for early results."""
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(events_path)
+    )
+    sw = F.session_window(F.col("ts"), f"{gap_seconds} seconds")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(sw.alias("__sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("__sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def stream_exact_dedup(
+    spark,
+    docs_path: str,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark_col: str = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first document per content
+    fingerprint. With an event-time column, state is bounded via
+    ``dropDuplicatesWithinWatermark`` (duplicates arriving within the
+    watermark window are suppressed, state evicted after); without one,
+    ``dropDuplicates`` keeps unbounded state — fine for bounded
+    backfills, not for forever-streams."""
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(docs_path)
+    )
+    from ..functions.text import md5_fingerprint
+
+    stream = stream.withColumn("fingerprint", md5_fingerprint(F.col(text_col)))
+    if watermark_col is not None:
+        return stream.withWatermark(
+            watermark_col, watermark
+        ).dropDuplicatesWithinWatermark(["fingerprint"])
+    return stream.dropDuplicates(["fingerprint"])
+
+
+def stream_running_counts(
+    spark,
+    events_path: str,
+    schema,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event totals carried in explicit group state across
+    micro-batches (the template for stateful ops Spark lacks natively
+    — per-entity quotas, decaying counters, online dedup sketches)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(user_col, LongType()),
+            StructField("total_events", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("count", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        running = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            running += len(pdf)
+        state.update((running,))
+        import pandas as pd
+
+        yield pd.DataFrame({user_col: [key[0]], "total_events": [running]})
+
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(events_path)
+    )
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_seconds: int = 1800,

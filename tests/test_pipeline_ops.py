@@ -216,3 +216,89 @@ def test_sessionize_gap_semantics(spark):
     assert len(by_user[2]) == 1
     first = sorted(by_user[1], key=lambda r: r["session_seq"])[0]
     assert first["n_events"] == 2
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        sessionize,
+        stream_sessionize,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessionize(events, gap_seconds=1800).collect()
+    }
+    src = str(tmp_path / "events_sess")
+    events.write.parquet(src)
+    stream_df = stream_sessionize(
+        spark, src, spark.read.parquet(src).schema, gap_seconds=1800
+    )
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.operators.dedup import exact_dedup
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import stream_exact_dedup
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    stream_df = stream_exact_dedup(
+        spark, src, spark.read.parquet(src).schema
+    )
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM dedup_stream").collect()
+    n_batch = exact_dedup(docs, "text", "doc_id").count()
+    assert len(streamed) == n_batch  # one survivor per distinct content
+
+
+def test_stream_running_counts_stateful(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import stream_running_counts
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    src = str(tmp_path / "events_state")
+    events.write.parquet(src)
+    stream_df = stream_running_counts(
+        spark, src, spark.read.parquet(src).schema
+    )
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName("running")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    # last update per user == final total
+    rows = spark.sql("SELECT * FROM running").collect()
+    finals = {}
+    for r in rows:
+        finals[r["user_id"]] = max(finals.get(r["user_id"], 0), r["total_events"])
+    assert finals == batch
