@@ -91,6 +91,97 @@ def brute_force_topk(
     return probes.select(id_col, vec_col).mapInPandas(score, TOPK_SCHEMA)
 
 
+def ivf_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: the corpus is
+    k-means-clustered (seeded numpy Lloyd iterations on the driver —
+    deterministic), each probe scores only its ``n_probe`` nearest
+    clusters' members. Candidates shrink by ~n_probe/n_clusters;
+    :func:`brute_force_topk` is the correctness reference.
+
+    Same broadcast contract as the brute-force path: the corpus
+    (ids, normalized matrix, cluster assignments) must fit one
+    executor; past that, shard the corpus into blocks, build one IVF
+    per block, union and merge per-query top-k."""
+    import numpy as np
+
+    spark = probes.sparkSession
+    corpus_ids, corpus_mat = normalized_matrix(corpus, vec_col, id_col)
+    m = len(corpus_ids)
+    ncl = min(n_clusters, max(1, m))
+    rng = np.random.default_rng(seed)
+    centroids = corpus_mat[rng.choice(m, size=ncl, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(corpus_mat @ centroids.T, axis=1)
+        for c in range(ncl):
+            members = corpus_mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    assign = np.argmax(corpus_mat @ centroids.T, axis=1)
+    # inverted lists as a permutation + offsets (cache-friendly slices)
+    order = np.argsort(assign, kind="stable")
+    boundaries = np.searchsorted(assign[order], np.arange(ncl + 1))
+    bc = spark.sparkContext.broadcast(
+        (corpus_ids, corpus_mat, centroids, order, boundaries)
+    )
+    npb = min(n_probe, ncl)
+
+    def score(batches):
+        import pandas as pd
+
+        ids, mat, cents, perm, bounds = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0.0] = 1.0
+            qm = q / qn
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            probe_cl = np.argpartition(
+                -(qm @ cents.T), npb - 1, axis=1
+            )[:, :npb]
+            out = {"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []}
+            for row in range(len(qm)):
+                cand = np.concatenate(
+                    [
+                        perm[bounds[c] : bounds[c + 1]]
+                        for c in probe_cl[row]
+                    ]
+                )
+                if not len(cand):
+                    continue
+                sims = mat[cand] @ qm[row]
+                cand_ids = ids[cand]
+                mask = cand_ids != qids[row]
+                sims, cand_ids = sims[mask], cand_ids[mask]
+                if not len(sims):
+                    continue
+                kk = min(k, len(sims))
+                sel = np.argpartition(-sims, kk - 1)[:kk]
+                order_sel = np.lexsort((cand_ids[sel], -sims[sel]))
+                for rank, j in enumerate(order_sel, start=1):
+                    out["query_id"].append(qids[row])
+                    out["neighbor_id"].append(cand_ids[sel[j]])
+                    out["cosine_sim"].append(sims[sel[j]])
+                    out["rank"].append(rank)
+            yield pd.DataFrame(out)
+
+    return probes.select(id_col, vec_col).mapInPandas(score, TOPK_SCHEMA)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

@@ -369,6 +369,18 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf", None)  # approximate (recall < 1) -> rows-only
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    out = ivf_topk(probes, emb, "embedding", "vec_id", k=5, n_clusters=16, n_probe=4)
+    return _round6(out, "cosine_sim").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 @register("ann_lsh", None)  # approximate (recall < 1) -> rows-only
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_topk
@@ -554,6 +566,119 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return sessionize(events, gap_seconds=1800)
+
+
+@register(
+    "tpch_q3_shape",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           CAST(epoch_ns(o.o_orderdate) // 1000000000 AS BIGINT) AS order_epoch
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+)
+def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-heavy OLAP shape (TPC-H Q3): selective dimension filter ->
+    fact joins -> aggregate. The segment filter is pushed into the
+    customer parquet scan and the filtered dimension broadcasts; only
+    lineitem shuffles (on the join key, once)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        )
+    )
+
+
+@register(
+    "window_top_orders",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC)
+                 AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS total_price,
+           CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 3
+    """,
+)
+def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface: top-3 orders per customer by value,
+    deterministic tie-break. One shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("total_price"),
+            F.col("rn").cast("long"),
+        )
+    )
+
+
+@register(
+    "rollup_orders",
+    """
+    SELECT coalesce(CAST(n_name AS VARCHAR), 'ALL') AS nation,
+           coalesce(CAST(o_orderpriority AS VARCHAR), 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 6) AS sum_total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate (ROLLUP grouping sets) over a broadcast
+    snowflake join — subtotals per nation and grand total in one pass
+    (partial aggregation covers every grouping set map-side)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .rollup("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_total"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_total",
+        )
+    )
 
 
 @register(

@@ -302,3 +302,32 @@ def test_stream_running_counts_stateful(spark, tmp_path):
     for r in rows:
         finals[r["user_id"]] = max(finals.get(r["user_id"], 0), r["total_events"])
     assert finals == batch
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    import numpy as np
+    from pl_fuzzy_frame_match_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i in range(200):
+        v = base[i % 40] + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(probes, emb, "embedding", "vec_id", k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            probes, emb, "embedding", "vec_id", k=3, n_clusters=8, n_probe=3
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
