@@ -33,6 +33,7 @@ machinery — documented per the survey's guidance):
 from __future__ import annotations
 
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 from contextlib import contextmanager
 from typing import List, Optional, Sequence
 
@@ -60,6 +61,18 @@ LEFT_INDEX = "__left_index"
 RIGHT_INDEX = "__right_index"
 _DIST = "__fuzzy_dist"
 _SCORE = "__fuzzy_score"
+
+# Broadcast an indexed input frame into pair-level joins when its row
+# count (known exactly from the planner pass) is below this. The frames
+# sit behind checkpoints, so AQE has no stats and would otherwise
+# sort-merge the (often much larger) match-pair frame against them.
+BROADCAST_ROW_LIMIT = 1_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: Optional[int]) -> DataFrame:
+    if n_rows is not None and 0 < n_rows <= BROADCAST_ROW_LIMIT:
+        return F.broadcast(df)
+    return df
 
 
 def add_index_column(df: DataFrame, name: str) -> DataFrame:
@@ -163,6 +176,8 @@ def refine_matches(
     right: DataFrame,
     existing: DataFrame,
     mapping: FuzzyMapping,
+    n_left: Optional[int] = None,
+    n_right: Optional[int] = None,
 ) -> DataFrame:
     """Rounds 2..n (reference matcher.py:188-238, 456-491): restrict to
     surviving index pairs, score each DISTINCT (left value, right value)
@@ -178,10 +193,16 @@ def refine_matches(
     existing = existing.localCheckpoint(eager=True)
     vals = (
         existing.join(
-            left.select(LEFT_INDEX, mapping.left_col), on=LEFT_INDEX, how="inner"
+            _maybe_broadcast(left.select(LEFT_INDEX, mapping.left_col), n_left),
+            on=LEFT_INDEX,
+            how="inner",
         )
         .join(
-            right.select(RIGHT_INDEX, mapping.right_col), on=RIGHT_INDEX, how="inner"
+            _maybe_broadcast(
+                right.select(RIGHT_INDEX, mapping.right_col), n_right
+            ),
+            on=RIGHT_INDEX,
+            how="inner",
         )
         .filter(
             F.col(mapping.left_col).isNotNull()
@@ -259,13 +280,19 @@ def fuzzy_match_dfs(
         right = right.withColumnsRenamed(rename)
     maps = rename_fuzzy_right_mapping(list(fuzzy_maps), rename)
 
-    # one aggregate pass per side: row count + per-column HLL distinct
-    left_count, left_uniq = get_count_and_approx_uniqueness(
-        left, [m.left_col for m in maps]
-    )
-    right_count, right_uniq = get_count_and_approx_uniqueness(
-        right, [m.right_col for m in maps]
-    )
+    # one aggregate pass per side: row count + per-column HLL distinct.
+    # The two sides are independent Spark jobs — run them concurrently
+    # (the scheduler interleaves their stages across the cluster)
+    # instead of paying two serial job round-trips.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        left_fut = pool.submit(
+            get_count_and_approx_uniqueness, left, [m.left_col for m in maps]
+        )
+        right_fut = pool.submit(
+            get_count_and_approx_uniqueness, right, [m.right_col for m in maps]
+        )
+        left_count, left_uniq = left_fut.result()
+        right_count, right_uniq = right_fut.result()
     maps = set_output_column_names(maps)
     if left_count == 0 or right_count == 0:  # O7 early exit
         return _empty_result(spark, left, right, maps)
@@ -283,9 +310,13 @@ def fuzzy_match_dfs(
         + [m.output_column_name for m in maps]
     )
 
-    # ---- PHASE B: row identity
-    left_i = add_index_column(left, LEFT_INDEX)
-    right_i = add_index_column(right, RIGHT_INDEX)
+    # ---- PHASE B: row identity (two independent eager checkpoints —
+    # also concurrent)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        left_fut = pool.submit(add_index_column, left, LEFT_INDEX)
+        right_fut = pool.submit(add_index_column, right, RIGHT_INDEX)
+        left_i = left_fut.result()
+        right_i = right_fut.result()
 
     # ---- PHASE C: per-mapping loop
     matches: Optional[DataFrame] = None
@@ -302,12 +333,18 @@ def fuzzy_match_dfs(
                 cross_over_for_appr_nearest_neighbor,
             )
         else:
-            matches = refine_matches(left_i, right_i, matches, mapping)
+            matches = refine_matches(
+                left_i, right_i, matches, mapping, left_count, right_count
+            )
 
     # ---- PHASE D: payload re-attach + frozen column order
     result = (
-        matches.join(left_i, on=LEFT_INDEX, how="inner")
-        .join(right_i, on=RIGHT_INDEX, how="inner")
+        matches.join(
+            _maybe_broadcast(left_i, left_count), on=LEFT_INDEX, how="inner"
+        )
+        .join(
+            _maybe_broadcast(right_i, right_count), on=RIGHT_INDEX, how="inner"
+        )
         .select(*output_cols)
     )
     return result

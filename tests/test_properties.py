@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis) for the engine's pure-Python
+layers: distance kernels (invariants + DuckDB cross-check), naming
+collision resolution, threshold reversal. No SparkSession needed, so
+these run in milliseconds and explore far more of the input space than
+the golden fixtures."""
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pl_fuzzy_frame_match_spark.functions.py_kernels import (
+    NORMALIZED_DISTANCE,
+    damerau_levenshtein_norm,
+    jaro_sim,
+    jaro_winkler_sim,
+    levenshtein_dist,
+    levenshtein_norm,
+)
+from pl_fuzzy_frame_match_spark.models import FuzzyMapping
+from pl_fuzzy_frame_match_spark.naming import (
+    get_rename_right_columns_to_ensure_no_overlap,
+)
+
+text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=24
+)
+# DuckDB's distance functions operate on UTF-8 BYTES; Spark's builtin
+# levenshtein and our kernels operate on CODEPOINTS. They agree exactly
+# on ASCII, so cross-engine properties use an ASCII alphabet (and the
+# driver's oracle tables are ASCII). The engine follows Spark
+# semantics for non-ASCII input.
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=24
+)
+SYMMETRIC = (
+    "levenshtein",
+    "damerau_levenshtein",
+    "indel",
+    "hamming",
+    "jaro",
+    "jaro_winkler",
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text, text)
+def test_all_kernels_bounded_and_identity(a, b):
+    for name, fn in NORMALIZED_DISTANCE.items():
+        d = fn(a, b)
+        assert 0.0 <= d <= 1.0, (name, a, b, d)
+        assert fn(a, a) == 0.0, (name, a)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text, text)
+def test_kernels_symmetric(a, b):
+    for name in SYMMETRIC:
+        fn = NORMALIZED_DISTANCE[name]
+        assert fn(a, b) == pytest.approx(fn(b, a), abs=1e-12), (name, a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ascii_text, ascii_text)
+def test_levenshtein_matches_duckdb(a, b):
+    ours = levenshtein_dist(a, b)
+    theirs = duckdb.sql(
+        "SELECT levenshtein(?, ?)", params=[a, b]
+    ).fetchone()[0]
+    assert ours == theirs, (a, b, ours, theirs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ascii_text, ascii_text)
+def test_jaro_winkler_matches_duckdb(a, b):
+    if a == "" and b == "":
+        # engines disagree here: DuckDB returns 0.0 for two empties,
+        # we (like the reference's kernels) hold d(s, s) == 0 for all
+        # s, hence similarity 1.0. Identity wins; the oracle tables
+        # contain no empty keys.
+        return
+    ours = jaro_winkler_sim(a, b)
+    theirs = duckdb.sql(
+        "SELECT jaro_winkler_similarity(?, ?)", params=[a, b]
+    ).fetchone()[0]
+    assert ours == pytest.approx(theirs, abs=1e-9), (a, b)
+    ours_j = jaro_sim(a, b)
+    theirs_j = duckdb.sql(
+        "SELECT jaro_similarity(?, ?)", params=[a, b]
+    ).fetchone()[0]
+    assert ours_j == pytest.approx(theirs_j, abs=1e-9), (a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ascii_text, ascii_text)
+def test_damerau_matches_duckdb(a, b):
+    ours = damerau_levenshtein_norm(a, b)
+    m = max(len(a), len(b))
+    theirs_raw = duckdb.sql(
+        "SELECT damerau_levenshtein(?, ?)", params=[a, b]
+    ).fetchone()[0]
+    theirs = theirs_raw / m if m else 0.0
+    assert ours == pytest.approx(theirs, abs=1e-12), (a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text, text, text)
+def test_triangle_inequality_levenshtein(a, b, c):
+    assert levenshtein_dist(a, c) <= levenshtein_dist(a, b) + levenshtein_dist(b, c)
+
+
+ident = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=127
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(ident, max_size=8), st.lists(ident, max_size=8))
+def test_rename_map_never_collides(left_cols, right_cols):
+    rename = get_rename_right_columns_to_ensure_no_overlap(left_cols, right_cols)
+    renamed = [rename.get(c, c) for c in right_cols]
+    # post-rename: right columns collide with neither the left frame
+    # nor each other (dupes within right map to distinct names)
+    assert not (set(renamed) & set(left_cols))
+    # only columns that NEEDED renaming appear in the map
+    for src, dst in rename.items():
+        assert src in right_cols
+        assert dst not in left_cols
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=0.0, max_value=100.0, allow_nan=False))
+def test_threshold_reversal_semantics(th):
+    m = FuzzyMapping("a", "b", threshold_score=th)
+    rev = m.reversed_threshold_score
+    # reference models.py:91-102: int() truncation then flip to a
+    # distance bound in [0, 1]
+    assert rev == pytest.approx((100 - int(th)) / 100)
+    assert 0.0 <= rev <= 1.0
