@@ -50,7 +50,15 @@ def main() -> None:
             pass
     names = [n for n in HEADLINE if n in registry]
     # optional extension headliners, present once implemented
-    for extra in ("dedup_minhash", "dedup_embedding", "ann_topk", "text_quality"):
+    for extra in (
+        "dedup_minhash",
+        "dedup_embedding",
+        "ann_topk",
+        "text_quality",
+        "tpch_q1",
+        "tpch_q3_shape",
+        "events_sessionize",
+    ):
         if extra in registry:
             names.append(extra)
 

@@ -37,6 +37,8 @@ Two physical strategies, mirroring the reference's adaptive choice
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -133,6 +135,39 @@ def approx_candidates(
         topn = _sketch_scan_topn(
             left_keys, right_keys, left_col, right_col, top_n,
             n_left_keys, n_right_keys, max_hamming,
+        ).drop("__ham")
+    elif pair_volume <= SKETCH_SCAN_CAP:
+        # right side exceeds one broadcast: block-nested sketch scan.
+        # Hash-split the right keys into broadcastable blocks, scan each
+        # (per-block top-N), then merge: every global top-N candidate is
+        # a fortiori in its own block's top-N, so a final per-key window
+        # over B*top_n rows reconstructs the exact unblocked result
+        # (ties resolved identically by the (hamming, right key) order).
+        n_blocks = -(-n_right_keys // int(BROADCAST_KEY_LIMIT * 0.8))
+        per_block = [
+            _sketch_scan_topn(
+                left_keys,
+                right_keys.filter(
+                    F.pmod(F.xxhash64(F.col(right_col)), F.lit(n_blocks))
+                    == F.lit(b)
+                ),
+                left_col,
+                right_col,
+                top_n,
+                n_left_keys,
+                n_right_keys // n_blocks + 1,
+                max_hamming,
+            )
+            for b in range(n_blocks)
+        ]
+        unioned = reduce(DataFrame.unionByName, per_block)
+        win = Window.partitionBy(left_col).orderBy(
+            F.col("__ham").asc(), F.col(right_col).asc()
+        )
+        topn = (
+            unioned.withColumn("__rank", F.row_number().over(win))
+            .filter(F.col("__rank") <= top_n)
+            .select(left_col, right_col)
         )
     else:
         topn = _banded_topn(
@@ -240,7 +275,11 @@ def _sketch_scan_topn(
     rsk = simhash_sketch_np(rkeys)
     bc = spark.sparkContext.broadcast(rsk)
     schema = StructType(
-        [StructField(left_col, StringType()), StructField("__rrank", IntegerType())]
+        [
+            StructField(left_col, StringType()),
+            StructField("__rrank", IntegerType()),
+            StructField("__ham", IntegerType()),
+        ]
     )
 
     def scan(batches):
@@ -276,10 +315,14 @@ def _sketch_scan_topn(
                 rows, cols = np.nonzero(sel_comb < ham_cap)
                 if not len(rows):
                     continue
+                kept = sel_comb[rows, cols]
                 yield pd.DataFrame(
                     {
                         left_col: lk[c0 + rows],
                         "__rrank": sel[rows, cols].astype(np.int32),
+                        "__ham": (kept >> np.uint32(_RANK_BITS)).astype(
+                            np.int32
+                        ),
                     }
                 )
 

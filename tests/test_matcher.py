@@ -208,3 +208,37 @@ def test_reference_compat_entry_points(spark):
         top_n_for_new_matches=100,
     )
     assert sorted(map(tuple, forced.collect())) == sorted(map(tuple, base))
+
+
+def test_blocked_sketch_scan_equals_unblocked(spark, monkeypatch):
+    """Hash-splitting the right side into broadcast blocks and merging
+    per-block top-N must reproduce the unblocked scan exactly (every
+    global top-N candidate is in its own block's top-N; ties resolve
+    by the same (hamming, right key) order)."""
+    from pyspark.sql import functions as F
+    import pl_fuzzy_frame_match_spark.operators.candidates as cand
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    left_keys = (
+        cust.select(F.col("c_name").alias("lk")).distinct()
+        .withColumn("__left_index", F.monotonically_increasing_id())
+        .groupBy("lk").agg(F.collect_list("__left_index").alias("__left_index"))
+    )
+    right_keys = (
+        cust.select(F.col("c_name").alias("rk")).distinct()
+        .withColumn("__right_index", F.monotonically_increasing_id())
+        .groupBy("rk").agg(F.collect_list("__right_index").alias("__right_index"))
+    )
+    n = cust.select("c_name").distinct().count()
+
+    def pairs(limit):
+        monkeypatch.setattr(cand, "BROADCAST_KEY_LIMIT", limit)
+        out = cand.approx_candidates(
+            left_keys, right_keys, "lk", "rk",
+            top_n=7, n_left_keys=n, n_right_keys=n,
+        )
+        return {(r["lk"], r["rk"]) for r in out.collect()}
+
+    unblocked = pairs(2_000_000)
+    blocked = pairs(40)  # forces ~5 blocks at sf0.001 (150 keys)
+    assert blocked == unblocked and len(unblocked) > 0
