@@ -379,11 +379,22 @@ def _banded_topn(
         )
         .filter(F.col("__jaccard_dist") <= F.lit(jaccard_distance))
     )
-    win = Window.partitionBy(left_col).orderBy(
+    # two-phase top-N: a skewed left key with millions of band
+    # candidates would otherwise sort them in ONE window task. Phase 1
+    # takes top-N within (key, salt) — bounded groups — so phase 2's
+    # global window per key sees at most SALT * top_n rows.
+    salt = F.pmod(F.xxhash64(F.col(right_col)), F.lit(16))
+    win1 = Window.partitionBy(left_col, "__salt").orderBy(
+        F.col("__jaccard_dist").asc(), F.col(right_col).asc()
+    )
+    win2 = Window.partitionBy(left_col).orderBy(
         F.col("__jaccard_dist").asc(), F.col(right_col).asc()
     )
     return (
-        pairs.withColumn("__rank", F.row_number().over(win))
+        pairs.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(win1))
+        .filter(F.col("__r1") <= top_n)
+        .withColumn("__rank", F.row_number().over(win2))
         .filter(F.col("__rank") <= top_n)
         .select(left_col, right_col)
     )

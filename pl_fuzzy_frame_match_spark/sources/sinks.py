@@ -1,0 +1,60 @@
+"""Sinks & scratch persistence — the Spark-native answers to the
+reference's spill machinery (/root/reference/pl_fuzzy_frame_match/
+_utils.py:32-118: size-branched Arrow IPC writes + cache-to-temp).
+
+On Spark, intra-query spilling is native (shuffle spill, checkpoint);
+what remains worth owning is (a) the durable sink with scale-sane file
+sizing, and (b) plan-truncating scratch persistence that outlives one
+job — the reference's ``cache_polars_frame_to_temp`` equivalent for
+cross-job reuse.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+# ~128 MB row groups parallelize reads without small-file pressure;
+# expose as a knob because optimal size tracks downstream readers
+DEFAULT_MAX_RECORDS_PER_FILE = 5_000_000
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Optional[Sequence[str]] = None,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    mode: str = "overwrite",
+) -> None:
+    """Durable parquet sink. ``partition_by`` buckets the layout for
+    partition-pruned reads (e.g. date/lang for a document corpus);
+    ``maxRecordsPerFile`` bounds file size so a 100 TB write does not
+    produce unreadable multi-GB files or a million tiny ones. The
+    reference's small/large write branching (_utils.py:32-84) dissolves
+    into these two writer options."""
+    writer = df.write.mode(mode).option(
+        "maxRecordsPerFile", str(max_records_per_file)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def cache_to_scratch(
+    df: DataFrame, scratch_dir: str, spark: Optional[SparkSession] = None
+) -> DataFrame:
+    """Write ``df`` to a UUID-named parquet directory under
+    ``scratch_dir`` and return a fresh DataFrame scanning it — full
+    plan truncation that survives across jobs and sessions (the
+    reference's ``cache_polars_frame_to_temp``, _utils.py:87-118).
+
+    Use ``localCheckpoint`` instead when truncation only needs to live
+    as long as the session; use this when a downstream job, a retry, or
+    another session must re-read the intermediate."""
+    spark = spark or df.sparkSession
+    path = os.path.join(scratch_dir, f"scratch-{uuid.uuid4().hex}.parquet")
+    df.write.mode("error").parquet(path)
+    return spark.read.parquet(path)

@@ -331,3 +331,27 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall too low: {recall}"
+
+
+def test_sinks_roundtrip_and_partitioning(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.sources.sinks import (
+        cache_to_scratch,
+        write_parquet,
+    )
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, out, partition_by=["lang"], max_records_per_file=100)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # partition pruning: reading one lang only touches its directory
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    one = back.filter(back["lang"] == langs[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() > 0
+
+    scratch = cache_to_scratch(docs.select("doc_id"), str(tmp_path))
+    assert scratch.count() == docs.count()
+    # plan is truncated: a parquet scan, not the original lineage
+    assert "Scan parquet" in scratch._jdf.queryExecution().executedPlan().toString()
