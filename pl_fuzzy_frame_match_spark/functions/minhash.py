@@ -22,8 +22,6 @@ probability ``1 - (1 - s^r)^bands``.
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 

@@ -19,7 +19,7 @@ with an anti-join to produce the deduplicated corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -28,7 +28,6 @@ from ..functions.text import (
     simhash64,
     word_shingles,
 )
-from ..functions.vectors import cosine_similarity
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

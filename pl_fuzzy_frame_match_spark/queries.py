@@ -569,6 +569,72 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_corpus_clean",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, text,
+        0.4 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+        + 0.3 * (1.0 - least((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                              / length(text)) * 5.0, 1.0))
+        + 0.3 * least((CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                   t -> list_contains(['the','a','and','of','to','in','is','it'], t)))
+                 AS DOUBLE)
+                 / len(regexp_extract_all(lower(text), '\\S+'))) * 8.0, 1.0)
+            AS quality
+      FROM documents WHERE length(text) > 0
+    ),
+    good AS (SELECT * FROM q WHERE quality >= 0.5),
+    uniq AS (
+      SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+             arg_min(quality, doc_id) AS quality
+      FROM good GROUP BY md5(lower(text))
+    ),
+    sh AS (
+      SELECT u.doc_id, list_distinct(list_transform(
+        range(1, greatest(len(regexp_extract_all(lower(g.text), '\\S+')) - 1, 1) + 1),
+        i -> concat_ws(' ', regexp_extract_all(lower(g.text), '\\S+')[i],
+                            regexp_extract_all(lower(g.text), '\\S+')[i + 1]))) s
+      FROM uniq u JOIN good g ON u.doc_id = g.doc_id
+    ),
+    neardup AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+            / len(list_distinct(a.s || b.s)) >= 0.6
+    ),
+    clean AS (SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM neardup))
+    SELECT lang, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
+    FROM clean GROUP BY lang
+    """,
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composed pipeline: the operators a training-data
+    cleanup actually chains — quality scoring -> threshold -> exact
+    dedup (min-id survivor per content hash) -> near-dup removal
+    (word-bigram Jaccard >= 0.6, higher id dropped) -> per-language
+    corpus stats. Every stage is the registered operator, not a copy;
+    the oracle replays the whole chain in SQL."""
+    from .functions.text import quality_score
+    from .operators.dedup import exact_dedup_groups, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    scored = docs.withColumn("quality", quality_score(F.col("text")))
+    good = scored.filter(F.col("quality") >= 0.5)
+
+    survivors = exact_dedup_groups(good, "text", "doc_id").select("doc_id")
+    uniq = good.join(survivors, on="doc_id", how="left_semi")
+
+    near = ngram_jaccard_pairs(uniq, "text", "doc_id", threshold=0.6, n=2)
+    drop = near.select(F.col("right_id").alias("doc_id")).distinct()
+    clean = uniq.join(drop, on="doc_id", how="left_anti")
+
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+@register(
     "tpch_q3_shape",
     """
     SELECT o.o_orderkey,
