@@ -41,6 +41,28 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenization shape: contractions, letter runs, digit
+# runs, punctuation runs (each optionally space-prefixed), whitespace
+# runs. A real BPE then merges within these pieces, so this count is
+# the standard cheap lower-bound estimate for "how many tokens will the
+# tokenizer emit" — and it is pure regexp, identical in Spark and the
+# DuckDB oracle.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Pre-tokenizer pieces under the GPT-2-style split regex."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Piece count excluding pure-whitespace runs (whitespace merges
+    into the following piece in byte-level BPE)."""
+    return F.size(
+        F.filter(bpe_ish_tokens(text), lambda t: t.rlike(r"\S"))
+    )
+
+
 def stopword_ratio(text: Column) -> Column:
     toks = tokens(text)
     sw = F.array(*[F.lit(w) for w in STOPWORDS])

@@ -93,3 +93,80 @@ def decode_image(
     return df.select(id_col, payload_col).mapInPandas(
         decode_batches, schema=DECODED_META_SCHEMA
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset_bytes", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Frame sampling for video/audio payloads: one payload row fans
+    out to ``n_frames`` rows of (frame index, byte offset, frame
+    bytes) via ``mapInPandas`` — the 1:N batch shape a real ffmpeg
+    sampler produces, with output partitioning inherited from the
+    payload partitions so downstream per-frame UDFs parallelize
+    without a shuffle.
+
+    STUB: real demuxing needs ffmpeg, absent here. ``fake=True``
+    slices the payload into n evenly-spaced byte windows as stand-in
+    frames (deterministic); ``fake=False`` raises at execution time.
+    """
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires ffmpeg/pyav — not available in"
+                    " this environment; pass fake=True for the byte-window stub"
+                )
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                if not data:
+                    continue
+                step = max(len(data) // n_frames, 1)
+                for i in range(min(n_frames, len(data))):
+                    off = i * step
+                    rows.append((rid, i, off, data[off : off + step]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        sample_batches, schema=FRAME_SCHEMA
+    )
+
+
+def resize_meta(
+    decoded: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize planning over decoded metadata — pure JVM arithmetic
+    (aspect-preserving scale factor + letterbox padding), no pixel
+    work: the part of a resize stage that is NOT the stubbed decoder.
+    Feeds the real resize UDF its per-image geometry at scale."""
+    scale = F.least(
+        F.lit(target_w) / F.col("width"), F.lit(target_h) / F.col("height")
+    )
+    return (
+        decoded.withColumn("scale", F.round(scale, 6))
+        .withColumn("out_w", F.round(F.col("width") * scale).cast("int"))
+        .withColumn("out_h", F.round(F.col("height") * scale).cast("int"))
+        .withColumn(
+            "pad_x", ((F.lit(target_w) - F.col("out_w")) / 2).cast("int")
+        )
+        .withColumn(
+            "pad_y", ((F.lit(target_h) - F.col("out_h")) / 2).cast("int")
+        )
+    )

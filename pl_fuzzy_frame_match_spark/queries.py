@@ -421,6 +421,33 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tokens_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(
+             regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'),
+             t -> regexp_matches(t, '\S'))) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+               AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways a data pipeline needs it: whitespace
+    tokens and GPT-2-style pre-tokenizer pieces (the cheap estimate of
+    BPE token count for budget/packing decisions)."""
+    from .functions.text import bpe_ish_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@register(
     "text_quality",
     """
     WITH q AS (
@@ -508,6 +535,17 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = binary_metadata(with_binary_payload(docs, "text"))
     return out.select(
         "doc_id", F.col("n_bytes").cast("long"), "payload_md5"
+    )
+
+
+@register("multimodal_frames", None)  # stubbed demuxer -> rows-only
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_frames, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_frames(with_binary_payload(docs, "text"), n_frames=4, fake=True)
+    return out.select(
+        "doc_id", "frame_idx", "frame_offset_bytes", F.octet_length("frame").alias("frame_bytes")
     )
 
 

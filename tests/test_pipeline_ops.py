@@ -355,3 +355,40 @@ def test_sinks_roundtrip_and_partitioning(spark, tmp_path):
     assert scratch.count() == docs.count()
     # plan is truncated: a parquet scan, not the original lineage
     assert "Scan parquet" in scratch._jdf.queryExecution().executedPlan().toString()
+
+
+def test_frame_sampling_and_resize_plumbing(spark, docs):
+    import pytest as _pytest
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        decode_image,
+        resize_meta,
+        sample_frames,
+        with_binary_payload,
+    )
+
+    payload = with_binary_payload(docs, "text")
+    frames = sample_frames(payload, n_frames=3, fake=True)
+    rows = frames.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc fans out to n frames with increasing offsets
+    assert all(len(v) == 3 for v in by_doc.values())
+    for v in by_doc.values():
+        offs = [r["frame_offset_bytes"] for r in sorted(v, key=lambda r: r["frame_idx"])]
+        assert offs == sorted(offs) and len(set(offs)) == 3
+        assert all(len(bytes(r["frame"])) > 0 for r in v)
+    # identical payloads -> identical frame bytes (deterministic stub)
+    f0 = sorted(by_doc[0], key=lambda r: r["frame_idx"])
+    f1 = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    assert [bytes(r["frame"]) for r in f0] == [bytes(r["frame"]) for r in f1]
+    with _pytest.raises(Exception):
+        sample_frames(payload, fake=False).collect()
+
+    meta = resize_meta(decode_image(payload, fake=True), 224, 224)
+    m = meta.collect()
+    for r in m:
+        assert max(r["out_w"], r["out_h"]) <= 224
+        # letterbox geometry adds back to the target square
+        assert r["out_w"] + 2 * r["pad_x"] in (223, 224)
+        assert r["out_h"] + 2 * r["pad_y"] in (223, 224)
