@@ -267,6 +267,19 @@ def _sketch_scan_topn(
         .select(right_col)
         .collect()
     )
+    if not rkeys:
+        # all right keys empty/filtered (O7 catches empty FRAMES, not
+        # frames whose every key is the empty string): empty candidates
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(left_col, StringType()),
+                    StructField(right_col, StringType()),
+                    StructField("__ham", IntegerType()),
+                ]
+            ),
+        )
     if len(rkeys) >= (1 << _RANK_BITS):
         raise ValueError(
             "sketch scan right side exceeds rank budget; raise"

@@ -242,3 +242,16 @@ def test_blocked_sketch_scan_equals_unblocked(spark, monkeypatch):
     unblocked = pairs(2_000_000)
     blocked = pairs(40)  # forces ~5 blocks at sf0.001 (150 keys)
     assert blocked == unblocked and len(unblocked) > 0
+
+
+def test_ann_with_all_empty_right_keys(spark):
+    """A right frame whose keys are all empty strings passes the O7
+    empty-frame early-exit but must yield an empty (not crashing)
+    ANN result."""
+    left = spark.createDataFrame([("alpha",), ("beta",)], ["a"])
+    right = spark.createDataFrame([("",), ("",)], ["b"])
+    out = fuzzy_match_dfs(
+        left, right, [FuzzyMapping("a", "b", threshold_score=50.0)],
+        use_appr_nearest_neighbor=True,
+    )
+    assert out.count() == 0
