@@ -5,6 +5,7 @@ plus large-scale training-data pipeline operators (dedup, similarity
 search, text analysis, multimodal plumbing, streaming).
 """
 
+from .functions.kernels import similarity_column
 from .models import FUZZY_TYPES, FuzzyMapping, FuzzyTypeLiteral
 from .operators.matcher import (
     fuzzy_match_dfs,
@@ -19,6 +20,7 @@ __all__ = [
     "fuzzy_match_dfs",
     "fuzzy_match_dfs_with_context",
     "fuzzy_match_temp_dir",
+    "similarity_column",
 ]
 
 __version__ = "0.1.0"
