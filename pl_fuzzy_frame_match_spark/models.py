@@ -56,7 +56,7 @@ class FuzzyMapping:
     """
 
     left_col: str
-    right_col: str
+    right_col: Optional[str] = None
     threshold_score: float = 80.0
     fuzzy_type: str = "levenshtein"
     perc_unique: float = 0.0
@@ -64,6 +64,10 @@ class FuzzyMapping:
     valid: bool = True
 
     def __post_init__(self) -> None:
+        if self.right_col is None:
+            # reference models.py:78-80: a one-argument mapping compares
+            # the same column name on both sides
+            self.right_col = self.left_col
         if self.fuzzy_type not in FUZZY_TYPES:
             raise ValueError(
                 f"fuzzy_type must be one of {FUZZY_TYPES}, got {self.fuzzy_type!r}"

@@ -32,6 +32,7 @@ machinery — documented per the survey's guidance):
 
 from __future__ import annotations
 
+import logging
 import tempfile
 from concurrent.futures import ThreadPoolExecutor
 from contextlib import contextmanager
@@ -268,6 +269,8 @@ def fuzzy_match_dfs(
         use_appr_nearest_neighbor = use_appr_nearest_neighbor_for_new_matches
     if top_n_for_new_matches is not None:
         top_n = top_n_for_new_matches
+    if logger is None:
+        logger = logging.getLogger(__name__)
     if not fuzzy_maps:
         raise ValueError("fuzzy_maps must be non-empty")
     spark = left.sparkSession
@@ -300,7 +303,14 @@ def fuzzy_match_dfs(
     maps = order_mappings_by_selectivity(
         maps, left_uniq, right_uniq, left_count, right_count
     )
+    logger.info(
+        "fuzzy plan: %d x %d rows, mapping order %s",
+        left_count,
+        right_count,
+        [(m.left_col, m.right_col, m.fuzzy_type) for m in maps],
+    )
     if should_deduplicate_inputs(maps, left_count, right_count):  # O3
+        logger.info("low uniqueness: deduplicating inputs on join keys")
         left = left.dropDuplicates([m.left_col for m in maps])
         right = right.dropDuplicates([m.right_col for m in maps])
     maps = set_output_column_names(maps)
@@ -322,6 +332,13 @@ def fuzzy_match_dfs(
     matches: Optional[DataFrame] = None
     for mapping in maps:
         if matches is None:
+            logger.info(
+                "fuzzy match %s ~ %s (%s, threshold %s)",
+                mapping.left_col,
+                mapping.right_col,
+                mapping.fuzzy_type,
+                mapping.threshold_score,
+            )
             matches = first_round_matches(
                 left_i,
                 right_i,
@@ -333,6 +350,9 @@ def fuzzy_match_dfs(
                 cross_over_for_appr_nearest_neighbor,
             )
         else:
+            logger.info(
+                "refining matches on %s ~ %s", mapping.left_col, mapping.right_col
+            )
             matches = refine_matches(
                 left_i, right_i, matches, mapping, left_count, right_count
             )

@@ -125,3 +125,13 @@ class TestPlanner:
     def test_strategy_hard_abort(self):
         with pytest.raises(ValueError):
             choose_candidate_strategy(10**8, 10**7)
+
+
+def test_fuzzy_mapping_right_col_defaults_to_left():
+    from pl_fuzzy_frame_match_spark.models import FuzzyMapping
+
+    m = FuzzyMapping("name")
+    assert m.right_col == "name"
+    assert m.output_column_name == "fuzzy_score_name_name"
+    m2 = FuzzyMapping("a", None, 90.0, "jaro")
+    assert m2.right_col == "a" and m2.fuzzy_type == "jaro"
