@@ -100,7 +100,7 @@ def exact_candidates(
     return left_keys.repartition(n_parts).crossJoin(right_keys)
 
 
-def approx_candidates(
+def approx_candidate_pairs(
     left_keys: DataFrame,
     right_keys: DataFrame,
     left_col: str,
@@ -113,21 +113,13 @@ def approx_candidates(
     num_hashes: int = MINHASH_HASHES,
     bands: int = MINHASH_BANDS,
 ) -> DataFrame:
-    """LSH/sketch-approximate candidate pairs (J2): at most ``top_n``
-    nearest right keys per left key.
-
-    Callers should pass the *larger* key set as ``left_keys`` (the
-    reference swaps sides the same way, matcher.py:16-49) so the per-row
-    budget applies to the bigger side, and supply the (approximate)
-    distinct-key counts so the physical shape and parallelism can be
-    chosen from pair volume.
-
-    Shuffle discipline for scale: the quadratic-ish stage moves only
-    ``(key string, 8-byte sketch)`` rows — the potentially huge per-key
-    index lists are re-attached *after* the top-N truncation. Returned
-    pairs are distinct by construction, which lets the caller skip a
-    row-level dropDuplicates.
-    """
+    """SLIM approximate candidate pairs: just ``(left_col, right_col)``
+    value pairs, distinct, at most ``top_n`` per left key — no index
+    lists attached. Callers that score the pairs should do so on THIS
+    frame and re-attach the per-key index lists only for pairs that
+    survive the similarity threshold (most candidates fail it; keeping
+    them out of the join machinery is a large constant-factor win when
+    the candidate budget saturates)."""
     pair_volume = max(n_left_keys, 1) * max(n_right_keys, 1)
     # the sketch scan broadcasts the (smaller) right side's sketches;
     # callers already put the larger key set on the left
@@ -174,10 +166,23 @@ def approx_candidates(
             left_keys, right_keys, left_col, right_col, top_n,
             jaccard_distance, num_hashes, bands,
         )
-    # Re-attach the index lists only for surviving candidates. The key
-    # frames carry no size stats (they sit behind checkpoints), so
-    # without an explicit hint Spark sort-merges the multi-million-row
-    # candidate frame; broadcast them whenever the key counts allow.
+    return topn
+
+
+def attach_index_lists(
+    pairs: DataFrame,
+    left_keys: DataFrame,
+    right_keys: DataFrame,
+    left_col: str,
+    right_col: str,
+    n_left_keys: int = 0,
+    n_right_keys: int = 0,
+) -> DataFrame:
+    """Re-attach the per-key index lists to (surviving) candidate
+    pairs. The key frames carry no size stats (they sit behind
+    checkpoints), so without an explicit hint Spark sort-merges the
+    multi-million-row candidate frame; broadcast them whenever the key
+    counts allow."""
     lk = (
         F.broadcast(left_keys)
         if 0 < n_left_keys <= BROADCAST_KEY_LIMIT
@@ -188,8 +193,42 @@ def approx_candidates(
         if 0 < n_right_keys <= BROADCAST_KEY_LIMIT
         else right_keys
     )
-    return topn.join(lk, on=left_col, how="inner").join(
+    return pairs.join(lk, on=left_col, how="inner").join(
         rk, on=right_col, how="inner"
+    )
+
+
+def approx_candidates(
+    left_keys: DataFrame,
+    right_keys: DataFrame,
+    left_col: str,
+    right_col: str,
+    top_n: int = DEFAULT_TOP_N,
+    n_left_keys: int = 0,
+    n_right_keys: int = 0,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    jaccard_distance: float = DEFAULT_JACCARD_DISTANCE,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """LSH/sketch-approximate candidate pairs (J2) WITH index lists: at
+    most ``top_n`` nearest right keys per left key.
+
+    Callers should pass the *larger* key set as ``left_keys`` (the
+    reference swaps sides the same way, matcher.py:16-49) so the per-row
+    budget applies to the bigger side, and supply the (approximate)
+    distinct-key counts so the physical shape and parallelism can be
+    chosen from pair volume. The matcher's hot path instead uses
+    :func:`approx_candidate_pairs` + score + :func:`attach_index_lists`
+    so only threshold-surviving pairs pay the joins."""
+    pairs = approx_candidate_pairs(
+        left_keys, right_keys, left_col, right_col, top_n,
+        n_left_keys, n_right_keys, max_hamming,
+        jaccard_distance, num_hashes, bands,
+    )
+    return attach_index_lists(
+        pairs, left_keys, right_keys, left_col, right_col,
+        n_left_keys, n_right_keys,
     )
 
 

@@ -56,7 +56,12 @@ from ..plans.planner import (
     order_mappings_by_selectivity,
     should_deduplicate_inputs,
 )
-from .candidates import DEFAULT_TOP_N, approx_candidates, exact_candidates
+from .candidates import (
+    DEFAULT_TOP_N,
+    approx_candidate_pairs,
+    attach_index_lists,
+    exact_candidates,
+)
 
 LEFT_INDEX = "__left_index"
 RIGHT_INDEX = "__right_index"
@@ -153,19 +158,44 @@ def first_round_matches(
     if strategy.use_approx:
         # larger key set on the probe side (reference matcher.py:16-49)
         if n_left_keys >= n_right_keys:
-            cands = approx_candidates(
+            slim = approx_candidate_pairs(
                 left_keys, right_keys, mapping.left_col, mapping.right_col,
                 top_n=top_n, n_left_keys=n_left_keys, n_right_keys=n_right_keys,
             )
         else:
-            cands = approx_candidates(
+            slim = approx_candidate_pairs(
                 right_keys, left_keys, mapping.right_col, mapping.left_col,
                 top_n=top_n, n_left_keys=n_right_keys, n_right_keys=n_left_keys,
             )
-        # no dedup needed: approx_candidates collapses banding
-        # collisions to distinct value pairs before returning, so the
-        # exploded index pairs are unique — same as the exact path
-        pairs = score_and_explode(cands, mapping)
+        # Score the SLIM value pairs first and re-attach index lists
+        # only for threshold survivors — when the candidate budget
+        # saturates (dense neighborhoods), most candidates fail the
+        # threshold and must not pay the index joins. Pairs are
+        # distinct by construction, so exploded index pairs are
+        # unique — same as the exact path, no dedup shuffle.
+        a = F.lower(F.col(mapping.left_col))
+        b = F.lower(F.col(mapping.right_col))
+        scored = (
+            slim.withColumn(
+                _DIST, distance_column(mapping.fuzzy_type, a, b)
+            )
+            .filter(F.col(_DIST) <= F.lit(mapping.reversed_threshold_score))
+            .withColumn(_SCORE, F.lit(1.0) - F.col(_DIST))
+        )
+        survivors = attach_index_lists(
+            scored, left_keys, right_keys, mapping.left_col, mapping.right_col,
+            n_left_keys, n_right_keys,
+        )
+        pairs = (
+            survivors.select(_SCORE, LEFT_INDEX, RIGHT_INDEX)
+            .withColumn(LEFT_INDEX, F.explode(LEFT_INDEX))
+            .withColumn(RIGHT_INDEX, F.explode(RIGHT_INDEX))
+            .select(
+                LEFT_INDEX,
+                RIGHT_INDEX,
+                F.col(_SCORE).alias(mapping.output_column_name),
+            )
+        )
     else:
         cands = exact_candidates(left_keys, right_keys, n_left_keys, n_right_keys)
         pairs = score_and_explode(cands, mapping)
