@@ -149,6 +149,59 @@ def sample_frames(
     )
 
 
+def extract_features(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Feature extraction over opaque payloads: one ``array<float>``
+    embedding per payload via ``mapInPandas`` — the shape a CLIP/CNN
+    encoder stage has on a Spark cluster (Arrow batches in, fixed-dim
+    vectors out, partitioning preserved so the downstream similarity
+    ops run without a shuffle).
+
+    STUB: a real encoder needs a model runtime, absent here.
+    ``fake=True`` derives a deterministic unit vector from the content
+    digest (identical payloads -> identical features, so dedup /
+    similarity plumbing is exercisable end-to-end); ``fake=False``
+    raises at execution time.
+    """
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "feature extraction requires a model runtime — not"
+                    " available here; pass fake=True for the digest stub"
+                )
+            ids, vecs = [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                seed = int.from_bytes(
+                    hashlib.md5(bytes(payload)).digest()[:8], "big"
+                )
+                v = np.random.default_rng(seed).standard_normal(dim)
+                n = np.linalg.norm(v)
+                vecs.append((v / n if n else v).astype("float32").tolist())
+                ids.append(rid)
+            yield pd.DataFrame({id_col: ids, "features": vecs})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        encode_batches, schema=schema
+    )
+
+
 def resize_meta(
     decoded: DataFrame, target_w: int = 224, target_h: int = 224
 ) -> DataFrame:

@@ -549,6 +549,24 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_features_ann", None)  # stubbed encoder -> rows-only
+def multimodal_features_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal pipeline: payload -> (stub) feature
+    extraction -> exact cosine top-k over the extracted vectors.
+    Identical payloads land at cosine 1.0, exercising the
+    features->similarity hand-off end-to-end."""
+    from .operators.multimodal import extract_features, with_binary_payload
+    from .operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(with_binary_payload(docs, "text"), fake=True)
+    probes = feats.filter(F.col("doc_id") < 50)
+    out = brute_force_topk(probes, feats, "features", "doc_id", k=3)
+    return _round6(out, "cosine_sim").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 @register("multimodal_decode_stub", None)  # stubbed decoder -> rows-only
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import decode_image, with_binary_payload

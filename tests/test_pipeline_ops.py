@@ -392,3 +392,26 @@ def test_frame_sampling_and_resize_plumbing(spark, docs):
         # letterbox geometry adds back to the target square
         assert r["out_w"] + 2 * r["pad_x"] in (223, 224)
         assert r["out_h"] + 2 * r["pad_y"] in (223, 224)
+
+
+def test_feature_extraction_stub_and_ann_handoff(spark, docs):
+    import pytest as _pytest
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        extract_features,
+        with_binary_payload,
+    )
+    from pl_fuzzy_frame_match_spark.operators.similarity import brute_force_topk
+
+    payload = with_binary_payload(docs, "text")
+    feats = extract_features(payload, dim=16, fake=True)
+    rows = {r["doc_id"]: r["features"] for r in feats.collect()}
+    assert len(rows) == len(DOCS) and all(len(v) == 16 for v in rows.values())
+    # identical payloads -> identical features; different -> different
+    assert rows[0] == rows[1] and rows[0] != rows[3]
+    with _pytest.raises(Exception):
+        extract_features(payload, fake=False).collect()
+
+    topk = brute_force_topk(feats, feats, "features", "doc_id", k=1).collect()
+    best = {r["query_id"]: (r["neighbor_id"], r["cosine_sim"]) for r in topk}
+    # the exact-duplicate pair finds itself at cosine ~1
+    assert best[0][0] == 1 and best[0][1] > 0.999999
