@@ -64,3 +64,29 @@ def distance_column(metric: str, left: Column, right: Column) -> Column:
 def similarity_column(metric: str, left: Column, right: Column) -> Column:
     """Similarity = 1 - normalized distance, on lowercased inputs."""
     return F.lit(1.0) - distance_column(metric, F.lower(left), F.lower(right))
+
+
+def register_sql_functions(spark) -> None:
+    """Register ``fuzzy_sim(metric, a, b)`` for ``spark.sql`` users:
+
+        SELECT * FROM t1 JOIN t2
+        ON fuzzy_sim('jaro_winkler', t1.name, t2.name) >= 0.8
+
+    Implemented as one Arrow-batched pandas UDF dispatching on the
+    metric value per batch (metrics are almost always literals, so the
+    dispatch dict lookup is once per row over a cached function table).
+    The DataFrame API's :func:`similarity_column` stays the fast path —
+    it keeps ``levenshtein`` in whole-stage codegen — but the SQL entry
+    point makes every metric reachable from plain SQL."""
+
+    @F.pandas_udf(DoubleType())
+    def fuzzy_sim(metric: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for m, x, y in zip(metric, a, b):
+            if x is None or y is None or m not in NORMALIZED_DISTANCE:
+                out.append(None)
+            else:
+                out.append(1.0 - NORMALIZED_DISTANCE[m](x.lower(), y.lower()))
+        return pd.Series(out, dtype="float64")
+
+    spark.udf.register("fuzzy_sim", fuzzy_sim)

@@ -255,3 +255,46 @@ def test_ann_with_all_empty_right_keys(spark):
         use_appr_nearest_neighbor=True,
     )
     assert out.count() == 0
+
+
+def test_multi_mapping_with_forced_ann_first_round(spark):
+    """Conjunction semantics must hold when round 1 runs the ANN path
+    and with a pandas-UDF metric (jaro_winkler) scoring the slim
+    candidate pairs."""
+    left = spark.createDataFrame(
+        [(1, "apple inc", "NY"), (2, "globex corp", "CA"), (3, "umbrella co", "CA")],
+        ["lid", "company", "state"],
+    )
+    right = spark.createDataFrame(
+        [(10, "apple incorporated", "NY"), (11, "globex corporation", "TX")],
+        ["rid", "org", "st"],
+    )
+    maps = [
+        FuzzyMapping("company", "org", threshold_score=70.0, fuzzy_type="jaro_winkler"),
+        FuzzyMapping("state", "st", threshold_score=100.0),
+    ]
+    exact = {(r["lid"], r["rid"]) for r in fuzzy_match_dfs(
+        left, right, maps, use_appr_nearest_neighbor=False).collect()}
+    approx = {(r["lid"], r["rid"]) for r in fuzzy_match_dfs(
+        left, right, maps, use_appr_nearest_neighbor=True).collect()}
+    assert exact == {(1, 10)}
+    assert approx <= exact  # ANN lossy-by-design, conjunction intact
+
+
+def test_sql_registered_fuzzy_sim(spark):
+    from pl_fuzzy_frame_match_spark.functions.kernels import register_sql_functions
+
+    register_sql_functions(spark)
+    spark.createDataFrame(
+        [("kitten", "sitting"), ("apple inc.", "apple incorporated")], ["a", "b"]
+    ).createOrReplaceTempView("pairs_t")
+    rows = spark.sql(
+        "SELECT a, b, fuzzy_sim('levenshtein', a, b) AS lev,"
+        "       fuzzy_sim('jaro_winkler', a, b) AS jw"
+        " FROM pairs_t ORDER BY a"
+    ).collect()
+    assert rows[1]["lev"] == pytest.approx(1.0 - 3.0 / 7.0, abs=1e-9)
+    assert rows[0]["jw"] == pytest.approx(0.88, abs=0.01)  # reference golden
+    # null-safe and unknown-metric-safe
+    one = spark.sql("SELECT fuzzy_sim('nope', 'a', 'b') AS x").first()
+    assert one["x"] is None
