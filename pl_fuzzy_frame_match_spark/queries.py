@@ -576,6 +576,47 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_purchase",
+    """
+    WITH marks AS (
+      SELECT user_id, ts, max(value) AS last_purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id,
+           CAST(epoch_ns(l.ts) // 1000000000 AS BIGINT) AS event_epoch,
+           round(r.last_purchase_value, 6) AS last_purchase_value
+    FROM events l
+    ASOF LEFT JOIN marks r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event annotated with the user's most recent
+    prior-or-simultaneous purchase value (null if none yet). One
+    window shuffle; oracle is DuckDB's native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    marks = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        marks,
+        ts_col="ts",
+        by_cols=["user_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("event_epoch"),
+        F.round("last_purchase_value", 6).alias("last_purchase_value"),
+    )
+
+
+@register(
     "events_windowed",
     """
     SELECT CAST(epoch_ns(ts) // 300000000000 * 300 AS BIGINT) AS window_start,

@@ -415,3 +415,32 @@ def test_feature_extraction_stub_and_ann_handoff(spark, docs):
     best = {r["query_id"]: (r["neighbor_id"], r["cosine_sim"]) for r in topk}
     # the exact-duplicate pair finds itself at cosine ~1
     assert best[0][0] == 1 and best[0][1] > 0.999999
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+    from pl_fuzzy_frame_match_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(0)), (1, t(10)), (1, t(20)), (2, t(5))],
+        ["user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(15), 150.0), (3, t(0), 9.0)],
+        ["user_id", "ts", "v"],
+    )
+    back = {
+        (r["user_id"], r["ts"].minute): r["v"]
+        for r in asof_join(left, right, "ts", ["user_id"]).collect()
+    }
+    # before any mark -> null; equal ts matches (inclusive); latest prior wins
+    assert back[(1, 0)] is None
+    assert back[(1, 10)] == 100.0
+    assert back[(1, 20)] == 150.0
+    assert back[(2, 5)] is None
+    fwd = {
+        (r["user_id"], r["ts"].minute): r["v"]
+        for r in asof_join(left, right, "ts", ["user_id"], direction="forward").collect()
+    }
+    assert fwd[(1, 0)] == 100.0 and fwd[(1, 20)] is None
