@@ -617,6 +617,54 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_error_windows",
+    """
+    SELECT p.event_id, p.user_id,
+           count(*) AS n_windows,
+           round(sum(err.value), 6) AS sum_err_value
+    FROM events p
+    JOIN events err
+      ON p.user_id = err.user_id
+     AND p.event_type = 'purchase' AND err.event_type = 'error'
+     AND p.ts >= err.ts AND p.ts < err.ts + INTERVAL 4 HOUR
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def events_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: purchases that happen within 4 hours
+    after an error by the same user, with the count and value-sum of
+    the covering error windows. The bucketized rewrite keeps this an
+    equi-join shuffle (~|P| + 2|I| key rows) instead of the
+    BroadcastNestedLoopJoin Spark would plan for the raw inequality."""
+    from .operators.rangejoin import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    points = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    win = F.lit(4 * 3600)
+    intervals = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_start"),
+        (F.col("ts") + F.make_interval(secs=win)).alias("err_end"),
+        F.col("value").alias("err_value"),
+    )
+    joined = interval_join(
+        points,
+        intervals,
+        point_ts="ts",
+        start_col="err_start",
+        end_col="err_end",
+        by_cols=["user_id"],
+        bucket_width=4 * 3600,
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.round(F.sum("err_value"), 6).alias("sum_err_value"),
+    )
+
+
+@register(
     "events_windowed",
     """
     SELECT CAST(epoch_ns(ts) // 300000000000 * 300 AS BIGINT) AS window_start,
@@ -840,6 +888,134 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
             "n_orders",
             "sum_total",
+        )
+    )
+
+
+@register(
+    "cube_orders",
+    """
+    SELECT coalesce(CAST(o_orderstatus AS VARCHAR), 'ALL') AS status,
+           coalesce(CAST(o_orderpriority AS VARCHAR), 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 6) AS sum_total,
+           round(avg(o_totalprice), 6) AS avg_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all four marginal combinations in one
+    shuffle (Expand feeds a single hash aggregate with map-side
+    partials); completes the ROLLUP/CUBE pair of the OLAP surface."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_total"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_total",
+            "avg_total",
+        )
+    )
+
+
+@register(
+    "anti_parts_never_ordered",
+    """
+    SELECT p_brand, count(*) AS n_unsold
+    FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity >= 48)
+    GROUP BY p_brand
+    """,
+)
+def anti_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: parts never ordered in bulk (no lineitem with
+    quantity >= 48), counted per brand. The probe side shuffles only
+    distinct filtered l_partkey values (filter + distinct pushed below
+    the join), not lineitem rows."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sold = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    return (
+        p.join(sold, on="p_partkey", how="left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_unsold"))
+    )
+
+
+@register(
+    "semi_customers_urgent",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def semi_customers_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers holding at least one urgent order,
+    counted per market segment — EXISTS semantics without a distinct
+    on the probe output."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.join(urgent, on="c_custkey", how="left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "doc_length_percentiles",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90,
+           round(quantile_cont(n_chars, 0.99), 6) AS p99
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of document length per
+    language — corpus length profiling for pipeline QA. (Exact
+    `percentile` so the DuckDB `quantile_cont` oracle matches
+    digit-for-digit; the 100-TB variant swaps in
+    `percentile_approx`, a mergeable sketch, at the same call site.)"""
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    pct = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pct.alias("__p"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("__p")[0], 6).alias("p50"),
+            F.round(F.col("__p")[1], 6).alias("p90"),
+            F.round(F.col("__p")[2], 6).alias("p99"),
         )
     )
 

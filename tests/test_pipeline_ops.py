@@ -444,3 +444,40 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, "ts", ["user_id"], direction="forward").collect()
     }
     assert fwd[(1, 0)] == 100.0 and fwd[(1, 20)] is None
+
+
+def test_interval_join_semantics(spark):
+    import datetime as dt
+    from pl_fuzzy_frame_match_spark.operators.rangejoin import interval_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    points = spark.createDataFrame(
+        [(1, 1, t(5)), (2, 1, t(10)), (3, 1, t(30)), (4, 2, t(5))],
+        ["pid", "k", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        # [0,10) and [8,20) for k=1; degenerate end<start; k=3 never joins
+        [(1, t(0), t(10)), (1, t(8), t(20)), (1, t(40), t(35)), (3, t(0), t(59))],
+        ["k", "lo", "hi"],
+    )
+    # bucket width much smaller than interval length -> multi-bucket explode
+    got = sorted(
+        (r["pid"], r["lo"].minute)
+        for r in interval_join(
+            points, intervals, "ts", "lo", "hi", ["k"], bucket_width=120
+        ).collect()
+    )
+    # pid1@5 in [0,10); pid2@10 in [8,20) only (end-exclusive); pid3/4 nowhere
+    assert got == [(1, 0), (2, 8)]
+    # inclusive end: pid at exactly hi matches
+    incl = interval_join(
+        points.filter("pid = 2"),
+        spark.createDataFrame([(1, t(0), t(10))], ["k", "lo", "hi"]),
+        "ts",
+        "lo",
+        "hi",
+        ["k"],
+        bucket_width=600,
+        end_inclusive=True,
+    )
+    assert incl.count() == 1
