@@ -446,6 +446,42 @@ def test_asof_join_semantics(spark):
     assert fwd[(1, 0)] == 100.0 and fwd[(1, 20)] is None
 
 
+def test_ipc_roundtrip(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.sources.io import (
+        ipc_schema,
+        read_ipc,
+        write_ipc,
+        write_ipc_single,
+    )
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    n = cust.count()
+
+    # distributed write: one file per partition + manifest
+    out_dir = str(tmp_path / "ipc_out")
+    manifest = write_ipc(cust.repartition(3), out_dir)
+    mrows = manifest.collect()
+    assert len(mrows) == 3 and sum(r["n_rows"] for r in mrows) == n
+
+    # distributed read back: same multiset of rows, schema preserved
+    back = read_ipc(spark, out_dir)
+    assert back.schema == cust.schema
+    assert back.count() == n
+    a = {r["c_custkey"]: r["c_name"] for r in back.collect()}
+    b = {r["c_custkey"]: r["c_name"] for r in cust.collect()}
+    assert a == b
+
+    # single-file driver-side write, footer-only schema peek
+    single = str(tmp_path / "single.arrow")
+    assert write_ipc_single(cust.limit(10), single) == 10
+    assert ipc_schema(single).names == ["c_custkey", "c_name", "c_acctbal"]
+    assert read_ipc(spark, single).count() == 10
+
+
 def test_interval_join_semantics(spark):
     import datetime as dt
     from pl_fuzzy_frame_match_spark.operators.rangejoin import interval_join
