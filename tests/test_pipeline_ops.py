@@ -446,6 +446,60 @@ def test_asof_join_semantics(spark):
     assert fwd[(1, 0)] == 100.0 and fwd[(1, 20)] is None
 
 
+def test_stream_fuzzy_enrich_matches_batch(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.models import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_fuzzy_enrich,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (1, "Apple Inc."),
+            (2, "Microsft Corp"),
+            (3, "zzz unrelated qqq"),
+            (4, None),
+        ],
+        ["id", "company"],
+    )
+    right = spark.createDataFrame(
+        [("Apple Incorporated",), ("Microsoft Corporation",), ("Apple Inc",)],
+        ["name"],
+    )
+    # 80: tight enough that jaro_winkler's generosity with shared
+    # letters ("zzz unrelated qqq" vs "apple incorporated" = 0.60!)
+    # doesn't produce a junk match
+    mapping = FuzzyMapping(
+        "company", "name", threshold_score=80.0, fuzzy_type="jaro_winkler"
+    )
+
+    # the same callable runs on a batch frame — ground truth
+    expect = {
+        r["id"]: (r["name_matched"], r[mapping.output_column_name])
+        for r in stream_fuzzy_enrich(batch, right, mapping).collect()
+    }
+    assert expect[1][0] == "Apple Inc"  # near-exact beats the longer form
+    assert expect[2][0] == "Microsoft Corporation"
+    assert expect[3][0] is None and expect[4][0] is None
+
+    src = str(tmp_path / "enrich_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = stream_fuzzy_enrich(stream, right, mapping)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: (r["name_matched"], r[mapping.output_column_name])
+        for r in spark.sql("select * from enrich_sink").collect()
+    }
+    assert got == expect
+
+
 def test_ipc_roundtrip(spark, tmp_path):
     from pl_fuzzy_frame_match_spark.sources.io import (
         ipc_schema,

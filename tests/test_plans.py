@@ -1,0 +1,70 @@
+"""Physical-plan shape guards: the scale properties PLANS.md claims
+must stay visible in `.explain()` — a regression that silently
+reintroduces a nested-loop join or an extra shuffle should fail CI,
+not a 100 TB run."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _ts_frames(spark):
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    points = spark.createDataFrame(
+        [(i, i % 3, t(i % 50)) for i in range(100)], ["pid", "k", "ts"]
+    )
+    intervals = spark.createDataFrame(
+        [(i % 3, t(i), t(i + 5)) for i in range(40)], ["k", "lo", "hi"]
+    )
+    return points, intervals
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    from pl_fuzzy_frame_match_spark.operators.rangejoin import interval_join
+
+    points, intervals = _ts_frames(spark)
+    # with an equi key the bucket just sharpens the join key; the
+    # critical case is NO equi key, where raw inequalities force Spark
+    # into an O(|P|*|I|) nested loop — the bucket IS the join key then
+    for by in (["k"], []):
+        pts = points if by else points.drop("k")
+        ivs = intervals if by else intervals.drop("k")
+        plan = _plan(interval_join(pts, ivs, "ts", "lo", "hi", by, 300))
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+    # the naive key-less formulation DOES nested-loop (the premise)
+    naive = points.drop("k").join(
+        intervals.drop("k"),
+        (points["ts"] >= intervals["lo"]) & (points["ts"] < intervals["hi"]),
+    )
+    assert "NestedLoop" in _plan(naive) or "CartesianProduct" in _plan(naive)
+
+
+def test_asof_join_single_shuffle(spark):
+    from pl_fuzzy_frame_match_spark.operators.asof import asof_join
+
+    points, intervals = _ts_frames(spark)
+    right = intervals.select("k", F.col("lo").alias("ts"), F.col("hi"))
+    plan = _plan(asof_join(points, right, "ts", ["k"]))
+    # union + one keyed window: exactly one shuffle, no join operator
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_exact_candidates_broadcast_small_side(spark):
+    from pl_fuzzy_frame_match_spark.operators.candidates import (
+        exact_candidates,
+    )
+
+    left = spark.range(1000).select(F.col("id").cast("string").alias("lk"))
+    right = spark.range(30).select(F.col("id").cast("string").alias("rk"))
+    plan = _plan(exact_candidates(left, right, 1000, 30))
+    # small side broadcast: candidate generation itself never shuffles
+    # the pair frame (the only Exchange is the parallelism repartition)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
