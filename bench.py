@@ -58,6 +58,8 @@ def main() -> None:
         "tpch_q1",
         "tpch_q3_shape",
         "events_sessionize",
+        "events_asof_purchase",
+        "events_error_windows",
     ):
         if extra in registry:
             names.append(extra)

@@ -446,6 +446,69 @@ def test_asof_join_semantics(spark):
     assert fwd[(1, 0)] == 100.0 and fwd[(1, 20)] is None
 
 
+def test_asof_and_interval_join_match_bruteforce_random(spark):
+    """Randomized (seeded) equivalence: both time-series joins must
+    agree with an O(n*m) brute-force reference on irregular data —
+    duplicate timestamps, empty groups, bucket-boundary landings."""
+    import datetime as dt
+    import random
+
+    from pl_fuzzy_frame_match_spark.operators.asof import asof_join
+    from pl_fuzzy_frame_match_spark.operators.rangejoin import interval_join
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    sec = lambda s: base + dt.timedelta(seconds=s)
+    # timestamps multiples of 30s so bucket-boundary collisions happen
+    points = [
+        (i, rng.randrange(4), sec(rng.randrange(0, 7200, 30)))
+        for i in range(300)
+    ]
+    marks = [
+        (rng.randrange(5), sec(rng.randrange(0, 7200, 30)), float(i))
+        for i in range(120)
+    ]
+    pdf = spark.createDataFrame(points, ["pid", "k", "ts"])
+    mdf = spark.createDataFrame(marks, ["k", "mts", "v"])
+
+    # --- as-of: latest mark with mts <= ts; ties on mts -> max v wins
+    # deterministically only if unique per (k, mts); make it unique
+    seen, uniq = set(), []
+    for k, mts, v in marks:
+        if (k, mts) not in seen:
+            seen.add((k, mts))
+            uniq.append((k, mts, v))
+    mdf_u = spark.createDataFrame(uniq, ["k", "ts", "v"])
+    got = {
+        r["pid"]: r["v"]
+        for r in asof_join(
+            pdf, mdf_u, "ts", ["k"], direction="backward"
+        ).collect()
+    }
+    for pid, k, ts in points:
+        cand = [(mts, v) for (mk, mts, v) in uniq if mk == k and mts <= ts]
+        expect = max(cand)[1] if cand else None
+        assert got[pid] == expect, (pid, k, ts)
+
+    # --- interval: [mts, mts + 17min) covering ts, same k
+    win = dt.timedelta(seconds=1020)  # deliberately != bucket width
+    idf = spark.createDataFrame(
+        [(k, mts, mts + win, v) for (k, mts, v) in marks],
+        ["k", "lo", "hi", "v"],
+    )
+    rows = interval_join(
+        pdf, idf, "ts", "lo", "hi", ["k"], bucket_width=600
+    ).collect()
+    got_pairs = sorted((r["pid"], r["v"]) for r in rows)
+    expect_pairs = sorted(
+        (pid, v)
+        for (pid, k, ts) in points
+        for (mk, mts, v) in marks
+        if mk == k and mts <= ts < mts + win
+    )
+    assert got_pairs == expect_pairs
+
+
 def test_stream_fuzzy_enrich_matches_batch(spark, tmp_path):
     from pl_fuzzy_frame_match_spark.models import FuzzyMapping
     from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
