@@ -1,0 +1,107 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+`df.sample()` / `sampleBy()` are seed-dependent AND partition-layout-
+dependent — rerun the pipeline after a repartition and a different
+subset comes back. Training-data splits need to be a pure function of
+the ROW (so they are reproducible across engines, runs, and cluster
+sizes, and so a document never migrates from test into train when the
+corpus grows). The standard trick: hash a stable key, split the hash
+space by the requested fractions.
+
+We hash with ``md5`` (hex) and split on the LEXICOGRAPHIC order of
+the hex prefix: hex-string comparison is identical in every engine
+(and in the DuckDB correctness oracle), which makes the split
+SQL-replayable — unlike ``xxhash64``/``hash``, whose implementations
+are engine-private. md5 per row is ~100ns JVM-side; it never leaves
+whole-stage codegen.
+
+Granularity: the split boundary quantizes to 4 hex chars (1/65536);
+fractions are honored to ±0.002% in expectation, exact per-key
+determinism always.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_CHARS = 4  # 16^4 = 65536 buckets
+
+
+def _boundaries(fractions: Sequence[Tuple[str, float]]) -> list:
+    """[(label, hi_hex_exclusive)] cumulative upper bounds."""
+    total = sum(f for _, f in fractions)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out, acc = [], 0.0
+    for label, frac in fractions:
+        acc += frac
+        hi = min(int(round(acc * (16**_HEX_CHARS))), 16**_HEX_CHARS)
+        out.append((label, format(hi, f"0{_HEX_CHARS}x")))
+    return out
+
+
+def split_column(key: Column, fractions: Sequence[Tuple[str, float]]) -> Column:
+    """A label column assigning each row to a split, deterministically
+    by ``md5(key)``. ``fractions`` = [(label, fraction)], summing to 1.
+    The same key always lands in the same split, on any engine."""
+    prefix = F.substring(F.md5(key.cast("string")), 1, _HEX_CHARS)
+    bounds = _boundaries(fractions)
+    # CASE chain: first matching upper bound wins, tail label otherwise
+    expr = None
+    for label, hi in bounds[:-1]:
+        cond = prefix < F.lit(hi)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
+            cond, F.lit(label)
+        )
+    if expr is None:
+        return F.lit(bounds[-1][0])
+    return expr.otherwise(F.lit(bounds[-1][0]))
+
+
+def split_sql_case(key_sql: str, fractions: Sequence[Tuple[str, float]]) -> str:
+    """The equivalent ANSI-SQL CASE expression (for oracles / other
+    engines): same md5-prefix comparison, same boundaries."""
+    bounds = _boundaries(fractions)
+    # STRING parses as a VARCHAR alias in both Spark and DuckDB
+    parts = [
+        f"WHEN substr(md5(CAST({key_sql} AS STRING)), 1, {_HEX_CHARS})"
+        f" < '{hi}' THEN '{label}'"
+        for label, hi in bounds[:-1]
+    ]
+    return (
+        "CASE " + " ".join(parts) + f" ELSE '{bounds[-1][0]}' END"
+        if parts
+        else f"'{bounds[-1][0]}'"
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: Sequence[Tuple[str, float]],
+    label_col: str = "split",
+) -> DataFrame:
+    """Attach a split label column (train/val/test-style) that is a
+    pure function of ``key_col`` — stable under reruns, repartitions,
+    engine changes, and corpus growth."""
+    return df.withColumn(label_col, split_column(F.col(key_col), fractions))
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float = 0.2
+) -> Dict[str, DataFrame]:
+    """Two-way deterministic split; returns {"train": ..., "test": ...}.
+    Filters on the label so each side is a plain pushdown-friendly
+    predicate over the scan."""
+    labeled = deterministic_split(
+        df,
+        key_col,
+        [("train", 1.0 - test_fraction), ("test", test_fraction)],
+    )
+    return {
+        "train": labeled.filter(F.col("split") == "train").drop("split"),
+        "test": labeled.filter(F.col("split") == "test").drop("split"),
+    }

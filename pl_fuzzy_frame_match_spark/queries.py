@@ -893,6 +893,42 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_split_counts",
+    """
+    SELECT lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def docs_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the corpus,
+    summarized per (lang, split). The split label is a pure function
+    of doc_id (md5-prefix ranges), so it is reproducible across runs,
+    partitionings, and engines — the oracle recomputes the identical
+    assignment in SQL. No shuffle is added by the split itself; the
+    only exchange is the summary groupBy."""
+    from .functions.sampling import deterministic_split
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    labeled = deterministic_split(
+        d, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    return labeled.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+@register(
     "cube_orders",
     """
     SELECT coalesce(CAST(o_orderstatus AS VARCHAR), 'ALL') AS status,

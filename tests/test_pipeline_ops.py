@@ -446,6 +446,46 @@ def test_asof_join_semantics(spark):
     assert fwd[(1, 0)] == 100.0 and fwd[(1, 20)] is None
 
 
+def test_deterministic_split(spark):
+    from pl_fuzzy_frame_match_spark.functions.sampling import (
+        deterministic_split,
+        split_sql_case,
+        train_test_split,
+    )
+
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    labeled = deterministic_split(df, "doc_id", fr)
+    counts = {r["split"]: r["n"] for r in
+              labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.01
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20000 - 0.1) < 0.01
+
+    # pure function of the key: identical after any repartition
+    a = {r["doc_id"]: r["split"] for r in labeled.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(
+            df.repartition(13), "doc_id", fr
+        ).collect()
+    }
+    assert a == b
+
+    # the SQL CASE twin produces the identical assignment
+    sql_labeled = df.selectExpr(
+        "doc_id", split_sql_case("doc_id", fr) + " AS split"
+    )
+    c = {r["doc_id"]: r["split"] for r in sql_labeled.collect()}
+    assert a == c
+
+    # two-way split partitions the frame
+    parts = train_test_split(df, "doc_id", test_fraction=0.25)
+    n_train, n_test = parts["train"].count(), parts["test"].count()
+    assert n_train + n_test == 20000
+    assert abs(n_test / 20000 - 0.25) < 0.01
+
+
 def test_asof_and_interval_join_match_bruteforce_random(spark):
     """Randomized (seeded) equivalence: both time-series joins must
     agree with an O(n*m) brute-force reference on irregular data —
