@@ -152,6 +152,26 @@ def first_round_matches(
     """
     left_keys = build_key_frame(left, mapping.left_col, LEFT_INDEX)
     right_keys = build_key_frame(right, mapping.right_col, RIGHT_INDEX)
+    if mapping.reversed_threshold_score == 0.0:
+        # threshold 100: similarity must be exactly 1, and for all six
+        # metrics d(a, b) = 0 iff a == b (lowercased). Plan it as a
+        # hash EQUI-join on the lowercase key — no cartesian, no ANN
+        # budget, no scoring; pair volume stops being a planning
+        # concern entirely for exact mappings mixed into fuzzy specs.
+        eq = "__eq_key"
+        joined = left_keys.withColumn(
+            eq, F.lower(F.col(mapping.left_col))
+        ).join(
+            right_keys.withColumn(eq, F.lower(F.col(mapping.right_col))),
+            on=eq,
+            how="inner",
+        )
+        return (
+            joined.select(LEFT_INDEX, RIGHT_INDEX)
+            .withColumn(LEFT_INDEX, F.explode(LEFT_INDEX))
+            .withColumn(RIGHT_INDEX, F.explode(RIGHT_INDEX))
+            .withColumn(mapping.output_column_name, F.lit(1.0))
+        )
     strategy = choose_candidate_strategy(
         n_left_keys, n_right_keys, use_appr_nearest_neighbor, cross_over
     )
@@ -240,6 +260,17 @@ def refine_matches(
             & F.col(mapping.right_col).isNotNull()
         )
     )
+    if mapping.reversed_threshold_score == 0.0:
+        # exact-match shortcut (threshold 100): no distinct-pair frame,
+        # no scoring, no join-back — just the equality filter
+        return (
+            vals.filter(
+                F.lower(F.col(mapping.left_col))
+                == F.lower(F.col(mapping.right_col))
+            )
+            .withColumn(mapping.output_column_name, F.lit(1.0))
+            .drop(mapping.left_col, mapping.right_col)
+        )
     distinct_pairs = vals.select(mapping.left_col, mapping.right_col).distinct()
     a = F.lower(F.col(mapping.left_col))
     b = F.lower(F.col(mapping.right_col))

@@ -56,6 +56,36 @@ def test_asof_join_single_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_threshold_100_mapping_plans_as_equi_join(spark):
+    from pl_fuzzy_frame_match_spark.models import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.operators.matcher import (
+        first_round_matches,
+    )
+
+    left = spark.createDataFrame(
+        [(i, f"K{i % 40}") for i in range(200)], ["__left_index", "lk"]
+    )
+    right = spark.createDataFrame(
+        [(i, f"k{i % 25}") for i in range(100)], ["__right_index", "rk"]
+    )
+    m = FuzzyMapping("lk", "rk", threshold_score=100.0)
+    out = first_round_matches(left, right, m, 40, 25, None, 500, 1e8)
+    plan = _plan(out)
+    # exact mapping: equi-join on the lowercase key, never a cartesian
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "levenshtein" not in plan.lower() or "Join" in plan
+    # results: case-insensitive equality matches only, score 1.0
+    rows = out.collect()
+    assert rows and all(r[m.output_column_name] == 1.0 for r in rows)
+    n_expect = sum(
+        1
+        for i in range(200)
+        for j in range(100)
+        if f"k{i % 40}" == f"k{j % 25}"
+    )
+    assert len(rows) == n_expect
+
+
 def test_exact_candidates_broadcast_small_side(spark):
     from pl_fuzzy_frame_match_spark.operators.candidates import (
         exact_candidates,
