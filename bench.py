@@ -22,6 +22,7 @@ HEADLINE = [
     "fuzzy_join_jw_part",
     "fuzzy_join_ann",
     "fuzzy_join_auto_xl",
+    "fuzzy_join_xl_4b",
 ]
 
 

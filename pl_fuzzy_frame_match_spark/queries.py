@@ -178,6 +178,39 @@ def fuzzy_join_auto_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "c_name_vs_c_name_right_levenshtein")
 
 
+@register("fuzzy_join_xl_4b", None)  # ANN at sf0.1 is lossy -> rows-only
+def fuzzy_join_xl_4b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline 400K x 10K row (BASELINE.md: 34.52 s on
+    M3, exact path skipped as infeasible): customer replicated 27x with
+    distinct name suffixes vs supplier replicated 10x — at sf0.1 that is
+    405K x 10K = 4.05B cartesian pairs, far past the 1e8 crossover, so
+    the planner takes the SimHash sketch-scan ANN path. At the driver's
+    sf0.01 gate the same query is 40.5K x 1K = 40.5M pairs and runs the
+    lossless exact path (rows-only check; the DuckDB-side 40M-pair
+    levenshtein cross join would be slower than every other oracle
+    combined)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    reps = spark.range(27).select(F.col("id").alias("__rep"))
+    left = cust.crossJoin(F.broadcast(reps)).select(
+        "c_custkey",
+        F.concat_ws(" ", "c_name", F.col("__rep").cast("string")).alias(
+            "c_name"
+        ),
+    )
+    reps10 = spark.range(10).select(F.col("id").alias("__rep"))
+    right = supp.crossJoin(F.broadcast(reps10)).select(
+        "s_suppkey",
+        F.concat_ws(" ", "s_name", F.col("__rep").cast("string")).alias(
+            "s_name"
+        ),
+    )
+    out = fuzzy_match_dfs(
+        left, right, [FuzzyMapping("c_name", "s_name", threshold_score=75.0)]
+    )
+    return _round6(out, "c_name_vs_s_name_levenshtein")
+
+
 @register("fuzzy_join_ann", None)  # ANN is lossy by design -> rows-only check
 def fuzzy_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forced LSH-approximate candidate path (reference
