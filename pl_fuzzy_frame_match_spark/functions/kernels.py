@@ -48,14 +48,33 @@ def _pandas_distance_udf(metric: str):
     return dist
 
 
-def distance_column(metric: str, left: Column, right: Column) -> Column:
+def distance_column(
+    metric: str,
+    left: Column,
+    right: Column,
+    dist_bound: float | None = None,
+) -> Column:
     """Normalized distance in [0,1] between two *already lowercased*
-    string columns."""
+    string columns.
+
+    ``dist_bound``: when the caller will discard every pair whose
+    normalized distance exceeds this value (the threshold filter,
+    reference process.py:54), levenshtein switches to Spark's banded
+    ``levenshtein(l, r, threshold)`` with the per-pair cap
+    ``floor(bound * maxlen)`` — O(maxlen * cap) with early exit
+    instead of O(len_l * len_r). A pair past the cap yields -1, which
+    is mapped to 2.0 so the caller's ``d <= bound`` filter rejects it;
+    surviving pairs get the exact distance, so scores are unchanged.
+    """
     if metric == "levenshtein":
-        return (
-            F.levenshtein(left, right)
-            / F.greatest(F.length(left), F.length(right), F.lit(1))
-        ).cast("double")
+        maxlen = F.greatest(F.length(left), F.length(right), F.lit(1))
+        if dist_bound is not None and 0.0 < dist_bound < 1.0:
+            cap = F.floor(F.lit(float(dist_bound)) * maxlen).cast("int")
+            d = F.call_function("levenshtein", left, right, cap)
+            return F.when(d < 0, F.lit(2.0)).otherwise(
+                d / maxlen
+            ).cast("double")
+        return (F.levenshtein(left, right) / maxlen).cast("double")
     if metric not in NORMALIZED_DISTANCE:
         raise ValueError(f"unknown fuzzy metric: {metric!r}")
     return _pandas_distance_udf(metric)(left, right)

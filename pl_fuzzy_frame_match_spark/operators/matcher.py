@@ -114,7 +114,9 @@ def score_and_explode(
     (__left_index, __right_index, <score col>)."""
     a = F.lower(F.col(mapping.left_col))
     b = F.lower(F.col(mapping.right_col))
-    d = distance_column(mapping.fuzzy_type, a, b)
+    d = distance_column(
+        mapping.fuzzy_type, a, b, mapping.reversed_threshold_score
+    )
     return (
         candidates.withColumn(_DIST, d)
         .filter(F.col(_DIST) <= F.lit(mapping.reversed_threshold_score))
@@ -197,7 +199,11 @@ def first_round_matches(
         b = F.lower(F.col(mapping.right_col))
         scored = (
             slim.withColumn(
-                _DIST, distance_column(mapping.fuzzy_type, a, b)
+                _DIST,
+                distance_column(
+                    mapping.fuzzy_type, a, b,
+                    mapping.reversed_threshold_score,
+                ),
             )
             .filter(F.col(_DIST) <= F.lit(mapping.reversed_threshold_score))
             .withColumn(_SCORE, F.lit(1.0) - F.col(_DIST))
@@ -276,7 +282,10 @@ def refine_matches(
     b = F.lower(F.col(mapping.right_col))
     scored = (
         distinct_pairs.withColumn(
-            _DIST, distance_column(mapping.fuzzy_type, a, b)
+            _DIST,
+            distance_column(
+                mapping.fuzzy_type, a, b, mapping.reversed_threshold_score
+            ),
         )
         .filter(F.col(_DIST) <= F.lit(mapping.reversed_threshold_score))
         .withColumn(mapping.output_column_name, F.lit(1.0) - F.col(_DIST))
