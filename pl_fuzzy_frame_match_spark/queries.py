@@ -539,7 +539,51 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_fingerprint_winnow", None)  # rolling-hash kernel -> rows-only
+@register(
+    "doc_fingerprint_winnow",
+    # Full value-level oracle for the winnowing kernel: the rolling
+    # k-gram hash is the first 8 bytes of md5 (engine-portable by
+    # construction), so DuckDB can replay hash -> window-min -> dedup
+    # exactly. k=8, window=4 mirror functions/text.py defaults.
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(length(s) - 8 + 1, 0) + 1)) AS i,
+             length(s) - 8 + 1 AS n,
+             s
+      FROM norm
+      WHERE length(s) >= 8
+    ),
+    hashed AS (
+      SELECT doc_id, i, n,
+             ('0x' || substr(md5(substr(s, CAST(i AS INT), 8)), 1, 16))::UBIGINT AS h
+      FROM grams
+    ),
+    mins AS (
+      SELECT doc_id, i, n,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+      FROM hashed
+    ),
+    long_docs AS (
+      SELECT doc_id, COUNT(DISTINCT mh) AS n_fingerprints
+      FROM mins
+      WHERE i <= greatest(n - 4 + 1, 1)
+      GROUP BY doc_id
+    ),
+    short_docs AS (
+      SELECT doc_id, CASE WHEN length(s) = 0 THEN 0 ELSE 1 END AS n_fingerprints
+      FROM norm WHERE length(s) < 8
+    )
+    SELECT doc_id, CAST(n_fingerprints AS BIGINT) AS n_fingerprints FROM long_docs
+    UNION ALL
+    SELECT doc_id, CAST(n_fingerprints AS BIGINT) AS n_fingerprints FROM short_docs
+    """,
+)
 def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import winnow_fingerprints
 
