@@ -339,14 +339,6 @@ def _sketch_scan_topn(
         m = len(rv)
         if m == 0:
             return
-        kth = min(top_n, m) - 1
-        # key rank doubles as the tie-break (rv is key-sorted); packing
-        # it into the low bits makes argpartition's selection total and
-        # deterministic without any per-row sort
-        ranks = np.arange(m, dtype=np.uint32)
-        # strict < against (max_hamming + 1) << RANK_BITS keeps every
-        # pair with hamming <= max_hamming regardless of its rank bits
-        ham_cap = np.uint32((max_hamming + 1) << _RANK_BITS)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -355,26 +347,36 @@ def _sketch_scan_topn(
             for c0 in range(0, len(lv), probe_chunk):
                 lc = lv[c0 : c0 + probe_chunk]
                 ham = _swar_popcount(lc[:, None] ^ rv[None, :])
-                combined = (
-                    ham.astype(np.uint32) << np.uint32(_RANK_BITS)
-                ) | ranks
-                if kth + 1 < m:
-                    sel = np.argpartition(combined, kth, axis=1)[:, : kth + 1]
-                    sel_comb = np.take_along_axis(combined, sel, axis=1)
-                else:
-                    sel = np.broadcast_to(np.arange(m), (lc.shape[0], m))
-                    sel_comb = combined
-                rows, cols = np.nonzero(sel_comb < ham_cap)
+                # hamming cap first: with a realistic cap (2 sigma below
+                # the random-pair mean) ~97% of the chunk dies here, so
+                # the top-N selection runs on the tiny survivor set
+                # instead of an argpartition over the full chunk matrix
+                # (which dominated the scan at wide right sides)
+                rows, cols = np.nonzero(ham <= max_hamming)
                 if not len(rows):
                     continue
-                kept = sel_comb[rows, cols]
+                h = ham[rows, cols].astype(np.uint32)
+                if np.bincount(rows).max() > top_n:
+                    # column index IS the key rank (rv is key-sorted),
+                    # so (hamming << RANK_BITS | col) is the same total,
+                    # deterministic order the argpartition path used
+                    comb = (h << np.uint32(_RANK_BITS)) | cols.astype(
+                        np.uint32
+                    )
+                    order = np.lexsort((comb, rows))
+                    rows, cols, h = rows[order], cols[order], h[order]
+                    starts = np.flatnonzero(
+                        np.r_[True, rows[1:] != rows[:-1]]
+                    )
+                    sizes = np.diff(np.r_[starts, len(rows)])
+                    pos = np.arange(len(rows)) - np.repeat(starts, sizes)
+                    keep = pos < top_n
+                    rows, cols, h = rows[keep], cols[keep], h[keep]
                 yield pd.DataFrame(
                     {
                         left_col: lk[c0 + rows],
-                        "__rrank": sel[rows, cols].astype(np.int32),
-                        "__ham": (kept >> np.uint32(_RANK_BITS)).astype(
-                            np.int32
-                        ),
+                        "__rrank": cols.astype(np.int32),
+                        "__ham": h.astype(np.int32),
                     }
                 )
 
