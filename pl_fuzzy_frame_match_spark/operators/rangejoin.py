@@ -39,8 +39,11 @@ _BUCKET = "__rj_bucket"
 
 
 def _epoch(col: Column) -> Column:
-    # cast-to-double keeps sub-second precision (unix_timestamp truncates)
-    return col.cast("double")
+    # cast-to-double keeps sub-second precision (unix_timestamp truncates);
+    # the intermediate TIMESTAMP cast accepts TIMESTAMP_NTZ parquet columns
+    # (NTZ -> DOUBLE is not directly castable) and is identity for TIMESTAMP
+    # and for numeric epoch-seconds inputs.
+    return col.cast("timestamp").cast("double")
 
 
 def interval_join(

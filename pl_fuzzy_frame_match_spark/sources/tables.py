@@ -28,19 +28,22 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # the events table stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read nanos as long and truncate to microsecond
-        # timestamps (the DuckDB oracle truncates identically via
-        # epoch_ns(ts) // 1000 so both engines see the same instants)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # the events table historically stored TIMESTAMP(NANOS), which
+        # Spark's parquet reader surfaces as a long when
+        # spark.sql.legacy.parquet.nanosAsLong is set; current test data
+        # stores timestamp[us], which reads natively. Dispatch on the
+        # dtype actually read so both layouts work (the DuckDB oracle
+        # uses epoch_ns(ts), precision-agnostic, so instants agree).
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:

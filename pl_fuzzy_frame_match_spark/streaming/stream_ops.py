@@ -14,6 +14,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _as_instant(df: DataFrame, col: str) -> DataFrame:
+    """Watermarks require an instant (``TIMESTAMP``); parquet event-time
+    columns read as ``TIMESTAMP_NTZ``. Cast NTZ -> TIMESTAMP (identity
+    wall-clock under the engine's UTC session timezone) so the same
+    source feeds both batch and streaming plans."""
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast(T.TimestampType()))
+    return df
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_seconds: int = 300,
@@ -57,6 +67,7 @@ def stream_windowed_counts(
         .option("maxFilesPerTrigger", 1)
         .load(events_path)
     )
+    stream = _as_instant(stream, "ts")
     win = F.window(F.col("ts"), f"{window_seconds} seconds")
     return (
         stream.withWatermark("ts", watermark)
@@ -92,6 +103,7 @@ def stream_sessionize(
         .option("maxFilesPerTrigger", 1)
         .load(events_path)
     )
+    stream = _as_instant(stream, "ts")
     sw = F.session_window(F.col("ts"), f"{gap_seconds} seconds")
     return (
         stream.withWatermark("ts", watermark)
@@ -130,6 +142,7 @@ def stream_exact_dedup(
 
     stream = stream.withColumn("fingerprint", md5_fingerprint(F.col(text_col)))
     if watermark_col is not None:
+        stream = _as_instant(stream, watermark_col)
         return stream.withWatermark(
             watermark_col, watermark
         ).dropDuplicatesWithinWatermark(["fingerprint"])
