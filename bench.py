@@ -66,33 +66,40 @@ def main() -> None:
             names.append(extra)
 
     timings = {}
+    errors = {}
     for name in names:
         # time plan construction + materialization: fuzzy_match_dfs runs
         # eager planner actions (counts, approx-distinct, checkpoints)
         # during construction, which belong to the query's wall clock.
         # Best of two runs: steady-state throughput is the quantity of
         # interest and single samples on a shared host swing ~2x.
+        # Per-query isolation: one failing query must never erase the
+        # other timings — record its error and keep going.
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            df = registry[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
+            try:
+                df = registry[name](spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # noqa: BLE001 - report, don't abort
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                break
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        if best is not None:
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
     spark.stop()
 
 

@@ -31,19 +31,38 @@ from .py_kernels import NORMALIZED_DISTANCE
 JVM_METRICS = ("levenshtein",)
 
 
+def _batch_distance(metric: str, a: pd.Series, b: pd.Series) -> pd.Series:
+    """Normalized distance over one Arrow batch. Kernel tiers (pinned to
+    identical semantics, property-tested): compiled C via ctypes when a
+    toolchain exists (~0.3-2 us/pair), numpy batch DP otherwise, per-row
+    Python as the last resort. Nulls never match (reference
+    process.py:94,97); candidate frames are null-filtered upstream, but
+    stay safe here."""
+    import numpy as np
+
+    from .native_kernels import NATIVE_DISTANCE, native_available
+    from .np_kernels import BATCH_DISTANCE
+
+    mask = a.notna() & b.notna()
+    av = a[mask].tolist()
+    bv = b[mask].tolist()
+    if native_available() and metric in NATIVE_DISTANCE:
+        vals = NATIVE_DISTANCE[metric](av, bv)
+    elif metric in BATCH_DISTANCE:
+        vals = BATCH_DISTANCE[metric](av, bv)
+    else:
+        fn = NORMALIZED_DISTANCE[metric]
+        vals = np.array([fn(x, y) for x, y in zip(av, bv)], dtype=np.float64)
+    out = pd.Series(np.nan, index=a.index, dtype="float64")
+    out[mask] = vals
+    return out
+
+
 @lru_cache(maxsize=None)
 def _pandas_distance_udf(metric: str):
-    fn = NORMALIZED_DISTANCE[metric]
-
     @F.pandas_udf(DoubleType())
     def dist(a: pd.Series, b: pd.Series) -> pd.Series:
-        # nulls never match (reference process.py:94,97); candidate
-        # frames are null-filtered upstream, but stay safe here.
-        out = [
-            None if (x is None or y is None) else fn(x, y)
-            for x, y in zip(a, b)
-        ]
-        return pd.Series(out, dtype="float64")
+        return _batch_distance(metric, a, b)
 
     return dist
 
@@ -100,12 +119,16 @@ def register_sql_functions(spark) -> None:
 
     @F.pandas_udf(DoubleType())
     def fuzzy_sim(metric: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
-        out = []
-        for m, x, y in zip(metric, a, b):
-            if x is None or y is None or m not in NORMALIZED_DISTANCE:
-                out.append(None)
-            else:
-                out.append(1.0 - NORMALIZED_DISTANCE[m](x.lower(), y.lower()))
-        return pd.Series(out, dtype="float64")
+        out = pd.Series(float("nan"), index=metric.index, dtype="float64")
+        # metrics are almost always literals -> one batch kernel call
+        # per distinct metric value in the batch
+        for m in metric.dropna().unique():
+            if m not in NORMALIZED_DISTANCE:
+                continue
+            sel = metric == m
+            out[sel] = 1.0 - _batch_distance(
+                m, a[sel].str.lower(), b[sel].str.lower()
+            )
+        return out
 
     spark.udf.register("fuzzy_sim", fuzzy_sim)

@@ -91,3 +91,86 @@ def test_spark_distance_column_matches_python(spark, metric):
     fn = k.NORMALIZED_DISTANCE[metric]
     for r in rows:
         assert r["d"] == pytest.approx(fn(r["a"].lower(), r["b"].lower()), abs=1e-12)
+
+
+def _typo_pairs(n=800, seed=13):
+    rng = random.Random(seed)
+    alphabet = "abcdefghijklmnop qrstuvwxyzéü-"
+
+    def rnd():
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 28))
+        )
+
+    def typo(s):
+        if not s:
+            return s
+        i = rng.randrange(len(s))
+        op = rng.randrange(4)
+        if op == 0:
+            return s[:i] + rng.choice(alphabet) + s[i:]
+        if op == 1:
+            return s[:i] + s[i + 1:]
+        if op == 2:
+            return s[:i] + rng.choice(alphabet) + s[i + 1:]
+        return s[:i] + s[i:i + 2][::-1] + s[i + 2:]
+
+    a = [rnd() for _ in range(n)]
+    b = [typo(x) if rng.random() < 0.7 else rnd() for x in a]
+    a += ["", "", "x", "apple inc.", "abc", "ca", "kitten"]
+    b += ["", "y", "", "apple incorporated", "abc", "abc", "sitting"]
+    return a, b
+
+
+def test_numpy_batch_kernels_match_per_row():
+    """The numpy batch tier (np_kernels) must agree exactly with the
+    per-row reference implementations (py_kernels) on randomized typo
+    data plus edge cases."""
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.functions import np_kernels as nk
+
+    a, b = _typo_pairs()
+    for metric, batch_fn in nk.BATCH_DISTANCE.items():
+        got = batch_fn(a, b)
+        exp = np.array(
+            [k.NORMALIZED_DISTANCE[metric](x, y) for x, y in zip(a, b)]
+        )
+        bad = np.where(~np.isclose(got, exp, atol=1e-12))[0]
+        assert len(bad) == 0, (metric, [(a[i], b[i], got[i], exp[i]) for i in bad[:3]])
+
+
+def test_native_kernels_match_per_row():
+    """The compiled-C tier (native_kernels) must agree exactly with the
+    per-row reference implementations; skipped when no toolchain."""
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.functions import native_kernels as natk
+
+    if not natk.native_available():
+        pytest.skip("no C toolchain in this environment")
+    a, b = _typo_pairs(seed=29)
+    for metric, nat_fn in natk.NATIVE_DISTANCE.items():
+        got = nat_fn(a, b)
+        exp = np.array(
+            [k.NORMALIZED_DISTANCE[metric](x, y) for x, y in zip(a, b)]
+        )
+        bad = np.where(~np.isclose(got, exp, atol=1e-12))[0]
+        assert len(bad) == 0, (metric, [(a[i], b[i], got[i], exp[i]) for i in bad[:3]])
+
+
+def test_batch_distance_handles_nulls():
+    """The UDF-level dispatcher must keep nulls null through the fast
+    tiers (nulls never match — reference process.py:94,97)."""
+    import pandas as pd
+
+    from pl_fuzzy_frame_match_spark.functions.kernels import _batch_distance
+
+    a = pd.Series(["abc", None, "xy", None])
+    b = pd.Series(["abd", "q", None, None])
+    for metric in METRICS:
+        if metric == "levenshtein":
+            continue  # JVM path, never reaches the UDF
+        out = _batch_distance(metric, a, b)
+        assert out.isna().tolist() == [False, True, True, True], metric
+        assert out[0] == pytest.approx(k.NORMALIZED_DISTANCE[metric]("abc", "abd"))
