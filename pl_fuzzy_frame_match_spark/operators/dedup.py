@@ -84,6 +84,87 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n: int = 2,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard >= threshold pairs (i < j) without a
+    quadratic stage — the scale-safe replacement for
+    :func:`ngram_jaccard_pairs` with identical results.
+
+    Prefix filtering (Chaudhuri et al.'s SSJoin / AllPairs): order every
+    doc's shingles by global document frequency ascending (rarest
+    first); for Jaccard >= t a pair must share >= ceil(t*|A|) shingles,
+    so the first ``|A| - ceil(t*|A|) + 1`` shingles of each side must
+    intersect. Candidate generation is therefore an equi-join on
+    *prefix* shingles only — and because prefixes hold the RAREST
+    shingles, join groups per key are small (frequent stopword bigrams
+    never become join keys), which kills both the cartesian blowup and
+    the skew problem in one move. Survivors are verified with the exact
+    Jaccard on the full shingle arrays.
+
+    Plan shape: explode -> df-count -> window rank per doc ->
+    equi-join on shingle -> distinct -> verify join. All shuffles are
+    hash-partitioned equi-joins/aggregations on linear row counts.
+    """
+    from pyspark.sql import Window
+
+    shingled = (
+        df.select(
+            F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh")
+        )
+        .filter(F.size("__sh") > 0)
+        .persist()
+    )
+    tok = shingled.select(
+        F.col(id_col), F.size("__sh").alias("__n"), F.explode("__sh").alias("__tok")
+    )
+    dfreq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("__tok").asc())
+    prefix_len = F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1
+    prefix = (
+        tok.join(dfreq, on="__tok", how="inner")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select(id_col, "__tok")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("left_id"),
+            F.col(f"b.{id_col}").alias("right_id"),
+        )
+        .distinct()
+    )
+    lsh = shingled.select(
+        F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh")
+    )
+    rsh = shingled.select(
+        F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh")
+    )
+    return (
+        cand.join(lsh, on="left_id", how="inner")
+        .join(rsh, on="right_id", how="inner")
+        .select(
+            "left_id",
+            "right_id",
+            jaccard_similarity(F.col("__lsh"), F.col("__rsh")).alias(
+                "jaccard_sim"
+            ),
+        )
+        .filter(F.col("jaccard_sim") >= F.lit(threshold))
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str,

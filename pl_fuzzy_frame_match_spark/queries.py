@@ -328,10 +328,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.dedup import prefix_filter_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2, n=2)
+    out = prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.2, n=2
+    )
     return _round6(out, "jaccard_sim")
 
 
@@ -837,7 +839,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus stats. Every stage is the registered operator, not a copy;
     the oracle replays the whole chain in SQL."""
     from .functions.text import quality_score
-    from .operators.dedup import exact_dedup_groups, ngram_jaccard_pairs
+    from .operators.dedup import exact_dedup_groups, prefix_filter_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     scored = docs.withColumn("quality", quality_score(F.col("text")))
@@ -846,7 +848,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = exact_dedup_groups(good, "text", "doc_id").select("doc_id")
     uniq = good.join(survivors, on="doc_id", how="left_semi")
 
-    near = ngram_jaccard_pairs(uniq, "text", "doc_id", threshold=0.6, n=2)
+    near = prefix_filter_jaccard_pairs(uniq, "text", "doc_id", threshold=0.6, n=2)
     drop = near.select(F.col("right_id").alias("doc_id")).distinct()
     clean = uniq.join(drop, on="doc_id", how="left_anti")
 

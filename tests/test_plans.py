@@ -98,3 +98,50 @@ def test_exact_candidates_broadcast_small_side(spark):
     # the pair frame (the only Exchange is the parallelism repartition)
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_prefix_filter_jaccard_matches_quadratic_and_avoids_bnlj(spark):
+    """prefix_filter_jaccard_pairs must produce EXACTLY the pairs of the
+    quadratic theta-join formulation (prefix filtering is lossless) with
+    no nested-loop/cartesian stage in the plan."""
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "pack my box with five dozen liquor mugs today",
+        "completely unrelated text about spark plans",
+        "the quick brown fox jumps over the lazy dog",  # exact dup
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)], ["doc_id", "text"]
+    )
+    for th in (0.3, 0.6, 0.9):
+        fast = prefix_filter_jaccard_pairs(docs, "text", "doc_id", th)
+        slow = ngram_jaccard_pairs(docs, "text", "doc_id", th)
+        got = sorted(
+            (r["left_id"], r["right_id"], round(r["jaccard_sim"], 9))
+            for r in fast.collect()
+        )
+        exp = sorted(
+            (r["left_id"], r["right_id"], round(r["jaccard_sim"], 9))
+            for r in slow.collect()
+        )
+        assert got == exp, th
+    plan = _plan(prefix_filter_jaccard_pairs(docs, "text", "doc_id", 0.6))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_pipeline_corpus_clean_has_no_quadratic_stage(spark):
+    """The flagship corpus-clean pipeline must not contain a
+    BroadcastNestedLoopJoin / cartesian anywhere (VERDICT r1 wrong #3)."""
+    from pl_fuzzy_frame_match_spark import queries as q
+
+    df = q.queries()["pipeline_corpus_clean"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
