@@ -59,12 +59,62 @@ def normalized_matrix(
     against everything, consistently dropped by > 0 thresholds).
 
     The collect bounds this helper to corpora that fit one executor
-    (~10^7 x 64-dim float64 = ~5 GB). Past that the same kernel applies
-    per corpus *block*: partition the corpus, broadcast one block at a
-    time, union the per-block results (callers keep that loop)."""
+    (~10^7 x 64-dim float64 = ~5 GB). Past that, use the distributed
+    block path (:func:`pack_vector_blocks` + the blocked kernels in
+    operators/similarity.py and operators/dedup.py) — no driver
+    collect, no broadcast bound."""
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     return ids, mat / norms
+
+
+def pack_vector_blocks(
+    df: DataFrame, vec_col: str, id_col: str, n_blocks: int
+) -> DataFrame:
+    """Pack a vector table into ``n_blocks`` single-row blocks
+    ``(bid, ids array<long>, vecs array<array<double>>)`` — the unit of
+    the distributed block-GEMM kernels. Block assignment hashes the id
+    (stable, skew-free); one shuffle on the block id. Size blocks so a
+    packed row stays well under Arrow record-batch limits (~10^5 rows
+    x 64 dims x 8 B = 50 MB is comfortable)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("bid", IntegerType()),
+            StructField("ids", ArrayType(LongType())),
+            StructField("vecs", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bid": [key[0]],
+                "ids": [pdf["__pid"].tolist()],
+                "vecs": [pdf["__pv"].tolist()],
+            }
+        )
+
+    return (
+        df.select(
+            F.col(id_col).alias("__pid"),
+            _as_double(F.col(vec_col)).alias("__pv"),
+            F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_blocks))
+            .cast("int")
+            .alias("__bid"),
+        )
+        .groupBy("__bid")
+        .applyInPandas(pack, schema)
+    )

@@ -37,8 +37,6 @@ Two physical strategies, mirroring the reference's adaptive choice
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -129,37 +127,12 @@ def approx_candidate_pairs(
             n_left_keys, n_right_keys, max_hamming,
         ).drop("__ham")
     elif pair_volume <= SKETCH_SCAN_CAP:
-        # right side exceeds one broadcast: block-nested sketch scan.
-        # Hash-split the right keys into broadcastable blocks, scan each
-        # (per-block top-N), then merge: every global top-N candidate is
-        # a fortiori in its own block's top-N, so a final per-key window
-        # over B*top_n rows reconstructs the exact unblocked result
-        # (ties resolved identically by the (hamming, right key) order).
+        # right side exceeds one broadcast: distributed block-nested
+        # sketch scan — one Spark job, no per-block driver collects.
         n_blocks = -(-n_right_keys // int(BROADCAST_KEY_LIMIT * 0.8))
-        per_block = [
-            _sketch_scan_topn(
-                left_keys,
-                right_keys.filter(
-                    F.pmod(F.xxhash64(F.col(right_col)), F.lit(n_blocks))
-                    == F.lit(b)
-                ),
-                left_col,
-                right_col,
-                top_n,
-                n_left_keys,
-                n_right_keys // n_blocks + 1,
-                max_hamming,
-            )
-            for b in range(n_blocks)
-        ]
-        unioned = reduce(DataFrame.unionByName, per_block)
-        win = Window.partitionBy(left_col).orderBy(
-            F.col("__ham").asc(), F.col(right_col).asc()
-        )
-        topn = (
-            unioned.withColumn("__rank", F.row_number().over(win))
-            .filter(F.col("__rank") <= top_n)
-            .select(left_col, right_col)
+        topn = _sketch_scan_topn_blocked(
+            left_keys, right_keys, left_col, right_col, top_n,
+            n_left_keys, n_right_keys, max_hamming, n_blocks,
         )
     else:
         topn = _banded_topn(
@@ -387,6 +360,179 @@ def _sketch_scan_topn(
     )
     return pairs.join(F.broadcast(rank_df), on="__rrank", how="inner").drop(
         "__rrank"
+    )
+
+
+def _sketch_scan_topn_blocked(
+    left_keys: DataFrame,
+    right_keys: DataFrame,
+    left_col: str,
+    right_col: str,
+    top_n: int,
+    n_left_keys: int,
+    n_right_keys: int,
+    max_hamming: int,
+    n_blocks: int,
+    probe_chunk: int = 256,
+) -> DataFrame:
+    """Sketch scan for right sides past one broadcast, fully
+    distributed (no driver data path at all):
+
+    1. right ``(key, SimHash)`` sketches are computed executor-side
+       (``mapInPandas``) and packed into ``n_blocks`` single-row
+       blocks, keys sorted within each block for deterministic ties
+       (one shuffle on the block id);
+    2. left probes pack themselves one row per Arrow batch — a
+       map-only transform, no shuffle;
+    3. the L x B packed pairs cross-join (block-level, constant rows
+       per task) and each pair runs the same XOR + SWAR-popcount +
+       in-kernel per-probe top-N kernel the broadcast path uses;
+    4. a final per-left-key window merges the per-block top-Ns —
+       every global top-N candidate is a fortiori in its own block's
+       top-N, and the (hamming, right key) order resolves ties
+       exactly like the unblocked scan, so results are identical
+       (equivalence-tested).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.minhash import simhash_sketch_np
+
+    n_parts = _compute_parallelism(
+        left_keys, max(n_left_keys, 1) * max(n_right_keys, 1)
+    )
+
+    sk_schema = StructType(
+        [
+            StructField(right_col, StringType()),
+            StructField("__sk", LongType()),
+        ]
+    )
+
+    def mk_sketch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[right_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    right_col: keys,
+                    "__sk": simhash_sketch_np(keys).view(np.int64),
+                }
+            )
+
+    rsk = (
+        right_keys.filter(F.length(right_col) > 0)
+        .select(right_col)
+        .mapInPandas(mk_sketch, sk_schema)
+    )
+
+    pack_schema = StructType(
+        [
+            StructField("__rkeys", ArrayType(StringType())),
+            StructField("__rsks", ArrayType(LongType())),
+        ]
+    )
+
+    def pack_right(key, pdf):
+        order = np.argsort(pdf[right_col].to_numpy())
+        return pd.DataFrame(
+            {
+                "__rkeys": [pdf[right_col].to_numpy()[order].tolist()],
+                "__rsks": [pdf["__sk"].to_numpy()[order].tolist()],
+            }
+        )
+
+    packed_r = (
+        rsk.withColumn(
+            "__bid", F.pmod(F.xxhash64(F.col(right_col)), F.lit(n_blocks))
+        )
+        .groupBy("__bid")
+        .applyInPandas(pack_right, pack_schema)
+    )
+
+    lpack_schema = StructType(
+        [StructField("__lkeys", ArrayType(StringType()))]
+    )
+
+    def pack_left(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {"__lkeys": [pdf[left_col].tolist()]}
+                )
+
+    packed_l = (
+        left_keys.filter(F.length(left_col) > 0)
+        .repartition(n_parts)
+        .select(left_col)
+        .mapInPandas(pack_left, lpack_schema)
+    )
+
+    out_schema = StructType(
+        [
+            StructField(left_col, StringType()),
+            StructField(right_col, StringType()),
+            StructField("__ham", IntegerType()),
+        ]
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                lk = np.asarray(row["__lkeys"])
+                rk = np.asarray(row["__rkeys"])
+                rv = np.asarray(row["__rsks"], dtype=np.int64).view(
+                    np.uint64
+                )
+                m = len(rk)
+                if m == 0 or len(lk) == 0:
+                    continue
+                lv = simhash_sketch_np(lk)
+                for c0 in range(0, len(lv), probe_chunk):
+                    lc = lv[c0 : c0 + probe_chunk]
+                    ham = _swar_popcount(lc[:, None] ^ rv[None, :])
+                    rows, cols = np.nonzero(ham <= max_hamming)
+                    if not len(rows):
+                        continue
+                    h = ham[rows, cols].astype(np.uint32)
+                    if np.bincount(rows).max() > top_n:
+                        comb = (h << np.uint32(_RANK_BITS)) | cols.astype(
+                            np.uint32
+                        )
+                        order = np.lexsort((comb, rows))
+                        rows, cols, h = rows[order], cols[order], h[order]
+                        starts = np.flatnonzero(
+                            np.r_[True, rows[1:] != rows[:-1]]
+                        )
+                        sizes = np.diff(np.r_[starts, len(rows)])
+                        pos = np.arange(len(rows)) - np.repeat(starts, sizes)
+                        keep = pos < top_n
+                        rows, cols, h = rows[keep], cols[keep], h[keep]
+                    yield pd.DataFrame(
+                        {
+                            left_col: lk[c0 + rows],
+                            right_col: rk[cols],
+                            "__ham": h.astype(np.int32),
+                        }
+                    )
+
+    cand = packed_l.crossJoin(packed_r).mapInPandas(scan, out_schema)
+    win = Window.partitionBy(left_col).orderBy(
+        F.col("__ham").asc(), F.col(right_col).asc()
+    )
+    return (
+        cand.withColumn("__rank", F.row_number().over(win))
+        .filter(F.col("__rank") <= top_n)
+        .select(left_col, right_col)
     )
 
 

@@ -291,14 +291,21 @@ def embedding_dedup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
+    n_blocks: int = 1,
 ) -> DataFrame:
     """Near-dup pairs (left_id < right_id) by embedding cosine
     similarity >= threshold — exact all-pairs via the BLAS block kernel:
     the corpus is broadcast as a row-normalized numpy matrix and each
     Arrow batch of rows scores against it with one GEMM, emitting only
     surviving pairs. No quadratic row-level join ever materializes.
-    At corpus sizes past broadcast limits, run the same kernel per
-    corpus block and union (see functions/vectors.normalized_matrix)."""
+    ``n_blocks>1`` switches to :func:`blocked_embedding_dedup_pairs`,
+    the fully distributed block-GEMM path (identical results, no
+    driver collect / broadcast bound) for corpora past one executor's
+    memory."""
+    if n_blocks > 1:
+        return blocked_embedding_dedup_pairs(
+            df, vec_col, id_col, threshold, n_blocks
+        )
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -347,3 +354,90 @@ def embedding_dedup_pairs(
         .repartition(n_parts)
         .mapInPandas(scan, schema)
     )
+
+
+def blocked_embedding_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Distributed exact all-pairs cosine >= threshold (left < right):
+    the corpus packs into ``n_blocks`` single-row matrix blocks, the
+    upper-triangle block pairs (bid_a <= bid_b) cross-join —
+    n(n+1)/2 rows, each one GEMM — and each pair emits surviving
+    (min_id, max_id) rows. Identical results to
+    :func:`embedding_dedup_pairs` (equivalence-tested); no driver
+    collect, no broadcast, shuffle ~ n_blocks copies of the packed
+    corpus."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.vectors import pack_vector_blocks
+
+    packed = pack_vector_blocks(df, vec_col, id_col, n_blocks)
+    a = packed.select(
+        F.col("bid").alias("__abid"),
+        F.col("ids").alias("__aids"),
+        F.col("vecs").alias("__avecs"),
+    )
+    b = packed.select(
+        F.col("bid").alias("__bbid"),
+        F.col("ids").alias("__bids"),
+        F.col("vecs").alias("__bvecs"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("__abid") <= F.col("__bbid"))
+    schema = StructType(
+        [
+            StructField("left_id", LongType()),
+            StructField("right_id", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                aids = np.asarray(row["__aids"], dtype=np.int64)
+                bids = np.asarray(row["__bids"], dtype=np.int64)
+                am = np.array(list(row["__avecs"]), dtype=np.float64)
+                bm = np.array(list(row["__bvecs"]), dtype=np.float64)
+                for m in (am, bm):
+                    n = np.linalg.norm(m, axis=1, keepdims=True)
+                    n[n == 0.0] = 1.0
+                    m /= n
+                sims = am @ bm.T
+                # each unordered pair exactly once: the diagonal block
+                # holds both orientations, so keep strict id order; a
+                # cross block pair holds disjoint id sets, so order by
+                # id after the fact.
+                keep = (sims >= threshold) & (aids[:, None] < bids[None, :])
+                rows_i, cols_j = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "left_id": aids[rows_i],
+                        "right_id": bids[cols_j],
+                        "cosine_sim": sims[rows_i, cols_j],
+                    }
+                )
+                if int(row["__abid"]) != int(row["__bbid"]):
+                    keep = (sims >= threshold) & (
+                        aids[:, None] > bids[None, :]
+                    )
+                    rows_i, cols_j = np.nonzero(keep)
+                    yield pd.DataFrame(
+                        {
+                            "left_id": bids[cols_j],
+                            "right_id": aids[rows_i],
+                            "cosine_sim": sims[rows_i, cols_j],
+                        }
+                    )
+
+    return pairs.mapInPandas(scan, schema)

@@ -674,3 +674,135 @@ def test_interval_join_semantics(spark):
         end_inclusive=True,
     )
     assert incl.count() == 1
+
+
+def test_blocked_topk_matches_single_block(spark):
+    """The distributed block-GEMM path must produce results identical to
+    the broadcast brute-force path when forced to >1 block on both
+    sides (VERDICT r1 next-round #5)."""
+    import numpy as np
+    from pl_fuzzy_frame_match_spark.operators.similarity import (
+        blocked_topk,
+        brute_force_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(12)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = emb.filter(F.col("vec_id") < 30)
+
+    def key(rs):
+        return sorted(
+            (
+                r["query_id"],
+                r["rank"],
+                r["neighbor_id"],
+                round(r["cosine_sim"], 9),
+            )
+            for r in rs
+        )
+
+    single = key(
+        brute_force_topk(probes, emb, "embedding", "vec_id", k=4).collect()
+    )
+    blocked = key(
+        blocked_topk(
+            probes, emb, "embedding", "vec_id", k=4,
+            corpus_blocks=5, probe_blocks=3,
+        ).collect()
+    )
+    assert blocked == single
+    # and through the public dispatch
+    dispatched = key(
+        brute_force_topk(
+            probes, emb, "embedding", "vec_id", k=4, corpus_blocks=5
+        ).collect()
+    )
+    assert dispatched == single
+
+
+def test_blocked_embedding_dedup_matches_single_block(spark):
+    """blocked_embedding_dedup_pairs (upper-triangle block pairs, no
+    driver collect) must equal the broadcast all-pairs scan exactly."""
+    import numpy as np
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        blocked_embedding_dedup_pairs,
+        embedding_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 10))
+    rows = []
+    for i in range(90):
+        v = base[i % 30] + 0.02 * rng.standard_normal(10)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def key(rs):
+        return sorted(
+            (r["left_id"], r["right_id"], round(r["cosine_sim"], 9))
+            for r in rs
+        )
+
+    single = key(
+        embedding_dedup_pairs(emb, "embedding", "vec_id", 0.9).collect()
+    )
+    assert single  # fixture must actually produce near-dups
+    blocked = key(
+        blocked_embedding_dedup_pairs(
+            emb, "embedding", "vec_id", 0.9, n_blocks=4
+        ).collect()
+    )
+    assert blocked == single
+    dispatched = key(
+        embedding_dedup_pairs(
+            emb, "embedding", "vec_id", 0.9, n_blocks=4
+        ).collect()
+    )
+    assert dispatched == single
+
+
+def test_blocked_sketch_scan_matches_unblocked(spark):
+    """The distributed block-nested sketch scan must reproduce the
+    broadcast sketch scan's candidate set exactly (same top-N, same
+    (hamming, key) tie order) when forced to multiple blocks."""
+    from pl_fuzzy_frame_match_spark.operators.candidates import (
+        _sketch_scan_topn,
+        _sketch_scan_topn_blocked,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    names = [
+        "acme corp", "acme corporation", "globex inc", "globex llc",
+        "initech", "initech inc", "umbrella co", "umbrella company",
+        "stark industries", "wayne enterprises",
+    ]
+
+    def typo(s):
+        i = rng.randrange(len(s))
+        return s[:i] + rng.choice("abcdefghij") + s[i + 1:]
+
+    lrows = [(typo(rng.choice(names)),) for _ in range(300)]
+    rrows = [(n,) for n in names] + [(typo(rng.choice(names)),) for _ in range(90)]
+    left = spark.createDataFrame(lrows, ["lk"]).distinct()
+    right = spark.createDataFrame(rrows, ["rk"]).distinct()
+    nl, nr = left.count(), right.count()
+
+    base = sorted(
+        (r["lk"], r["rk"])
+        for r in _sketch_scan_topn(
+            left, right, "lk", "rk", 5, nl, nr, 30
+        ).select("lk", "rk").collect()
+    )
+    assert base
+    blocked = sorted(
+        (r["lk"], r["rk"])
+        for r in _sketch_scan_topn_blocked(
+            left, right, "lk", "rk", 5, nl, nr, 30, n_blocks=4
+        ).collect()
+    )
+    assert blocked == base
