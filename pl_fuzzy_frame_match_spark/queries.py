@@ -267,7 +267,6 @@ _KERNEL_ORACLES = {
     "hamming": (
         "1.0 - hamming(substr(lower(n_name), 1, 4), substr(lower(r_name), 1, 4)) / 4.0"
     ),
-    "indel": None,  # no DuckDB equivalent -> rows-only check
 }
 
 for _metric, _expr in _KERNEL_ORACLES.items():
@@ -281,6 +280,80 @@ for _metric, _expr in _KERNEL_ORACLES.items():
         else None
     )
     register(f"kernel_{_metric}", _sql)(_kernel_query(_metric))
+
+
+# indel has no DuckDB built-in; the oracle replays the exact LCS DP in
+# SQL — a recursive CTE carries the DP row as a list, and the
+# cur[j-1] dependency collapses to a prefix max (LCS rows are
+# non-decreasing), so every kernel value is independently re-derived
+register(
+    "kernel_indel",
+    """
+    WITH RECURSIVE prep AS (
+      SELECT n_nationkey, n_name, r_regionkey, r_name,
+             lower(n_name) AS a, lower(r_name) AS b,
+             length(n_name) AS la, length(r_name) AS lb
+      FROM nation CROSS JOIN region
+    ),
+    dp AS (
+      SELECT n_nationkey, r_regionkey, 0 AS i,
+             list_transform(range(0, lb + 1), x -> 0) AS row,
+             a, b, la, lb
+      FROM prep
+      UNION ALL
+      SELECT n_nationkey, r_regionkey, i + 1,
+        [0] || list_transform(range(1, lb + 1), j ->
+          list_max(list_transform(range(1, j + 1), jj ->
+            greatest(row[jj + 1],
+                     row[jj] + CASE WHEN a[i + 1] = b[jj] THEN 1 ELSE 0 END)))),
+        a, b, la, lb
+      FROM dp WHERE i < la
+    ),
+    lcs AS (
+      SELECT n_nationkey, r_regionkey, row[lb + 1] AS l, la, lb
+      FROM dp WHERE i = la
+    )
+    SELECT p.n_nationkey, p.n_name, p.r_regionkey, p.r_name,
+           round(1.0 - CASE WHEN c.la + c.lb = 0 THEN 0.0
+                       ELSE (c.la + c.lb - 2.0 * c.l) / (c.la + c.lb) END,
+                 6) AS sim_indel
+    FROM lcs c JOIN prep p USING (n_nationkey, r_regionkey)
+    """,
+)(_kernel_query("indel"))
+
+
+@register(
+    "kernel_hamming_full",
+    """
+    SELECT n_nationkey, n_name, r_regionkey, r_name,
+           round(1.0 - hamming(
+                   rpad(lower(n_name),
+                        CAST(greatest(length(n_name), length(r_name)) AS INTEGER), chr(1)),
+                   rpad(lower(r_name),
+                        CAST(greatest(length(n_name), length(r_name)) AS INTEGER), chr(2)))
+                 / greatest(length(n_name), length(r_name)), 6)
+               AS sim_hamming_full
+    FROM nation CROSS JOIN region
+    """,
+)
+def kernel_hamming_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-string hamming (implicit-padding semantics: positionwise
+    mismatches + length difference over max length). The oracle
+    equalizes lengths for DuckDB's strict ``hamming`` by right-padding
+    the two sides with DIFFERENT never-matching fill chars, which
+    reproduces the length-difference penalty exactly."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cross = nation.select("n_nationkey", "n_name").crossJoin(
+        region.select("r_regionkey", "r_name")
+    )
+    sim = F.lit(1.0) - distance_column(
+        "hamming", F.lower(F.col("n_name")), F.lower(F.col("r_name"))
+    )
+    return cross.select(
+        "n_nationkey", "n_name", "r_regionkey", "r_name",
+        F.round(sim, 6).alias("sim_hamming_full"),
+    )
 
 
 # ---------------------------------------------------------------------------
