@@ -41,14 +41,18 @@ def char_shingles(col: Column, n: int = 3) -> Column:
 
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """``array<long>`` of ``num_hashes`` MinHash slots. Null/empty
-    shingle sets produce null slots — callers must filter empties."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+    shingle sets produce null slots — callers must filter empties.
+
+    Built as ONE nested-lambda expression (outer transform over the
+    hash index, inner over the shingles) rather than ``num_hashes``
+    sibling python-lambda transforms in a projection: PySpark names
+    every sibling lambda's variable identically, and the analyzer
+    collapses them into one expression — every slot silently becomes
+    slot 0, which degrades banding to single-hash LSH (recall ~= s
+    instead of 1-(1-s^r)^b). Caught by the ANN recall gate."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
     )
 
 

@@ -141,3 +141,89 @@ def test_threshold_reversal_semantics(th):
     # distance bound in [0, 1]
     assert rev == pytest.approx((100 - int(th)) / 100)
     assert 0.0 <= rev <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# ANN recall gate (VERDICT r1 next-round #6): the lossy candidate paths
+# (SimHash sketch scan; MinHash banding) must keep >= 0.9 recall of the
+# exact path's result pairs on typo-style data. A silent recall collapse
+# (e.g. a mis-tuned DEFAULT_MAX_HAMMING or band geometry) fails here,
+# not in production. Measured values recorded in PLANS.md.
+# ---------------------------------------------------------------------------
+
+
+def _typo_name_frames(spark, n_base=120, n_typos=3, seed=17):
+    import random
+
+    rng = random.Random(seed)
+    first = ["acme", "globex", "initech", "umbrella", "stark", "wayne",
+             "hooli", "vandelay", "wonka", "cyberdyne", "tyrell", "soylent"]
+    last = ["corp", "inc", "llc", "industries", "holdings", "group",
+            "partners", "ltd", "systems", "labs"]
+    base = []
+    while len(base) < n_base:
+        nm = f"{rng.choice(first)} {rng.choice(last)} {rng.randrange(1000)}"
+        base.append(nm)
+    base = sorted(set(base))
+
+    def typo(s):
+        i = rng.randrange(len(s))
+        op = rng.randrange(4)
+        if op == 0:
+            return s[:i] + rng.choice("abcdefgh") + s[i:]
+        if op == 1 and len(s) > 1:
+            return s[:i] + s[i + 1:]
+        if op == 2:
+            return s[:i] + rng.choice("abcdefgh") + s[i + 1:]
+        return s[:i] + s[i:i + 2][::-1] + s[i + 2:]
+
+    left_rows = []
+    for j, nm in enumerate(base):
+        for t in range(n_typos):
+            left_rows.append((j * 10 + t, typo(nm)))
+    right_rows = [(j, nm) for j, nm in enumerate(base)]
+    left = spark.createDataFrame(left_rows, ["lid", "lname"])
+    right = spark.createDataFrame(right_rows, ["rid", "rname"])
+    return left, right
+
+
+def _match_pairs(df):
+    return {(r["lid"], r["rid"]) for r in df.select("lid", "rid").collect()}
+
+
+def test_ann_sketch_scan_recall_vs_exact(spark):
+    from pl_fuzzy_frame_match_spark.models import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.operators.matcher import fuzzy_match_dfs
+
+    left, right = _typo_name_frames(spark)
+    maps = [FuzzyMapping("lname", "rname", threshold_score=75.0)]
+    exact = _match_pairs(
+        fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=False)
+    )
+    assert len(exact) > 100  # the generator must produce real matches
+    ann = _match_pairs(
+        fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=True)
+    )
+    assert ann <= exact  # ANN is a subset of the exact result (lossy only)
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.9, f"sketch-scan recall {recall:.3f} < 0.9"
+
+
+def test_ann_banded_recall_vs_exact(spark, monkeypatch):
+    from pl_fuzzy_frame_match_spark.models import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.operators import candidates
+    from pl_fuzzy_frame_match_spark.operators.matcher import fuzzy_match_dfs
+
+    left, right = _typo_name_frames(spark)
+    maps = [FuzzyMapping("lname", "rname", threshold_score=75.0)]
+    exact = _match_pairs(
+        fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=False)
+    )
+    # force the MinHash-banding fallback (normally only past 1e11 pairs)
+    monkeypatch.setattr(candidates, "SKETCH_SCAN_CAP", 0.0)
+    banded = _match_pairs(
+        fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=True)
+    )
+    assert banded <= exact
+    recall = len(banded & exact) / len(exact)
+    assert recall >= 0.9, f"banded recall {recall:.3f} < 0.9"
