@@ -49,10 +49,17 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     every sibling lambda's variable identically, and the analyzer
     collapses them into one expression — every slot silently becomes
     slot 0, which degrades banding to single-hash LSH (recall ~= s
-    instead of 1-(1-s^r)^b). Caught by the ANN recall gate."""
+    instead of 1-(1-s^r)^b). Caught by the ANN recall gate.
+
+    Each shingle STRING is hashed exactly once; the ``num_hashes``
+    slot families then re-hash the resulting 64-bit long (long-input
+    xxhash64 is a handful of multiplies vs a full pass over the string
+    bytes), so signature cost is O(|shingles| + |shingles|*k cheap
+    mixes), not k full string hashes."""
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
+        lambda i: F.array_min(F.transform(base, lambda h: F.xxhash64(h, i))),
     )
 
 
@@ -164,14 +171,45 @@ def banded_buckets(
 ):
     """Slim banded frame ``(*key_cols, sig_col, band, band_key)`` —
     one row per (input row, band). The signature rides along so bucket
-    joins can score candidates without a join back to the source."""
-    sig = minhash_signature(shingles, num_hashes)
+    joins can score candidates without a join back to the source.
+
+    Physical shape: explode the shingles, hash each shingle string
+    ONCE, derive the ``num_hashes`` slot values as plain (codegen'd)
+    column expressions over that long, and min-aggregate back per key.
+    This keeps the whole signature inside whole-stage codegen — the
+    nested higher-order-function formulation
+    (:func:`minhash_signature`) evaluates interpreted in Catalyst and
+    ran ~100x slower at corpus scale. Costs one extra shuffle (the
+    groupBy on the key), which the banding join needed anyway."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    slot_names = [f"__m{i}" for i in range(num_hashes)]
+    exploded = df.select(*key_cols, F.explode(shingles).alias("__s")).select(
+        *key_cols, F.xxhash64(F.col("__s")).alias("__h")
+    )
+    slots = exploded.groupBy(*key_cols).agg(
+        *[
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(n)
+            for i, n in enumerate(slot_names)
+        ]
+    )
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    *[F.col(n) for n in slot_names[j * r : (j + 1) * r]]
+                ).alias("band_key"),
+            )
+            for j in range(bands)
+        ]
+    )
     return (
-        df.select(*key_cols, sig.alias(sig_col))
-        .select(
+        slots.select(
             *key_cols,
-            sig_col,
-            F.explode(band_structs(F.col(sig_col), num_hashes, bands)).alias("__b"),
+            F.array(*[F.col(n) for n in slot_names]).alias(sig_col),
+            F.explode(bands_arr).alias("__b"),
         )
         .select(*key_cols, sig_col, "__b.band", "__b.band_key")
     )

@@ -29,6 +29,59 @@ from ..functions.text import (
     word_shingles,
 )
 
+# broadcast the per-doc shingle frame into the verification join while
+# it fits an executor (~1M docs x ~50 8-byte hashed shingles = ~400 MB
+# upper bound; typical corpora are far under). Past that the join
+# shuffles on the candidate ids — still linear.
+BROADCAST_DOC_LIMIT = 1_000_000
+
+
+def _hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, sorted array<long> of hashed word-n-gram shingles). Exact
+    Jaccard over the hashed sets equals Jaccard over the string sets
+    (64-bit collisions are ~2^-64 per vocabulary pair — negligible),
+    and long-array intersection beats string-array intersection by the
+    string-compare cost."""
+    return df.select(
+        F.col(id_col),
+        F.array_sort(
+            F.transform(
+                word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+            )
+        ).alias("__shh"),
+    ).filter(F.size("__shh") > 0)
+
+
+def _verify_exact_jaccard(
+    cand: DataFrame,
+    hashed: DataFrame,
+    id_col: str,
+    n_docs: int,
+    sim_col: str,
+) -> DataFrame:
+    """Attach hashed shingle sets to candidate (left_id, right_id) rows
+    and compute exact Jaccard similarity as ``sim_col``. Broadcasts the
+    doc frame when it fits (the candidate side is the big one)."""
+    lsh = hashed.select(
+        F.col(id_col).alias("left_id"), F.col("__shh").alias("__lsh")
+    )
+    rsh = hashed.select(
+        F.col(id_col).alias("right_id"), F.col("__shh").alias("__rsh")
+    )
+    if 0 < n_docs <= BROADCAST_DOC_LIMIT:
+        lsh, rsh = F.broadcast(lsh), F.broadcast(rsh)
+    inter = F.size(F.array_intersect(F.col("__lsh"), F.col("__rsh")))
+    union = F.size("__lsh") + F.size("__rsh") - inter
+    return (
+        cand.join(lsh, on="left_id", how="inner")
+        .join(rsh, on="right_id", how="inner")
+        .select(
+            "left_id",
+            "right_id",
+            (inter.cast("double") / union).alias(sim_col),
+        )
+    )
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One row per distinct content fingerprint: representative id
@@ -112,15 +165,12 @@ def prefix_filter_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    shingled = (
-        df.select(
-            F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh")
-        )
-        .filter(F.size("__sh") > 0)
-        .persist()
-    )
-    tok = shingled.select(
-        F.col(id_col), F.size("__sh").alias("__n"), F.explode("__sh").alias("__tok")
+    hashed = _hashed_shingles(df, text_col, id_col, n).persist()
+    n_docs = hashed.count()
+    tok = hashed.select(
+        F.col(id_col),
+        F.size("__shh").alias("__n"),
+        F.explode("__shh").alias("__tok"),
     )
     dfreq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("__tok").asc())
@@ -145,24 +195,9 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    lsh = shingled.select(
-        F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh")
-    )
-    rsh = shingled.select(
-        F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh")
-    )
-    return (
-        cand.join(lsh, on="left_id", how="inner")
-        .join(rsh, on="right_id", how="inner")
-        .select(
-            "left_id",
-            "right_id",
-            jaccard_similarity(F.col("__lsh"), F.col("__rsh")).alias(
-                "jaccard_sim"
-            ),
-        )
-        .filter(F.col("jaccard_sim") >= F.lit(threshold))
-    )
+    return _verify_exact_jaccard(
+        cand, hashed, id_col, n_docs, "jaccard_sim"
+    ).filter(F.col("jaccard_sim") >= F.lit(threshold))
 
 
 def minhash_dedup_pairs(
@@ -190,6 +225,13 @@ def minhash_dedup_pairs(
         .filter(F.size("__sh") > 0)
         .persist()
     )
+    hashed = shingled.select(
+        F.col(id_col),
+        F.array_sort(
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
+        ).alias("__shh"),
+    ).persist()
+    n_docs = hashed.count()
     banded = banded_buckets(
         shingled, [id_col], F.col("__sh"), num_hashes, bands
     ).select(id_col, "band", "band_key")
@@ -208,25 +250,12 @@ def minhash_dedup_pairs(
         )
         .distinct()
     )
-    lsh = shingled.select(
-        F.col(id_col).alias("left_id"), F.col("__sh").alias("__lsh")
-    )
-    rsh = shingled.select(
-        F.col(id_col).alias("right_id"), F.col("__sh").alias("__rsh")
-    )
-    return (
-        cand.join(lsh, on="left_id", how="inner")
-        .join(rsh, on="right_id", how="inner")
-        .select(
-            "left_id",
-            "right_id",
-            (
-                F.lit(1.0)
-                - jaccard_similarity(F.col("__lsh"), F.col("__rsh"))
-            ).alias("jaccard_dist"),
-        )
-        .filter(F.col("jaccard_dist") <= F.lit(jaccard_distance))
-    )
+    out = _verify_exact_jaccard(cand, hashed, id_col, n_docs, "__sim")
+    return out.select(
+        "left_id",
+        "right_id",
+        (F.lit(1.0) - F.col("__sim")).alias("jaccard_dist"),
+    ).filter(F.col("jaccard_dist") <= F.lit(jaccard_distance))
 
 
 def simhash_dedup_pairs(
