@@ -172,6 +172,39 @@ static int64_t lcs_one(const uint32_t *s1, int64_t l1,
     return prev[l2];
 }
 
+/* ---------- banded levenshtein ---------- */
+
+static int64_t lev_banded(const uint32_t *s1, int64_t l1,
+                          const uint32_t *s2, int64_t l2,
+                          int64_t cap, int64_t *prev, int64_t *cur) {
+    /* normalized-threshold pruning: returns the exact distance when
+       <= cap, else -1. Two-row DP with an early exit when a whole row
+       exceeds the cap. */
+    if (l1 > l2) {
+        const uint32_t *ts = s1; s1 = s2; s2 = ts;
+        int64_t tl = l1; l1 = l2; l2 = tl;
+    }
+    if (l2 - l1 > cap) return -1;
+    if (l1 == 0) return l2 <= cap ? l2 : -1;
+    for (int64_t i = 0; i <= l1; i++) prev[i] = i;
+    for (int64_t j = 1; j <= l2; j++) {
+        uint32_t c2 = s2[j - 1];
+        cur[0] = j;
+        int64_t rowmin = j;
+        for (int64_t i = 1; i <= l1; i++) {
+            int64_t cost = s1[i - 1] == c2 ? 0 : 1;
+            int64_t v = prev[i - 1] + cost;
+            if (prev[i] + 1 < v) v = prev[i] + 1;
+            if (cur[i - 1] + 1 < v) v = cur[i - 1] + 1;
+            cur[i] = v;
+            if (v < rowmin) rowmin = v;
+        }
+        if (rowmin > cap) return -1;
+        int64_t *t = prev; prev = cur; cur = t;
+    }
+    return prev[l1] <= cap ? prev[l1] : -1;
+}
+
 /* ---------- batch drivers ----------
    inputs: flat utf-32 codepoint buffers + (n+1) offset arrays.
    out: normalized DISTANCE in [0,1] (engine flips to similarity). */
@@ -246,6 +279,32 @@ int batch_indel(const uint32_t *fa, const int64_t *oa,
     return 0;
 }
 
+int batch_levenshtein(const uint32_t *fa, const int64_t *oa,
+                      const uint32_t *fb, const int64_t *ob,
+                      int64_t n, double bound, double *out) {
+    /* normalized distance with per-pair cap floor(bound * maxlen);
+       pairs past the cap emit 2.0 (reject sentinel — matches the
+       JVM banded-levenshtein mapping in functions/kernels.py). */
+    int64_t m1 = max_len(oa, n), m2 = max_len(ob, n);
+    int64_t w = (m1 > m2 ? m1 : m2) + 1;
+    int64_t *prev = malloc((size_t)w * sizeof(int64_t));
+    int64_t *cur = malloc((size_t)w * sizeof(int64_t));
+    if (!prev || !cur) { free(prev); free(cur); return -1; }
+    for (int64_t i = 0; i < n; i++) {
+        const uint32_t *s1 = fa + oa[i];
+        const uint32_t *s2 = fb + ob[i];
+        int64_t l1 = oa[i + 1] - oa[i], l2 = ob[i + 1] - ob[i];
+        int64_t ml = l1 > l2 ? l1 : l2;
+        if (!ml) { out[i] = 0.0; continue; }
+        int64_t cap = (int64_t)(bound * (double)ml);
+        if (cap >= ml) cap = ml;
+        int64_t d = lev_banded(s1, l1, s2, l2, cap, prev, cur);
+        out[i] = d < 0 ? 2.0 : (double)d / (double)ml;
+    }
+    free(prev); free(cur);
+    return 0;
+}
+
 int batch_hamming(const uint32_t *fa, const int64_t *oa,
                   const uint32_t *fb, const int64_t *ob,
                   int64_t n, double *out) {
@@ -293,10 +352,14 @@ def _compile() -> Optional[ctypes.CDLL]:
     lib.batch_jaro.argtypes = [
         u32p, i64p, u32p, i64p, ctypes.c_int64, ctypes.c_int, f64p
     ]
+    lib.batch_levenshtein.argtypes = [
+        u32p, i64p, u32p, i64p, ctypes.c_int64, ctypes.c_double, f64p
+    ]
     for fn in (lib.batch_damerau, lib.batch_indel, lib.batch_hamming):
         fn.argtypes = [u32p, i64p, u32p, i64p, ctypes.c_int64, f64p]
     for fn in (
-        lib.batch_jaro, lib.batch_damerau, lib.batch_indel, lib.batch_hamming
+        lib.batch_jaro, lib.batch_damerau, lib.batch_indel,
+        lib.batch_hamming, lib.batch_levenshtein,
     ):
         fn.restype = ctypes.c_int
     return lib
@@ -367,3 +430,20 @@ NATIVE_DISTANCE = {
     "indel": lambda a, b: _run("batch_indel", a, b),
     "hamming": lambda a, b: _run("batch_hamming", a, b),
 }
+
+
+def batch_levenshtein_bounded(a, b, bound: float) -> "np.ndarray":
+    """Normalized levenshtein distance with per-pair banded cap
+    ``floor(bound * maxlen)``; pairs past the cap return 2.0 (reject
+    sentinel, same mapping as the JVM banded path in kernels.py)."""
+    return _run("batch_levenshtein", a, b, ctypes.c_double(float(bound)))
+
+
+def native_bounded_distance(metric: str, a, b, bound: float) -> "np.ndarray":
+    """Normalized distance for any metric with a caller-side bound:
+    levenshtein uses the banded C kernel (early exit past the cap,
+    rejects as 2.0 > bound); other metrics compute exactly — the
+    caller's ``<= bound`` filter applies either way."""
+    if metric == "levenshtein":
+        return batch_levenshtein_bounded(a, b, bound)
+    return NATIVE_DISTANCE[metric](a, b)

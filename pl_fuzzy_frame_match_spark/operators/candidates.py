@@ -142,6 +142,62 @@ def approx_candidate_pairs(
     return topn
 
 
+def approx_scored_pairs(
+    left_keys: DataFrame,
+    right_keys: DataFrame,
+    left_col: str,
+    right_col: str,
+    metric: str,
+    dist_bound: float,
+    top_n: int = DEFAULT_TOP_N,
+    n_left_keys: int = 0,
+    n_right_keys: int = 0,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    jaccard_distance: float = DEFAULT_JACCARD_DISTANCE,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+    dist_col: str = "__dist",
+) -> DataFrame:
+    """Approximate candidates SCORED and THRESHOLDED:
+    ``(left_col, right_col, dist_col)`` with ``dist_col <= dist_bound``.
+
+    On the sketch-scan path with the native kernels available, scoring
+    fuses into the scan kernel (the reference's ``join_sim`` shape —
+    scored matches out, never raw candidates), so only survivors cross
+    the Arrow boundary. Otherwise candidates come from
+    :func:`approx_candidate_pairs` and scoring runs as the usual
+    Spark-side column (codegen'd banded levenshtein / pandas-UDF
+    kernels). Both shapes produce identical rows (top-N by hamming,
+    then exact-metric threshold) — equivalence-tested."""
+    from ..functions.kernels import distance_column
+    from ..functions.native_kernels import native_available
+
+    pair_volume = max(n_left_keys, 1) * max(n_right_keys, 1)
+    if (
+        pair_volume <= SKETCH_SCAN_CAP
+        and n_right_keys <= BROADCAST_KEY_LIMIT
+        and native_available()
+    ):
+        return _sketch_scan_topn(
+            left_keys, right_keys, left_col, right_col, top_n,
+            n_left_keys, n_right_keys, max_hamming,
+            rescore_metric=metric, rescore_bound=dist_bound,
+            dist_col=dist_col,
+        )
+    pairs = approx_candidate_pairs(
+        left_keys, right_keys, left_col, right_col, top_n,
+        n_left_keys, n_right_keys, max_hamming,
+        jaccard_distance, num_hashes, bands,
+    )
+    d = distance_column(
+        metric, F.lower(F.col(left_col)), F.lower(F.col(right_col)),
+        dist_bound,
+    )
+    return pairs.withColumn(dist_col, d).filter(
+        F.col(dist_col) <= F.lit(dist_bound)
+    )
+
+
 def attach_index_lists(
     pairs: DataFrame,
     left_keys: DataFrame,
@@ -236,6 +292,9 @@ def _sketch_scan_topn(
     n_right_keys: int,
     max_hamming: int,
     probe_chunk: int = 256,
+    rescore_metric: str | None = None,
+    rescore_bound: float | None = None,
+    dist_col: str = "__dist",
 ) -> DataFrame:
     """Brute sketch scan as a vectorized kernel: the right side's
     ``(key, 64-bit SimHash)`` pairs are broadcast as numpy arrays
@@ -250,10 +309,20 @@ def _sketch_scan_topn(
     handles the per-PAIR O(n*m) stage, and only surviving pairs leave
     Python — as ``(left key, right RANK)`` rows, so the Arrow transfer
     moves a 4-byte int instead of the right key string; the rank joins
-    back to the key via the broadcast rank table."""
+    back to the key via the broadcast rank table.
+
+    With ``rescore_metric``/``rescore_bound`` set, the exact metric
+    distance is computed IN the kernel (native C batch kernels on the
+    lowercased pair) and only threshold survivors are emitted — the
+    fused shape of the reference's ``join_sim`` (scored matches out,
+    never raw candidates). At a saturated candidate budget this
+    collapses the Arrow exit volume by orders of magnitude (e.g. 126M
+    candidates -> 7.7K survivors on the 4B-pair bench shape). Output is
+    then ``(left_col, right_col, dist_col)``."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
+        DoubleType,
         IntegerType,
         StringType,
         StructField,
@@ -261,6 +330,10 @@ def _sketch_scan_topn(
     )
 
     from ..functions.minhash import simhash_sketch_np
+
+    rescoring = rescore_metric is not None and rescore_bound is not None
+    if rescoring:
+        from ..functions.native_kernels import native_bounded_distance
 
     spark = left_keys.sparkSession
     n_parts = _compute_parallelism(
@@ -282,13 +355,18 @@ def _sketch_scan_topn(
     if not rkeys:
         # all right keys empty/filtered (O7 catches empty FRAMES, not
         # frames whose every key is the empty string): empty candidates
+        tail = (
+            StructField(dist_col, DoubleType())
+            if rescoring
+            else StructField("__ham", IntegerType())
+        )
         return spark.createDataFrame(
             [],
             StructType(
                 [
                     StructField(left_col, StringType()),
                     StructField(right_col, StringType()),
-                    StructField("__ham", IntegerType()),
+                    tail,
                 ]
             ),
         )
@@ -298,17 +376,21 @@ def _sketch_scan_topn(
             " SKETCH_SCAN_CAP gating or use the banded path"
         )
     rsk = simhash_sketch_np(rkeys)
-    bc = spark.sparkContext.broadcast(rsk)
-    schema = StructType(
-        [
-            StructField(left_col, StringType()),
-            StructField("__rrank", IntegerType()),
-            StructField("__ham", IntegerType()),
-        ]
+    bc = spark.sparkContext.broadcast(
+        (rsk, [k.lower() for k in rkeys] if rescoring else None)
     )
+    fields = [
+        StructField(left_col, StringType()),
+        StructField("__rrank", IntegerType()),
+    ]
+    if rescoring:
+        fields.append(StructField(dist_col, DoubleType()))
+    else:
+        fields.append(StructField("__ham", IntegerType()))
+    schema = StructType(fields)
 
     def scan(batches):
-        rv = bc.value
+        rv, rlow = bc.value
         m = len(rv)
         if m == 0:
             return
@@ -317,6 +399,7 @@ def _sketch_scan_topn(
                 continue
             lk = pdf[left_col].to_numpy()
             lv = simhash_sketch_np(lk)
+            llow = [k.lower() for k in lk] if rescoring else None
             for c0 in range(0, len(lv), probe_chunk):
                 lc = lv[c0 : c0 + probe_chunk]
                 ham = _swar_popcount(lc[:, None] ^ rv[None, :])
@@ -345,13 +428,31 @@ def _sketch_scan_topn(
                     pos = np.arange(len(rows)) - np.repeat(starts, sizes)
                     keep = pos < top_n
                     rows, cols, h = rows[keep], cols[keep], h[keep]
-                yield pd.DataFrame(
-                    {
-                        left_col: lk[c0 + rows],
-                        "__rrank": cols.astype(np.int32),
-                        "__ham": h.astype(np.int32),
-                    }
-                )
+                if rescoring:
+                    d = native_bounded_distance(
+                        rescore_metric,
+                        [llow[c0 + i] for i in rows],
+                        [rlow[j] for j in cols],
+                        rescore_bound,
+                    )
+                    keep = d <= rescore_bound
+                    if not keep.any():
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            left_col: lk[c0 + rows[keep]],
+                            "__rrank": cols[keep].astype(np.int32),
+                            dist_col: d[keep],
+                        }
+                    )
+                else:
+                    yield pd.DataFrame(
+                        {
+                            left_col: lk[c0 + rows],
+                            "__rrank": cols.astype(np.int32),
+                            "__ham": h.astype(np.int32),
+                        }
+                    )
 
     pairs = ls.mapInPandas(scan, schema)
     # rank -> right key via the (tiny, broadcast) rank table

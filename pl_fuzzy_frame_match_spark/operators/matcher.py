@@ -58,7 +58,7 @@ from ..plans.planner import (
 )
 from .candidates import (
     DEFAULT_TOP_N,
-    approx_candidate_pairs,
+    approx_scored_pairs,
     attach_index_lists,
     exact_candidates,
 )
@@ -178,36 +178,30 @@ def first_round_matches(
         n_left_keys, n_right_keys, use_appr_nearest_neighbor, cross_over
     )
     if strategy.use_approx:
-        # larger key set on the probe side (reference matcher.py:16-49)
+        # Scored+thresholded pairs straight from the candidate layer
+        # (fused in-kernel rescoring on the sketch-scan path — only
+        # survivors cross Arrow); larger key set on the probe side
+        # (reference matcher.py:16-49). Index lists re-attach only for
+        # survivors: when the candidate budget saturates (dense
+        # neighborhoods), most candidates fail the threshold and must
+        # not pay the index joins. Pairs are distinct by construction,
+        # so exploded index pairs are unique — same as the exact path,
+        # no dedup shuffle.
         if n_left_keys >= n_right_keys:
-            slim = approx_candidate_pairs(
+            scored = approx_scored_pairs(
                 left_keys, right_keys, mapping.left_col, mapping.right_col,
-                top_n=top_n, n_left_keys=n_left_keys, n_right_keys=n_right_keys,
+                mapping.fuzzy_type, mapping.reversed_threshold_score,
+                top_n=top_n, n_left_keys=n_left_keys,
+                n_right_keys=n_right_keys, dist_col=_DIST,
             )
         else:
-            slim = approx_candidate_pairs(
+            scored = approx_scored_pairs(
                 right_keys, left_keys, mapping.right_col, mapping.left_col,
-                top_n=top_n, n_left_keys=n_right_keys, n_right_keys=n_left_keys,
+                mapping.fuzzy_type, mapping.reversed_threshold_score,
+                top_n=top_n, n_left_keys=n_right_keys,
+                n_right_keys=n_left_keys, dist_col=_DIST,
             )
-        # Score the SLIM value pairs first and re-attach index lists
-        # only for threshold survivors — when the candidate budget
-        # saturates (dense neighborhoods), most candidates fail the
-        # threshold and must not pay the index joins. Pairs are
-        # distinct by construction, so exploded index pairs are
-        # unique — same as the exact path, no dedup shuffle.
-        a = F.lower(F.col(mapping.left_col))
-        b = F.lower(F.col(mapping.right_col))
-        scored = (
-            slim.withColumn(
-                _DIST,
-                distance_column(
-                    mapping.fuzzy_type, a, b,
-                    mapping.reversed_threshold_score,
-                ),
-            )
-            .filter(F.col(_DIST) <= F.lit(mapping.reversed_threshold_score))
-            .withColumn(_SCORE, F.lit(1.0) - F.col(_DIST))
-        )
+        scored = scored.withColumn(_SCORE, F.lit(1.0) - F.col(_DIST))
         survivors = attach_index_lists(
             scored, left_keys, right_keys, mapping.left_col, mapping.right_col,
             n_left_keys, n_right_keys,

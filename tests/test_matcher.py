@@ -298,3 +298,48 @@ def test_sql_registered_fuzzy_sim(spark):
     # null-safe and unknown-metric-safe
     one = spark.sql("SELECT fuzzy_sim('nope', 'a', 'b') AS x").first()
     assert one["x"] is None
+
+
+def test_fused_rescoring_matches_jvm_scoring(spark, monkeypatch):
+    """The in-kernel fused rescoring (native C levenshtein inside the
+    sketch scan) must produce exactly the rows + scores of the unfused
+    shape (candidates out, JVM banded levenshtein, filter)."""
+    from pl_fuzzy_frame_match_spark.functions import native_kernels as natk
+    from pl_fuzzy_frame_match_spark.models import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.operators.matcher import fuzzy_match_dfs
+
+    if not natk.native_available():
+        pytest.skip("no C toolchain")
+    import random
+
+    rng = random.Random(23)
+    names = [f"Customer#{i:09d} {j}" for i in range(60) for j in range(3)]
+
+    def typo(s):
+        i = rng.randrange(len(s))
+        return s[:i] + rng.choice("0123456789") + s[i + 1:]
+
+    left = spark.createDataFrame(
+        [(i, typo(n)) for i, n in enumerate(names)], ["lid", "lname"]
+    )
+    right = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names[:90])], ["rid", "rname"]
+    )
+    maps = [FuzzyMapping("lname", "rname", threshold_score=80.0)]
+
+    def rows(df):
+        return sorted(
+            (r["lid"], r["rid"], round(r["lname_vs_rname_levenshtein"], 9))
+            for r in df.collect()
+        )
+
+    fused = rows(
+        fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=True)
+    )
+    assert fused  # fixture must match something
+    # disable the native tier -> unfused JVM-scored shape
+    monkeypatch.setattr(natk, "native_available", lambda: False)
+    unfused = rows(
+        fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=True)
+    )
+    assert fused == unfused
