@@ -489,6 +489,23 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_distributed", None)  # approximate -> rows-only
+def ann_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogroup-based IVF with no driver-resident corpus (centroids
+    from a bounded sample; assignment + scoring all executor-side) —
+    the 100 TB formulation of ann_ivf."""
+    from .operators.similarity import ivf_topk_distributed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    out = ivf_topk_distributed(
+        probes, emb, "embedding", "vec_id", k=5, n_clusters=16, n_probe=4
+    )
+    return _round6(out, "cosine_sim").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 @register("ann_lsh", None)  # approximate (recall < 1) -> rows-only
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_topk

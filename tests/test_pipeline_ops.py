@@ -806,3 +806,40 @@ def test_blocked_sketch_scan_matches_unblocked(spark):
         ).collect()
     )
     assert blocked == base
+
+
+def test_ivf_distributed_recall_and_determinism(spark):
+    """The cogroup-based distributed IVF must reach the same recall bar
+    as the driver-side IVF (>= 0.6 vs brute force on clustered data)
+    and be deterministic for a fixed seed."""
+    import numpy as np
+    from pl_fuzzy_frame_match_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_distributed,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i in range(200):
+        v = base[i % 40] + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(probes, emb, "embedding", "vec_id", k=3).collect()
+    }
+    run1 = ivf_topk_distributed(
+        probes, emb, "embedding", "vec_id", k=3, n_clusters=8, n_probe=3
+    ).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in run1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"distributed IVF recall too low: {recall}"
+    run2 = ivf_topk_distributed(
+        probes, emb, "embedding", "vec_id", k=3, n_clusters=8, n_probe=3
+    ).collect()
+    key = lambda rs: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in rs
+    )
+    assert key(run1) == key(run2)
