@@ -305,6 +305,126 @@ int batch_levenshtein(const uint32_t *fa, const int64_t *oa,
     return 0;
 }
 
+/* ---------- fused SimHash sketch scan + top-N + rescore ----------
+   For each left sketch: XOR+popcount against every right sketch
+   (right side is nr*8 bytes — cache-resident for any broadcastable
+   side), keep hamming <= max_ham candidates, select the top_n
+   smallest by (hamming << 21 | j) (j ascending = key-rank order,
+   matching the numpy path bit for bit), rescore each survivor with
+   banded levenshtein on the lowercased strings, emit pairs with
+   normalized distance <= bound. Returns the number of emitted pairs,
+   or -1 on allocation failure / output overflow (caller re-chunks). */
+
+typedef struct { uint32_t key; int64_t j; } scan_cand;
+
+static int cand_cmp(const void *a, const void *b) {
+    uint32_t x = ((const scan_cand *)a)->key;
+    uint32_t y = ((const scan_cand *)b)->key;
+    return x < y ? -1 : (x > y ? 1 : 0);
+}
+
+/* metric ids: 0 levenshtein (banded), 1 jaro, 2 jaro_winkler,
+   3 damerau_levenshtein, 4 indel, 5 hamming */
+int64_t sketch_scan_score(const uint64_t *lsk, int64_t nl,
+                          const uint64_t *rsk, int64_t nr,
+                          int64_t max_ham, int64_t top_n, int metric,
+                          const uint32_t *lflat, const int64_t *loff,
+                          const uint32_t *rflat, const int64_t *roff,
+                          double bound,
+                          int64_t max_out,
+                          int64_t *out_li, int32_t *out_rj, double *out_d) {
+    scan_cand *cand = malloc((size_t)(nr > 0 ? nr : 1) * sizeof(scan_cand));
+    int64_t lmax = max_len(loff, nl), rmax = max_len(roff, nr);
+    int64_t w = (lmax > rmax ? lmax : rmax) + 2;
+    int64_t *prev = malloc((size_t)w * sizeof(int64_t));
+    int64_t *cur = malloc((size_t)w * sizeof(int64_t));
+    uint8_t *f1 = NULL, *f2 = NULL;
+    int64_t *dmat = NULL;
+    da_slot *map = NULL;
+    uint64_t mapmask = 0;
+    int64_t stride = rmax + 2;
+    if (metric == 1 || metric == 2) {
+        f1 = malloc((size_t)(lmax > 0 ? lmax : 1));
+        f2 = malloc((size_t)(rmax > 0 ? rmax : 1));
+        if (!f1 || !f2) goto fail;
+    } else if (metric == 3) {
+        dmat = malloc((size_t)(lmax + 2) * (size_t)stride * sizeof(int64_t));
+        uint64_t cap2 = 8;
+        while (cap2 < (uint64_t)(2 * (lmax + rmax) + 4)) cap2 <<= 1;
+        map = malloc((size_t)cap2 * sizeof(da_slot));
+        mapmask = cap2 - 1;
+        if (!dmat || !map) goto fail;
+    }
+    if (!cand || !prev || !cur) goto fail;
+    int64_t out_n = 0;
+    for (int64_t i = 0; i < nl; i++) {
+        uint64_t s = lsk[i];
+        int64_t nc = 0;
+        for (int64_t j = 0; j < nr; j++) {
+            uint64_t x = s ^ rsk[j];
+            int64_t h = __builtin_popcountll(x);
+            if (h <= max_ham) {
+                cand[nc].key = ((uint32_t)h << 21) | (uint32_t)j;
+                cand[nc].j = j;
+                nc++;
+            }
+        }
+        if (nc > top_n) {
+            qsort(cand, (size_t)nc, sizeof(scan_cand), cand_cmp);
+            nc = top_n;
+        }
+        const uint32_t *s1 = lflat + loff[i];
+        int64_t l1 = loff[i + 1] - loff[i];
+        for (int64_t c = 0; c < nc; c++) {
+            int64_t j = cand[c].j;
+            const uint32_t *s2 = rflat + roff[j];
+            int64_t l2 = roff[j + 1] - roff[j];
+            int64_t ml = l1 > l2 ? l1 : l2;
+            double d;
+            if (!ml) {
+                d = 0.0;
+            } else if (metric == 0) {
+                int64_t capb = (int64_t)(bound * (double)ml);
+                if (capb >= ml) capb = ml;
+                int64_t dist = lev_banded(s1, l1, s2, l2, capb, prev, cur);
+                if (dist < 0) continue;
+                d = (double)dist / (double)ml;
+            } else if (metric == 1) {
+                d = 1.0 - jaro_one(s1, l1, s2, l2, f1, f2);
+            } else if (metric == 2) {
+                d = 1.0 - jw_one(s1, l1, s2, l2, f1, f2);
+            } else if (metric == 3) {
+                d = (double)dl_one(s1, l1, s2, l2, dmat, stride, map, mapmask)
+                    / (double)ml;
+            } else if (metric == 4) {
+                int64_t tot = l1 + l2;
+                d = (double)(tot - 2 * lcs_one(s1, l1, s2, l2, prev, cur))
+                    / (double)tot;
+            } else {
+                int64_t lmin = l1 < l2 ? l1 : l2;
+                int64_t mism = 0;
+                for (int64_t t = 0; t < lmin; t++)
+                    if (s1[t] != s2[t]) mism++;
+                d = (double)(mism + (ml - lmin)) / (double)ml;
+            }
+            if (d <= bound) {
+                if (out_n >= max_out) goto fail;
+                out_li[out_n] = i;
+                out_rj[out_n] = (int32_t)j;
+                out_d[out_n] = d;
+                out_n++;
+            }
+        }
+    }
+    free(cand); free(prev); free(cur);
+    free(f1); free(f2); free(dmat); free(map);
+    return out_n;
+fail:
+    free(cand); free(prev); free(cur);
+    free(f1); free(f2); free(dmat); free(map);
+    return -1;
+}
+
 int batch_hamming(const uint32_t *fa, const int64_t *oa,
                   const uint32_t *fb, const int64_t *ob,
                   int64_t n, double *out) {
@@ -355,6 +475,16 @@ def _compile() -> Optional[ctypes.CDLL]:
     lib.batch_levenshtein.argtypes = [
         u32p, i64p, u32p, i64p, ctypes.c_int64, ctypes.c_double, f64p
     ]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.sketch_scan_score.argtypes = [
+        u64p, ctypes.c_int64, u64p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        u32p, i64p, u32p, i64p,
+        ctypes.c_double, ctypes.c_int64,
+        i64p, i32p, f64p,
+    ]
+    lib.sketch_scan_score.restype = ctypes.c_int64
     for fn in (lib.batch_damerau, lib.batch_indel, lib.batch_hamming):
         fn.argtypes = [u32p, i64p, u32p, i64p, ctypes.c_int64, f64p]
     for fn in (
@@ -437,6 +567,80 @@ def batch_levenshtein_bounded(a, b, bound: float) -> "np.ndarray":
     ``floor(bound * maxlen)``; pairs past the cap return 2.0 (reject
     sentinel, same mapping as the JVM banded path in kernels.py)."""
     return _run("batch_levenshtein", a, b, ctypes.c_double(float(bound)))
+
+
+_METRIC_IDS = {
+    "levenshtein": 0,
+    "jaro": 1,
+    "jaro_winkler": 2,
+    "damerau_levenshtein": 3,
+    "indel": 4,
+    "hamming": 5,
+}
+
+
+def sketch_scan_score(
+    lsk: "np.ndarray",
+    rsk: "np.ndarray",
+    l_strs,
+    r_flat: "np.ndarray",
+    r_off: "np.ndarray",
+    max_hamming: int,
+    top_n: int,
+    metric: str,
+    bound: float,
+):
+    """Fused C sketch scan: XOR+popcount every (left, right) sketch
+    pair, per-left top-N by (hamming, right rank), exact-metric rescore
+    on the lowercased strings, threshold filter — one pass, no numpy
+    temporaries, right side cache-resident. Returns
+    (left_row_idx int64, right_rank int32, distance float64) arrays for
+    the survivors only. ``r_flat``/``r_off`` come from
+    :func:`flatten_strings` so the right side flattens once per task."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native kernels unavailable")
+    nl, nr = len(lsk), len(rsk)
+    out_cap = max(nl * min(top_n, nr), 1)
+    out_li = np.empty(out_cap, dtype=np.int64)
+    out_rj = np.empty(out_cap, dtype=np.int32)
+    out_d = np.empty(out_cap, dtype=np.float64)
+    if nl == 0 or nr == 0:
+        return out_li[:0], out_rj[:0], out_d[:0]
+    lflat, loff = _flatten(l_strs)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    rc = lib.sketch_scan_score(
+        np.ascontiguousarray(lsk, dtype=np.uint64).ctypes.data_as(u64p),
+        ctypes.c_int64(nl),
+        np.ascontiguousarray(rsk, dtype=np.uint64).ctypes.data_as(u64p),
+        ctypes.c_int64(nr),
+        ctypes.c_int64(max_hamming),
+        ctypes.c_int64(top_n),
+        ctypes.c_int(_METRIC_IDS[metric]),
+        lflat.ctypes.data_as(u32p),
+        loff.ctypes.data_as(i64p),
+        r_flat.ctypes.data_as(u32p),
+        r_off.ctypes.data_as(i64p),
+        ctypes.c_double(float(bound)),
+        ctypes.c_int64(out_cap),
+        out_li.ctypes.data_as(i64p),
+        out_rj.ctypes.data_as(i32p),
+        out_d.ctypes.data_as(f64p),
+    )
+    if rc < 0:
+        raise MemoryError("sketch_scan_score failed")
+    n = int(rc)
+    return out_li[:n], out_rj[:n], out_d[:n]
+
+
+def flatten_strings(strings):
+    """Public alias of the UTF-32 flattener for callers that prepare a
+    side once and reuse it across kernel calls."""
+    return _flatten(strings)
 
 
 def native_bounded_distance(metric: str, a, b, bound: float) -> "np.ndarray":

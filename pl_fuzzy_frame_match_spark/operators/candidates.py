@@ -332,8 +332,6 @@ def _sketch_scan_topn(
     from ..functions.minhash import simhash_sketch_np
 
     rescoring = rescore_metric is not None and rescore_bound is not None
-    if rescoring:
-        from ..functions.native_kernels import native_bounded_distance
 
     spark = left_keys.sparkSession
     n_parts = _compute_parallelism(
@@ -394,12 +392,52 @@ def _sketch_scan_topn(
         m = len(rv)
         if m == 0:
             return
+        if rescoring:
+            # fused C path: scan + top-N + rescore + threshold in one
+            # native pass (no 20 MB hamming-matrix temporaries; the
+            # right sketch vector is cache-resident). Chunked so the
+            # survivor buffer stays bounded.
+            from ..functions.native_kernels import (
+                flatten_strings,
+                sketch_scan_score,
+            )
+
+            r_flat, r_off = flatten_strings(rlow)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                lk = pdf[left_col].to_numpy()
+                lv = simhash_sketch_np(lk)
+                llow = [k.lower() for k in lk]
+                step = 4096
+                for c0 in range(0, len(lv), step):
+                    li, rj, d = sketch_scan_score(
+                        lv[c0 : c0 + step],
+                        rv,
+                        llow[c0 : c0 + step],
+                        r_flat,
+                        r_off,
+                        max_hamming,
+                        top_n,
+                        rescore_metric,
+                        rescore_bound,
+                    )
+                    if not len(li):
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            left_col: lk[c0 + li],
+                            "__rrank": rj,
+                            dist_col: d,
+                        }
+                    )
+            return
         for pdf in batches:
             if not len(pdf):
                 continue
             lk = pdf[left_col].to_numpy()
             lv = simhash_sketch_np(lk)
-            llow = [k.lower() for k in lk] if rescoring else None
+            llow = None
             for c0 in range(0, len(lv), probe_chunk):
                 lc = lv[c0 : c0 + probe_chunk]
                 ham = _swar_popcount(lc[:, None] ^ rv[None, :])
@@ -428,31 +466,13 @@ def _sketch_scan_topn(
                     pos = np.arange(len(rows)) - np.repeat(starts, sizes)
                     keep = pos < top_n
                     rows, cols, h = rows[keep], cols[keep], h[keep]
-                if rescoring:
-                    d = native_bounded_distance(
-                        rescore_metric,
-                        [llow[c0 + i] for i in rows],
-                        [rlow[j] for j in cols],
-                        rescore_bound,
-                    )
-                    keep = d <= rescore_bound
-                    if not keep.any():
-                        continue
-                    yield pd.DataFrame(
-                        {
-                            left_col: lk[c0 + rows[keep]],
-                            "__rrank": cols[keep].astype(np.int32),
-                            dist_col: d[keep],
-                        }
-                    )
-                else:
-                    yield pd.DataFrame(
-                        {
-                            left_col: lk[c0 + rows],
-                            "__rrank": cols.astype(np.int32),
-                            "__ham": h.astype(np.int32),
-                        }
-                    )
+                yield pd.DataFrame(
+                    {
+                        left_col: lk[c0 + rows],
+                        "__rrank": cols.astype(np.int32),
+                        "__ham": h.astype(np.int32),
+                    }
+                )
 
     pairs = ls.mapInPandas(scan, schema)
     # rank -> right key via the (tiny, broadcast) rank table
