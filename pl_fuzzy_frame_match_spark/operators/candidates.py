@@ -63,10 +63,12 @@ MINHASH_HASHES = 16
 MINHASH_BANDS = 8
 
 # SimHash-scan prefilter: keep pairs within this hamming distance of
-# the 64-bit shingle sketch. Random unrelated strings land at ~32 +- 4
-# bits, so 24 rejects ~97.5% of noise while a one-typo match (shingle
-# Jaccard ~0.6-0.8) lands well under it.
-DEFAULT_MAX_HAMMING = 24
+# the 64-bit shingle sketch. Measured on the splitmix gram hash:
+# unrelated same-vocabulary strings land at ~27.5 +- 3.4 bits, one-edit
+# typo pairs at p99 ~= 19-23 — 22 keeps ~98-99% of true one-edit
+# matches while rejecting ~95% of noise (the recall gate in
+# tests/test_properties.py re-measures this end to end).
+DEFAULT_MAX_HAMMING = 22
 # Above this candidate-pair volume the brute sketch scan stops being
 # economical and the ANN path falls back to MinHash banding.
 SKETCH_SCAN_CAP = 1e11
