@@ -145,3 +145,40 @@ def test_pipeline_corpus_clean_has_no_quadratic_stage(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count
+    must join with NO shuffle on either side (the write-time bucketing
+    satisfies the distribution requirement)."""
+    from pl_fuzzy_frame_match_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed_table,
+    )
+
+    a = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(3000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed_table(
+        a, "bkt_a", ["k"], 8, sort_cols=["k"], path=str(tmp_path / "a")
+    )
+    write_bucketed_table(
+        b, "bkt_b", ["k"], 8, sort_cols=["k"], path=str(tmp_path / "b")
+    )
+    # disable broadcast so the join must rely on distribution, not size
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bkt_a", "bkt_b", ["k"])
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 3000
+        # the non-bucketed formulation of the same join DOES shuffle
+        naive = a.join(b, on="k")
+        assert "Exchange" in _plan(naive)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
