@@ -300,10 +300,14 @@ def test_sql_registered_fuzzy_sim(spark):
     assert one["x"] is None
 
 
-def test_fused_rescoring_matches_jvm_scoring(spark, monkeypatch):
-    """The in-kernel fused rescoring (native C levenshtein inside the
-    sketch scan) must produce exactly the rows + scores of the unfused
-    shape (candidates out, JVM banded levenshtein, filter)."""
+@pytest.mark.parametrize(
+    "metric", ["levenshtein", "jaro_winkler", "indel", "damerau_levenshtein"]
+)
+def test_fused_rescoring_matches_jvm_scoring(spark, monkeypatch, metric):
+    """The in-kernel fused rescoring (native C metric kernels inside
+    the sketch scan) must produce exactly the rows + scores of the
+    unfused shape (candidates out, Spark-side scoring, filter) for
+    every metric branch of the C scanner."""
     from pl_fuzzy_frame_match_spark.functions import native_kernels as natk
     from pl_fuzzy_frame_match_spark.models import FuzzyMapping
     from pl_fuzzy_frame_match_spark.operators.matcher import fuzzy_match_dfs
@@ -325,11 +329,16 @@ def test_fused_rescoring_matches_jvm_scoring(spark, monkeypatch):
     right = spark.createDataFrame(
         [(i, n) for i, n in enumerate(names[:90])], ["rid", "rname"]
     )
-    maps = [FuzzyMapping("lname", "rname", threshold_score=80.0)]
+    maps = [
+        FuzzyMapping(
+            "lname", "rname", threshold_score=80.0, fuzzy_type=metric
+        )
+    ]
+    score_col = f"lname_vs_rname_{metric}"
 
     def rows(df):
         return sorted(
-            (r["lid"], r["rid"], round(r["lname_vs_rname_levenshtein"], 9))
+            (r["lid"], r["rid"], round(r[score_col], 9))
             for r in df.collect()
         )
 
