@@ -211,6 +211,60 @@ def fuzzy_join_xl_4b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "c_name_vs_s_name_levenshtein")
 
 
+@register(
+    "fuzzy_join_dl",
+    """
+    SELECT c.*, s.*,
+           round(1.0 - damerau_levenshtein(lower(c_name), lower(s_name))
+                 / greatest(length(c_name), length(s_name), 1), 6)
+               AS c_name_vs_s_name_damerau_levenshtein
+    FROM customer c CROSS JOIN supplier s
+    WHERE c_name IS NOT NULL AND s_name IS NOT NULL
+      AND damerau_levenshtein(lower(c_name), lower(s_name))
+          / greatest(length(c_name), length(s_name), 1) <= 0.30
+    """,
+)
+def fuzzy_join_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite fuzzy join under damerau_levenshtein (value-checked
+    end to end — exact candidate path, tiered C/numpy/Python kernel)."""
+    left = load_table(spark, sf_dir, "customer")
+    right = load_table(spark, sf_dir, "supplier")
+    out = fuzzy_match_dfs(
+        left,
+        right,
+        [
+            FuzzyMapping(
+                "c_name", "s_name",
+                fuzzy_type="damerau_levenshtein", threshold_score=70.0,
+            )
+        ],
+    )
+    return _round6(out, "c_name_vs_s_name_damerau_levenshtein")
+
+
+@register(
+    "fuzzy_join_jaro",
+    """
+    SELECT c.*, s.*,
+           round(jaro_similarity(lower(c_name), lower(s_name)), 6)
+               AS c_name_vs_s_name_jaro
+    FROM customer c CROSS JOIN supplier s
+    WHERE c_name IS NOT NULL AND s_name IS NOT NULL
+      AND (1.0 - jaro_similarity(lower(c_name), lower(s_name))) <= 0.19
+    """,
+)
+def fuzzy_join_jaro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite fuzzy join under jaro (value-checked end to end)."""
+    left = load_table(spark, sf_dir, "customer")
+    right = load_table(spark, sf_dir, "supplier")
+    out = fuzzy_match_dfs(
+        left,
+        right,
+        [FuzzyMapping("c_name", "s_name", fuzzy_type="jaro", threshold_score=81.0)],
+    )
+    return _round6(out, "c_name_vs_s_name_jaro")
+
+
 @register("fuzzy_join_ann", None)  # ANN is lossy by design -> rows-only check
 def fuzzy_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forced LSH-approximate candidate path (reference
