@@ -690,17 +690,31 @@ def _banded_topn(
         bands,
         sig_col="__rsig",
     )
+    # A pair colliding in k bands appears k times. Instead of a
+    # groupBy-dedup (a shuffle of every collision row carrying two
+    # signature arrays — the dominant stage at corpus scale), keep a
+    # row only when ITS band is the pair's FIRST agreeing band: for
+    # every earlier band the signature slices must differ. Pure
+    # expression, each pair surfaces exactly once, zero extra shuffle.
+    r = num_hashes // bands
+    first_band = F.lit(True)
+    for j in range(bands - 1):
+        differs = (
+            F.slice(F.col("__lsig"), j * r + 1, r)
+            != F.slice(F.col("__rsig"), j * r + 1, r)
+        )
+        first_band = first_band & F.when(
+            F.col("band") > j, differs
+        ).otherwise(F.lit(True))
     pairs = (
         lb.join(rb, on=["band", "band_key"], how="inner")
-        # a pair colliding in k bands appears k times; collapse before
-        # scoring so the window sees each value pair once
-        .groupBy(left_col, right_col)
-        .agg(F.first("__lsig").alias("__lsig"), F.first("__rsig").alias("__rsig"))
+        .filter(first_band)
         .withColumn(
             "__jaccard_dist",
             F.lit(1.0) - est_jaccard(F.col("__lsig"), F.col("__rsig")),
         )
         .filter(F.col("__jaccard_dist") <= F.lit(jaccard_distance))
+        .select(left_col, right_col, "__jaccard_dist")
     )
     # two-phase top-N: a skewed left key with millions of band
     # candidates would otherwise sort them in ONE window task. Phase 1
