@@ -500,6 +500,88 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "cosine_sim")
 
 
+_CLUSTER_CTES = f"""
+    {_TOKS_CTE},
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(w) - 1, 1) + 1),
+        i -> concat_ws(' ', w[i], w[i + 1]))) s
+      FROM toks
+    ),
+    e AS (
+      SELECT a.doc_id AS lid, b.doc_id AS rid
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+            / len(list_distinct(a.s || b.s)) >= 0.2
+    ),
+    sym AS (SELECT lid u, rid v FROM e
+            UNION SELECT rid, lid FROM e),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    lab AS (SELECT u AS node, least(u, min(v)) AS component
+            FROM reach GROUP BY u)
+"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTES}
+    SELECT component, count(*) AS n_members,
+           CAST(sum(node) AS BIGINT) AS sum_ids
+    FROM lab GROUP BY component
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS (not just pairs): transitive closure of the
+    exact n-gram-Jaccard near-dup relation via distributed min-label
+    propagation (`operators/graph.py`). The oracle replays the closure
+    with a recursive CTE — value-level verification of the component
+    labeling itself."""
+    from .operators.dedup import prefix_filter_jaccard_pairs
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.2, n=2
+    ).select("left_id", "right_id")
+    cc = connected_components(edges)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("node").alias("sum_ids"),
+    )
+
+
+@register(
+    "dedup_corpus_canonical",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    keep AS (SELECT min(node) AS doc_id FROM lab GROUP BY component)
+    SELECT lang, count(*) AS n_docs FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM lab)
+       OR doc_id IN (SELECT doc_id FROM keep)
+    GROUP BY lang
+    """,
+)
+def dedup_corpus_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: pairs -> clusters -> one canonical
+    survivor (min id) per cluster -> surviving corpus, summarized per
+    language. The full chain a training-data pipeline runs."""
+    from .operators.dedup import prefix_filter_jaccard_pairs
+    from .operators.graph import canonical_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.2, n=2
+    ).select("left_id", "right_id")
+    return canonical_corpus(docs, edges, "doc_id").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 @register(
     "ann_topk",
     """
