@@ -225,3 +225,77 @@ def winnow_fingerprints(texts: pd.Series) -> pd.Series:
     return pd.Series(
         [None if t is None else winnow_fingerprints_py(t) for t in texts]
     )
+
+
+def term_frequencies(df, text_col: str, id_col: str):
+    """Exploded ``(id, term, tf)`` rows — the shared substrate for
+    TF-IDF weighting and vocabulary building. One shuffle, keyed on
+    (id, term); token explosion is linear in corpus token count and
+    never materializes per-document state."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    return toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def document_frequencies(tf):
+    """``(term, df)`` document frequencies from a term-frequency frame.
+    Input already holds one row per (doc, term), so a plain count —
+    no count-distinct expansion over raw tokens."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 3):
+    """Top-``k`` most distinctive terms per document by TF-IDF
+    (``tf * ln(N / df)``), ranked on the INTEGER pair
+    ``(tf desc, df asc, term asc)`` — the same ordering wherever
+    tf*idf is monotone, and exactly reproducible across engines
+    (float-ordered ranking would be ULP-sensitive at ties).
+
+    Plan: token explode -> (id, term) agg -> term-df agg -> hash join
+    tf x df -> per-doc window over <= |doc terms| rows. All shuffles
+    linear in corpus token count; the window partitions by document so
+    no global sort ever happens.
+    """
+    n_docs = df.count()
+    from pyspark.sql import Window
+
+    tf = term_frequencies(df, text_col, id_col)
+    dfq = document_frequencies(tf)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    )
+    return (
+        tf.join(dfq, on="term", how="inner")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def vocabulary(df, text_col: str, id_col: str, top: int = 100):
+    """Corpus vocabulary: the ``top`` terms by total occurrence count
+    (ties broken by term) with their document frequencies. The limit
+    runs as a TakeOrderedAndProject — per-partition top-N then a
+    driver merge of ``top`` rows per partition, never a full sort.
+    Document frequency falls out of the (doc, term) aggregate as a
+    plain count — no count-distinct expansion."""
+    tf = term_frequencies(df, text_col, id_col)
+    stats = tf.groupBy("term").agg(
+        F.sum("tf").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return stats.orderBy(
+        F.col("n_occurrences").desc(), F.col("term").asc()
+    ).limit(top)

@@ -825,6 +825,57 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_top",
+    f"""
+    WITH {_TOKS_CTE},
+    t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    s AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             round(tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                              / dfq.df), 6) AS tfidf
+      FROM tf JOIN dfq USING (term)
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tf DESC, df ASC, term ASC) AS rank
+          FROM s)
+    SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 3
+    """,
+)
+def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by TF-IDF, integer-ranked
+    (tf desc, df asc, term asc) so cross-engine float noise cannot
+    reorder ties."""
+    from .functions.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+@register(
+    "vocab_top_terms",
+    f"""
+    WITH {_TOKS_CTE},
+    t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term)
+    SELECT term, CAST(sum(tf) AS BIGINT) AS n_occurrences,
+           count(*) AS n_docs
+    FROM tf GROUP BY term
+    ORDER BY n_occurrences DESC, term ASC LIMIT 100
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 terms by occurrence count with
+    document frequencies (the vocabulary-building pass of a tokenizer
+    training pipeline)."""
+    from .functions.text import vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocabulary(docs, "text", "doc_id", top=100)
+
+
+@register(
     "multimodal_meta",
     """
     SELECT doc_id,
