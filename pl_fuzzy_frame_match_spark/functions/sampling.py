@@ -105,3 +105,70 @@ def train_test_split(
         "train": labeled.filter(F.col("split") == "train").drop("split"),
         "test": labeled.filter(F.col("split") == "test").drop("split"),
     }
+
+
+def rate_predicate(key: Column, rate: float) -> Column:
+    """Boolean: keep ``key`` with probability ``rate``, deterministic
+    by md5 prefix (same quantization/portability contract as
+    :func:`split_column`)."""
+    hi = min(int(round(rate * 16**_HEX_CHARS)), 16**_HEX_CHARS)
+    if hi >= 16**_HEX_CHARS:
+        # a 5-hex-char bound would compare lexicographically BELOW
+        # most 4-char prefixes; full rate is just "keep"
+        return F.lit(True)
+    return F.substring(F.md5(key.cast("string")), 1, _HEX_CHARS) < F.lit(
+        format(hi, f"0{_HEX_CHARS}x")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: Dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep each row with its
+    stratum's rate, as a pure function of ``key_col`` (rebalancing a
+    skewed corpus — e.g. downsample the dominant language — without
+    seed- or partition-layout-dependence; `df.sampleBy` is both).
+    A single codegen'd CASE over the scan: filter pushes down, no
+    shuffle, no per-stratum pass."""
+    keep = None
+    for stratum, rate in sorted(rates.items()):
+        cond = (F.col(stratum_col) == stratum) & rate_predicate(
+            F.col(key_col), rate
+        )
+        keep = cond if keep is None else keep | cond
+    others = ~F.col(stratum_col).isin(*rates.keys()) & rate_predicate(
+        F.col(key_col), default_rate
+    )
+    keep = others if keep is None else keep | others
+    return df.filter(keep)
+
+
+def stratified_sample_sql_predicate(
+    key_sql: str,
+    stratum_sql: str,
+    rates: Dict[str, float],
+    default_rate: float = 0.0,
+) -> str:
+    """The equivalent SQL WHERE predicate (oracle replay)."""
+
+    prefix = f"substr(md5(CAST({key_sql} AS STRING)), 1, {_HEX_CHARS})"
+
+    def keep(rate: float) -> str:
+        v = min(int(round(rate * 16**_HEX_CHARS)), 16**_HEX_CHARS)
+        if v >= 16**_HEX_CHARS:
+            return "TRUE"
+        return f"{prefix} < '{format(v, f'0{_HEX_CHARS}x')}'"
+
+    parts = [
+        f"({stratum_sql} = '{s}' AND {keep(r)})"
+        for s, r in sorted(rates.items())
+    ]
+    in_list = ", ".join(f"'{s}'" for s in sorted(rates))
+    parts.append(
+        f"({stratum_sql} NOT IN ({in_list}) AND {keep(default_rate)})"
+    )
+    return " OR ".join(parts)

@@ -299,3 +299,33 @@ def vocabulary(df, text_col: str, id_col: str, top: int = 100):
     return stats.orderBy(
         F.col("n_occurrences").desc(), F.col("term").asc()
     ).limit(top)
+
+
+# PII patterns restricted to syntax shared by Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround — the redaction is
+# SQL-replayable on any engine.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+NUMBER_RE = r"[0-9]{4,}"
+
+
+def redact_pii(df, text_col: str, id_col: str):
+    """Redact email addresses and long digit runs (phone/account-style
+    identifiers) from ``text_col``; emit per-document redaction counts
+    and an md5 of the redacted text (value-checkable without moving
+    document bodies around).
+
+    Pure Catalyst expressions (regexp_count / regexp_replace) — the
+    whole operator stays in whole-stage codegen, scales as a map-only
+    stage with zero shuffle. Emails are counted/redacted before digit
+    runs so a digit-bearing address is one email, not an email plus a
+    number."""
+    emails = F.regexp_count(F.col(text_col), F.lit(EMAIL_RE))
+    no_email = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
+    numbers = F.regexp_count(no_email, F.lit(NUMBER_RE))
+    redacted = F.regexp_replace(no_email, NUMBER_RE, "<NUM>")
+    return df.select(
+        F.col(id_col),
+        emails.cast("long").alias("n_emails"),
+        numbers.cast("long").alias("n_numbers"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -875,6 +875,83 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocabulary(docs, "text", "doc_id", top=100)
 
 
+_STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
+_STRATA_DEFAULT = 0.75
+
+
+@register(
+    "docs_stratified_sample",
+    None,  # oracle SQL injected below (predicate built from one source)
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (rebalance a skewed
+    corpus): keep 50% of en, 25% of de, 10% of fr, 75% of everything
+    else, as a pure function of doc_id — reproducible across engines,
+    reruns, and partition layouts. Summarized per (lang, source)."""
+    from .functions.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "doc_id", "lang", _STRATA_RATES, _STRATA_DEFAULT
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _stratified_oracle() -> str:
+    from .functions.sampling import stratified_sample_sql_predicate
+
+    pred = stratified_sample_sql_predicate(
+        "doc_id", "lang", _STRATA_RATES, _STRATA_DEFAULT
+    )
+    return f"""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE {pred}
+    GROUP BY lang, source
+    """
+
+
+_REGISTRY["docs_stratified_sample"] = (
+    docs_stratified_sample,
+    _stratified_oracle(),
+)
+
+
+@register(
+    "pii_redact",
+    r"""
+    WITH ne AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_emails,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t1
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t1, '[0-9]{4,}')) AS BIGINT)
+             AS n_numbers,
+           md5(regexp_replace(t1, '[0-9]{4,}', '<NUM>', 'g'))
+             AS redacted_md5
+    FROM ne
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact emails and long digit runs, emit per-doc
+    counts plus an md5 of the redacted text (value-level proof the
+    redacted bodies agree without hauling them through the compare).
+    Pure codegen regexp expressions — map-only, zero shuffle."""
+    from .functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return redact_pii(docs, "text", "doc_id")
+
+
 @register(
     "multimodal_meta",
     """

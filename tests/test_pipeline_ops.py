@@ -843,3 +843,45 @@ def test_ivf_distributed_recall_and_determinism(spark):
         (r["query_id"], r["rank"], r["neighbor_id"]) for r in rs
     )
     assert key(run1) == key(run2)
+
+
+def test_stratified_sample_deterministic_and_stratum_rates(spark):
+    from pl_fuzzy_frame_match_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "zz"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept1 = stratified_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.1},
+                              default_rate=1.0)
+    kept2 = stratified_sample(df.repartition(7), "doc_id", "lang",
+                              {"en": 0.5, "de": 0.1}, default_rate=1.0)
+    ids1 = {r["doc_id"] for r in kept1.collect()}
+    ids2 = {r["doc_id"] for r in kept2.collect()}
+    assert ids1 == ids2  # partition-layout independent
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang["zz"] == 1000  # default rate 1.0 keeps everything
+    assert 400 <= by_lang["en"] <= 600
+    assert 50 <= by_lang["de"] <= 150
+
+
+def test_redact_pii_counts_and_order(spark):
+    from pl_fuzzy_frame_match_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob1234@ex.com then account 99887766 done"),
+            (2, "no pii here"),
+            (3, "123 too short but 4567 matches"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df, "text", "doc_id").collect()}
+    # the email's digits must not double-count as a number
+    assert (got[1]["n_emails"], got[1]["n_numbers"]) == (1, 1)
+    assert (got[2]["n_emails"], got[2]["n_numbers"]) == (0, 0)
+    assert (got[3]["n_emails"], got[3]["n_numbers"]) == (0, 1)
