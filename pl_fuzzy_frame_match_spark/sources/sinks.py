@@ -58,3 +58,73 @@ def cache_to_scratch(
     path = os.path.join(scratch_dir, f"scratch-{uuid.uuid4().hex}.parquet")
     df.write.mode("error").parquet(path)
     return spark.read.parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """Incremental partitioned overwrite: replace ONLY the partitions
+    present in ``df``, leave every other partition untouched (dynamic
+    partition overwrite). This is the daily-ingest write path at
+    corpus scale — a static overwrite would clobber the whole table,
+    and append-only accumulates duplicates on re-runs. Scoped to this
+    one write via the writer option (no session-level conf mutation)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    partition_by: Optional[Sequence[str]] = None,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """Durable sink with WITHIN-file clustering: rows sorted by
+    ``cluster_by`` inside each task before writing, so parquet
+    row-group min/max statistics become selective and downstream
+    range/point predicates skip row groups at the scan. Sorting is
+    per-partition (``sortWithinPartitions``) — no global sort, no
+    extra shuffle beyond what the caller already has."""
+    out = df.sortWithinPartitions(*cluster_by)
+    writer = out.write.mode("overwrite").option(
+        "maxRecordsPerFile", str(max_records_per_file)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files (the
+    small-file compaction a long-running ingest needs: a table written
+    by many incremental jobs decays into thousands of KB-files whose
+    open/footer overhead dominates scans). Reads, coalesces to
+    ``ceil(rows / target)`` files, rewrites atomically via a temp dir
+    + rename. Returns the file count after compaction."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_records_per_file))
+    tmp = f"{path}.compact-{uuid.uuid4().hex}"
+    df.repartition(n_files).write.mode("error").option(
+        "maxRecordsPerFile", str(target_records_per_file)
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )

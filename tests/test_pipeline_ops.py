@@ -885,3 +885,85 @@ def test_redact_pii_counts_and_order(spark):
     assert (got[1]["n_emails"], got[1]["n_numbers"]) == (1, 1)
     assert (got[2]["n_emails"], got[2]["n_numbers"]) == (0, 0)
     assert (got[3]["n_emails"], got[3]["n_numbers"]) == (0, 1)
+
+
+def test_overwrite_partitions_touches_only_written_partitions(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.sources.sinks import overwrite_partitions
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "fr")], ["doc_id", "lang"]
+    )
+    overwrite_partitions(base, path, ["lang"])
+    # re-write ONLY lang=en with new content; de/fr must survive
+    patch = spark.createDataFrame([(9, "en")], ["doc_id", "lang"])
+    overwrite_partitions(patch, path, ["lang"])
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(9, "en"), (3, "de"), (4, "fr")}
+
+
+def test_write_clustered_rowgroup_stats_are_selective(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import glob
+
+    from pl_fuzzy_frame_match_spark.sources.sinks import write_clustered
+
+    path = str(tmp_path / "clustered")
+    df = spark.createDataFrame(
+        [(i * 37 % 1000, f"v{i}") for i in range(1000)], ["k", "v"]
+    ).repartition(1)
+    write_clustered(df, path, ["k"])
+    f = glob.glob(f"{path}/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    col = md.row_group(0).column(0)
+    assert col.statistics.min == 0  # sorted: first row group starts at min
+    # and the file's rows really are ordered by k
+    ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
+    assert ks == sorted(ks)
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from pl_fuzzy_frame_match_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.createDataFrame([(i,) for i in range(500)], ["x"])
+    df.repartition(20).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 20
+    n = compact_parquet(spark, path, target_records_per_file=1000)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 500
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+def test_salted_join_matches_plain_join(spark, how):
+    from pl_fuzzy_frame_match_spark.operators.skew import salted_join
+
+    # one hot key (80% of rows) + a tail, plus keys missing on each side
+    left = spark.createDataFrame(
+        [(0, i) for i in range(800)]
+        + [(k, k * 10) for k in range(1, 40)]
+        + [(999, -1)],
+        ["k", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(0, "hot-a"), (0, "hot-b")] + [(k, f"r{k}") for k in range(1, 30)],
+        ["k", "rv"],
+    )
+    got = sorted(
+        tuple(r) for r in salted_join(left, right, "k", how=how, salt=8).collect()
+    )
+    want = sorted(tuple(r) for r in left.join(right, "k", how).collect())
+    assert got == want
+
+
+def test_salted_join_rejects_right_joins(spark):
+    from pl_fuzzy_frame_match_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, 2)], ["k", "v"])
+    with pytest.raises(ValueError, match="supports"):
+        salted_join(df, df, "k", how="full")
