@@ -118,3 +118,33 @@ def pack_vector_blocks(
         .groupBy("__bid")
         .applyInPandas(pack, schema)
     )
+
+
+def quantize_int8(vec: Column, scale_out: str = "scale"):
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` — 4x storage reduction for an
+    embedding corpus (at 100 TB of float32 embeddings the scan-time
+    win IS the latency win; dequantized cosine stays within ~0.5% of
+    exact for typical embedding distributions, gate it with the recall
+    test, not faith).
+
+    Pure Catalyst expressions (transform/aggregate over the array —
+    per-ROW work is O(dim), fine outside the pair loop); rounding is
+    HALF_UP in both Spark and the DuckDB oracle, so the quantized
+    values are engine-reproducible. Returns (quantized array<int>,
+    scale) as two columns; join them with ``df.withColumns``."""
+    absmax = F.aggregate(
+        F.transform(vec, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(
+        vec, lambda x: F.round(x.cast("double") / scale, 0).cast("int")
+    )
+    return q, scale
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    """Back to doubles: ``x_i ~= q_i * scale``."""
+    return F.transform(q, lambda v: v.cast("double") * scale)

@@ -613,6 +613,47 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_quantize",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+               FROM embeddings),
+    m AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) AS am
+          FROM v),
+    s AS (SELECT vec_id, e,
+                 CASE WHEN am > 0 THEN am / 127.0 ELSE 1.0 END AS sc
+          FROM m),
+    q AS (SELECT vec_id, sc,
+                 list_transform(e, x -> CAST(round(x / sc, 0) AS INT)) AS qv
+          FROM s)
+    SELECT vec_id, round(sc, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           list_min(qv) AS q_min, list_max(qv) AS q_max
+    FROM q
+    """,
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus (the 4x
+    storage-reduction write path), value-checked per vector via scale +
+    quantized checksum/extrema. Rounding is HALF_UP in both engines so
+    the int8 codes agree bit-for-bit."""
+    from .functions.vectors import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q, scale = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )
+
+
 @register("ann_ivf", None)  # approximate (recall < 1) -> rows-only
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk

@@ -967,3 +967,46 @@ def test_salted_join_rejects_right_joins(spark):
     df = spark.createDataFrame([(1, 2)], ["k", "v"])
     with pytest.raises(ValueError, match="supports"):
         salted_join(df, df, "k", how="full")
+
+
+def test_quantize_roundtrip_error_and_topk_recall(spark):
+    from pl_fuzzy_frame_match_spark.functions.vectors import (
+        dequantize,
+        quantize_int8,
+    )
+    from pl_fuzzy_frame_match_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q, scale = quantize_int8(F.col("embedding"))
+    qd = emb.select("vec_id", "label", q.alias("q"), scale.alias("scale"))
+    # per-element reconstruction error bounded by scale/2
+    err = qd.select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    dequantize(F.col("q"), F.col("scale")),
+                    F.transform(
+                        F.col("q"), lambda x: x.cast("double") * F.col("scale")
+                    ),
+                    lambda a, b: F.abs(a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+        ).alias("zero"),
+    ).collect()[0]["zero"]
+    assert err == 0.0  # dequantize is exactly q * scale
+    deq = emb.select(
+        "vec_id",
+        dequantize(q, scale).alias("embedding"),
+    )
+    probes_exact = emb.filter(F.col("vec_id") < 30)
+    probes_q = deq.filter(F.col("vec_id") < 30)
+    exact = brute_force_topk(probes_exact, emb, "embedding", "vec_id", k=5)
+    approx = brute_force_topk(probes_q, deq, "embedding", "vec_id", k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"int8 top-k recall {recall:.3f}"
