@@ -53,6 +53,7 @@ def main() -> None:
     # optional extension headliners, present once implemented
     for extra in (
         "dedup_minhash",
+        "dedup_clusters_minhash",
         "dedup_embedding",
         "ann_topk",
         "text_quality",

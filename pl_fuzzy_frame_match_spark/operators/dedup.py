@@ -179,14 +179,21 @@ def prefix_filter_jaccard_pairs(
         tok.join(dfreq, on="__tok", how="inner")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
-        .select(id_col, "__tok")
+        .select(id_col, "__n", "__tok")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # AllPairs length filter: J(A,B) <= min|.|/max|.|, so a pair can
+    # only reach the threshold when sizes are within a factor 1/t
     cand = (
         a.join(
             b,
             (F.col("a.__tok") == F.col("b.__tok"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.__n"), F.col("b.__n"))
+                >= F.lit(float(threshold))
+                * F.greatest(F.col("a.__n"), F.col("b.__n"))
+            ),
             "inner",
         )
         .select(

@@ -555,6 +555,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_clusters_minhash", None)  # banded candidates -> rows-only
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for duplicate clustering: MinHash-banded
+    candidate pairs (linear, no all-pairs stage) verified with exact
+    Jaccard, then connected components + cluster stats. The exact
+    twin (`dedup_clusters`) replays the same closure over exhaustive
+    prefix-filter pairs and is oracle-checked; this one trades
+    candidate recall for a plan whose every stage is linear in the
+    corpus — the version you run on 100 TB."""
+    from .operators.dedup import minhash_dedup_pairs
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_dedup_pairs(
+        docs, "text", "doc_id", jaccard_distance=0.8
+    ).select("left_id", "right_id")
+    cc = connected_components(edges)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("node").alias("sum_ids"),
+    )
+
+
 @register(
     "dedup_corpus_canonical",
     f"""

@@ -182,3 +182,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_parquet_scan_pushdown_and_pruning(spark):
+    """Filters and projections must reach the parquet scan: a filter
+    that scans all columns (or all rows) for a 2-column projection is
+    the wrong plan at any scale."""
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+
+    df = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # ReadSchema carries only the projected + filter columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "lang", "n_chars"}, cols
