@@ -1277,6 +1277,96 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a field out of the JSON props
+    column and aggregate. get_json_object evaluates JVM-side (one
+    codegen'd path walk per row, no Python); at scale you would
+    materialize hot fields into real columns at ingest, but the
+    extraction operator is the on-ramp."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.get_json_object(F.col("props"), "$.k").cast("long")
+        ).alias("sum_k"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+@register(
+    "events_moving_avg",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ), 6) AS avg_1h
+    FROM events
+    """,
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1-hour trailing moving average (RANGE frame over
+    microsecond epoch — both engines frame on the same integer key, so
+    sub-second boundary events agree). One shuffle on user_id; the
+    frame is computed in a single sorted pass per partition."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot_counts",
+    f"""
+    SELECT user_id,
+           {', '.join(
+               f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type, counts per user. The pivot
+    values are DECLARED (not discovered) so the plan is a single-pass
+    grouped conditional aggregation — the discovery variant costs an
+    extra distinct-scan job and is non-deterministic in column order."""
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    for t in _EVENT_TYPES:
+        out = out.withColumnRenamed(t, f"n_{t}")
+    return out
+
+
+@register(
     "tpch_q3_shape",
     """
     SELECT o.o_orderkey,
