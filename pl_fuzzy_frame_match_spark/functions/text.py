@@ -162,6 +162,152 @@ def word_shingles(text: Column, n: int = 2) -> Column:
     )
 
 
+def word_ngrams_all(text: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity and no short-document fallback
+    (``size(tokens) - n + 1`` grams, empty below ``n`` tokens) — the
+    denominator for repetition statistics, where duplicate grams are
+    the signal and must not be collapsed."""
+    toks = tokens(text)
+    if n == 1:
+        return toks
+    acc = toks
+    for k in range(1, n):
+        shifted = F.slice(
+            toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))
+        )
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat_ws(" ", a, b)
+            ),
+        )
+    return F.filter(acc, lambda x: x.isNotNull())
+
+
+def repetition_stats(df, text_col: str, id_col: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate word-2-gram fraction and top-unigram fraction per
+    document. Documents dominated by one token or by repeated phrases
+    are low-quality for LM training and get filtered upstream.
+
+    Map-only: every statistic is computed from per-row array
+    expressions (no token explode, no shuffle), so the operator scales
+    as a pure scan — the 100 TB cost is exactly one pass over the
+    corpus. The top-unigram count is an O(|vocab| * |tokens|) per-row
+    fold, bounded in practice by document vocabulary; the alternative
+    explode + groupBy costs a corpus-wide shuffle, which loses at any
+    scale where this operator matters.
+    """
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__toks"),
+        word_ngrams_all(F.col(text_col), 2).alias("__grams"),
+    )
+    n_tokens = F.size("__toks")
+    n_grams = F.size("__grams")
+    dup_frac = F.when(
+        n_grams > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("__grams")).cast("double") / n_grams,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    # explicit SQL lambda variables: sibling python-lambda expressions
+    # in one projection can collapse to one (see PLANS.md round-2 note)
+    top_count = F.expr(
+        "array_max(transform(array_distinct(__toks),"
+        " t -> size(filter(__toks, x -> x = t))))"
+    )
+    top_frac = F.when(
+        n_tokens > 0,
+        F.round(top_count.cast("double") / n_tokens, 6),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        dup_frac.alias("dup_2gram_frac"),
+        top_frac.alias("top_word_frac"),
+    )
+
+
+def contamination_fractions(
+    docs, bench_docs, text_col: str, id_col: str, n: int = 3
+):
+    """Benchmark-contamination scan: for every training document, the
+    fraction of its distinct word ``n``-gram shingles that appear
+    anywhere in the benchmark set (the standard n-gram-overlap
+    decontamination check run before LM training).
+
+    Plan shape for 100 TB: the benchmark shingle set is tiny relative
+    to the corpus (eval suites are at most ~1e6 shingles), so it is
+    de-duplicated and BROADCAST; the training side explodes shingles
+    (linear in corpus size) and aggregates per document — one shuffle,
+    keyed on document id, carrying only (id, 1-bit hit) rows. No
+    corpus-side join shuffle ever happens.
+    """
+    bench = (
+        bench_docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("__gram")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
+    )
+    joined = train.join(F.broadcast(bench), on="__gram", how="left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("__hit").alias("n_contaminated"),
+        F.round(
+            F.count("__hit").cast("double") / F.count(F.lit(1)), 6
+        ).alias("contamination_frac"),
+    )
+
+
+def boilerplate_fractions(
+    docs, text_col: str, id_col: str, n: int = 2, min_doc_frac: float = 0.05
+):
+    """Boilerplate detection: word ``n``-grams appearing in at least
+    ``min_doc_frac`` of all documents are 'boilerplate' (headers,
+    navigation, license blurbs); emit each document's fraction of
+    distinct shingles that are boilerplate — the upstream signal for
+    boilerplate stripping.
+
+    Plan: one shingle explode feeds a document-frequency aggregate
+    (shuffled on the shingle, map-side combined); the surviving
+    boilerplate set is by construction at most ``1/min_doc_frac``
+    shingles per corpus-wide distinct shingle above threshold — small —
+    and is broadcast back against the exploded corpus. Same
+    one-corpus-shuffle shape as contamination_fractions.
+    """
+    sh = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
+    )
+    n_docs = docs.filter(F.col(text_col).isNotNull()).count()
+    min_docs = n_docs * min_doc_frac
+    boiler = (
+        sh.groupBy("__gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= F.lit(min_docs))
+        .select("__gram")
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = sh.join(F.broadcast(boiler), on="__gram", how="left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("__hit").alias("n_boilerplate"),
+        F.round(
+            F.count("__hit").cast("double") / F.count(F.lit(1)), 6
+        ).alias("boilerplate_frac"),
+    )
+
+
 def jaccard_similarity(a: Column, b: Column) -> Column:
     """Exact Jaccard of two (distinct-element) arrays, JVM-side."""
     inter = F.size(F.array_intersect(a, b))

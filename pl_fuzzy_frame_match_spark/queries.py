@@ -1017,6 +1017,103 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') w
+                  FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT doc_id, w,
+                 list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                i -> concat_ws(' ', w[i], w[i + 1])) grams
+          FROM toks)
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           CASE WHEN len(grams) > 0
+                THEN round(1.0 - len(list_distinct(grams)) / len(grams), 6)
+                ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN len(w) > 0
+                THEN round(CAST(list_max(list_transform(list_distinct(w),
+                         t -> len(list_filter(w, x -> x = t)))) AS DOUBLE)
+                       / len(w), 6)
+                ELSE 0.0 END AS top_word_frac
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate word-2-gram
+    fraction and top-unigram fraction per document (Rae et al. 2021).
+    Map-only array expressions — zero shuffle at any corpus size."""
+    from .functions.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id")
+
+
+@register(
+    "contamination_ngram",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') w
+                  FROM documents WHERE text IS NOT NULL),
+    sh AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(w) - 2, 1) + 1),
+             i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))) s
+           FROM toks),
+    bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 25 = 0),
+    train AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 25 <> 0),
+    j AS (SELECT t.doc_id, count(*) AS n, count(b.g) AS h
+          FROM train t LEFT JOIN bench b ON t.g = b.g
+          GROUP BY t.doc_id)
+    SELECT doc_id, n AS n_shingles, h AS n_contaminated,
+           round(h / n, 6) AS contamination_frac
+    FROM j
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: per training document, the
+    fraction of its distinct word-3-gram shingles appearing anywhere in
+    the held-out benchmark set (docs with doc_id % 25 == 0 stand in for
+    an eval suite). Benchmark shingles broadcast; one corpus shuffle."""
+    from .functions.text import contamination_fractions
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return contamination_fractions(train, bench, "text", "doc_id", n=3)
+
+
+@register(
+    "boilerplate_frac",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') w
+                  FROM documents WHERE text IS NOT NULL),
+    sh AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(w) - 1, 1) + 1),
+             i -> concat_ws(' ', w[i], w[i + 1]))) s
+           FROM toks),
+    e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    dfq AS (SELECT g, count(*) AS df FROM e GROUP BY g),
+    bp AS (SELECT g FROM dfq
+           WHERE df >= 0.05 * (SELECT count(*) FROM documents
+                               WHERE text IS NOT NULL)),
+    j AS (SELECT e.doc_id, count(*) AS n, count(bp.g) AS h
+          FROM e LEFT JOIN bp ON e.g = bp.g
+          GROUP BY e.doc_id)
+    SELECT doc_id, n AS n_shingles, h AS n_boilerplate,
+           round(h / n, 6) AS boilerplate_frac
+    FROM j
+    """,
+)
+def boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: word-2-grams present in >= 5% of all
+    documents are boilerplate; emit each document's boilerplate shingle
+    fraction. Document-frequency aggregate + broadcast-back join."""
+    from .functions.text import boilerplate_fractions
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_fractions(
+        docs, "text", "doc_id", n=2, min_doc_frac=0.05
+    )
+
+
+@register(
     "multimodal_meta",
     """
     SELECT doc_id,
