@@ -1705,6 +1705,37 @@ def semi_customers_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_semi_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def bloom_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join: orders placed by BUILDING-segment
+    customers. The key side folds into a broadcast bitset (distributed
+    build, only bitsets cross the wire) so the fact side is pruned
+    map-only before the exact semi join — at 100 TB the join shuffle
+    moves only the surviving sliver. Row-identical to a plain
+    left_semi (the exact join removes Bloom false positives)."""
+    from .operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+    )
+    return bloom_semi_join(orders, keys, ("o_custkey", "key"))
+
+
+@register(
     "doc_length_percentiles",
     """
     SELECT lang,
@@ -1737,6 +1768,69 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__p")[1], 6).alias("p90"),
             F.round(F.col("__p")[2], 6).alias("p99"),
         )
+    )
+
+
+@register("doc_length_percentiles_approx", None)  # sketch -> rows-only
+def doc_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB percentile path: `approx_percentile` (a mergeable
+    KLL-style sketch aggregated map-side, fixed memory per group,
+    single shuffle of sketches — exact `percentile` buffers every
+    value per group). Same shape as `doc_length_percentiles`;
+    `tests/test_pipeline_ops.py` bounds its error against the exact
+    query at the configured accuracy."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    pct = F.expr(
+        "approx_percentile(n_chars, array(0.5, 0.9, 0.99), 10000)"
+    )
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), pct.alias("__p"))
+        .select(
+            "lang",
+            "n_docs",
+            F.col("__p")[0].cast("double").alias("p50"),
+            F.col("__p")[1].cast("double").alias("p90"),
+            F.col("__p")[2].cast("double").alias("p99"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH seen AS (SELECT DISTINCT md5(lower(text)) AS fp
+                  FROM documents WHERE doc_id % 3 = 0),
+    batch AS (SELECT doc_id, md5(lower(text)) AS fp
+              FROM documents WHERE doc_id % 3 <> 0)
+    SELECT b.doc_id, b.fp AS fingerprint
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
+      AND b.doc_id = (SELECT min(b2.doc_id) FROM batch b2
+                      WHERE b2.fp = b.fp)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: admit only new-batch documents whose content
+    fingerprint is unseen in the existing corpus AND first within the
+    batch. The corpus membership test runs as a Bloom-prefiltered anti
+    join (`operators/bloom.py`): a Bloom miss PROVES novelty map-only,
+    so at 100 TB only the sliver colliding with corpus fingerprints
+    pays the exact anti-join shuffle. Batch-internal dedup is a
+    min-per-fingerprint aggregate over the survivors."""
+    from .operators.bloom import bloom_semi_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.col("text")))
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(fp.alias("fp"))
+    batch = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", fp.alias("fp")
+    )
+    novel = bloom_semi_join(batch, seen, "fp", anti=True)
+    return (
+        novel.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.col("fp").alias("fingerprint"))
     )
 
 

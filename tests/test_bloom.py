@@ -1,0 +1,88 @@
+"""Bloom-filter semi-join: exactness vs the plain joins, one-sided
+error direction, null handling, and pruning power."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pl_fuzzy_frame_match_spark.operators.bloom import (
+    BloomFilter,
+    bloom_contains,
+    bloom_semi_join,
+    build_bloom,
+)
+
+from .conftest import SF_DIR
+
+
+def _orders_keys(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    keys = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+    )
+    return orders, keys
+
+
+def test_semi_join_row_identical(spark):
+    orders, keys = _orders_keys(spark)
+    got = bloom_semi_join(orders, keys, ("o_custkey", "key"))
+    want = orders.join(
+        keys.distinct(), orders["o_custkey"] == keys["key"], "left_semi"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_anti_join_row_identical(spark):
+    orders, keys = _orders_keys(spark)
+    got = bloom_semi_join(orders, keys, ("o_custkey", "key"), anti=True)
+    want = orders.join(
+        keys.distinct(), orders["o_custkey"] == keys["key"], "left_anti"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_no_false_negatives_and_bounded_fpr(spark):
+    # members must ALL pass the bloom; disjoint probes mostly fail
+    members = spark.range(0, 2000).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("key")
+    )
+    blm = build_bloom(members, "key")
+    probes = pd.Series(
+        [f"key_{i}" for i in range(2000)]
+        + [f"other_{i}" for i in range(2000)]
+    )
+    hits = BloomFilter(blm.words, blm.m, blm.k).contains(probes)
+    assert hits[:2000].all()  # no false negatives, ever
+    fpr = hits[2000:].mean()
+    assert fpr < 0.05, f"false-positive rate {fpr} out of range"
+
+
+def test_null_keys_are_non_members(spark):
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "zz")], ["id", "key"]
+    )
+    keys = spark.createDataFrame([("a",)], ["key"])
+    got = bloom_semi_join(fact, keys, "key")
+    assert [r["id"] for r in got.collect()] == [1]
+    anti = bloom_semi_join(fact, keys, "key", anti=True)
+    assert sorted(r["id"] for r in anti.collect()) == [2, 3]
+    blm = build_bloom(keys, "key")
+    col = bloom_contains(fact, blm, "key")
+    flags = {r["id"]: r["f"] for r in fact.select("id", col.alias("f")).collect()}
+    assert flags[2] is False
+
+
+def test_distributed_build_matches_single_partition(spark):
+    members = spark.range(0, 5000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    many = build_bloom(members.repartition(16), "key")
+    one = build_bloom(members.coalesce(1), "key")
+    assert many.m == one.m and many.k == one.k
+    assert (many.words == one.words).all()

@@ -1010,3 +1010,35 @@ def test_quantize_roundtrip_error_and_topk_recall(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, f"int8 top-k recall {recall:.3f}"
+
+
+def test_approx_percentiles_within_tolerance(spark):
+    """The sketch percentile path tracks the exact path: with a 10k
+    accuracy parameter the rank error is <= n/10k, which on sf test
+    data means every reported quantile must be within 2 ranked values
+    of the exact one."""
+    from pl_fuzzy_frame_match_spark.queries import (
+        doc_length_percentiles,
+        doc_length_percentiles_approx,
+    )
+    from .conftest import SF_DIR
+
+    exact = {
+        r["lang"]: r for r in doc_length_percentiles(spark, SF_DIR).collect()
+    }
+    approx = {
+        r["lang"]: r
+        for r in doc_length_percentiles_approx(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for lang, row in approx.items():
+        assert row["n_docs"] == exact[lang]["n_docs"]
+        vals = sorted(
+            r["n_chars"]
+            for r in docs.filter(docs["lang"] == lang).collect()
+        )
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            lo = vals[max(0, int(q * len(vals)) - 2)]
+            hi = vals[min(len(vals) - 1, int(q * len(vals)) + 2)]
+            assert lo <= row[col] <= hi, (lang, col, row[col], lo, hi)
