@@ -35,20 +35,6 @@ def main() -> None:
 
     spark = get_spark("bench")
     registry = q.queries()
-    # JVM/codegen warmup on the smallest SF so per-query timings measure
-    # the queries, not first-run class loading and JIT. Each distinct
-    # physical path needs its own warmup: exact cross join (codegen
-    # levenshtein), ANN sketch scan (interpreted sketch expression +
-    # Python worker pool), MinHash banding, and the BLAS mapInPandas
-    # kernels — the sketch expression in particular runs ~5x slower
-    # until C2-compiled.
-    for warm in ("fuzzy_join_lev", "fuzzy_join_ann", "dedup_minhash", "ann_topk"):
-        try:
-            registry[warm](spark, "/root/testdata/sf0.001").write.mode(
-                "overwrite"
-            ).format("noop").save()
-        except Exception:
-            pass
     names = [n for n in HEADLINE if n in registry]
     # optional extension headliners, present once implemented
     for extra in (
@@ -66,6 +52,23 @@ def main() -> None:
         if extra in registry:
             names.append(extra)
 
+    # JVM/codegen warmup on the smallest SF so per-query timings measure
+    # the queries, not first-run class loading and JIT. Every timed
+    # query warms its OWN physical path (codegen levenshtein, ANN
+    # sketch expression + Python worker pool + on-node C kernel build,
+    # MinHash banding, BLAS mapInPandas): a shared warmup list misses
+    # paths and their first-run cost lands in the timings (~5x on the
+    # sketch expression until C2-compiled).
+    for warm in names:
+        try:
+            registry[warm](spark, "/root/testdata/sf0.001").write.mode(
+                "overwrite"
+            ).format("noop").save()
+        except Exception:
+            pass
+
+    import gc
+
     timings = {}
     errors = {}
     for name in names:
@@ -76,19 +79,31 @@ def main() -> None:
         # interest and single samples on a shared host swing ~2x.
         # Per-query isolation: one failing query must never erase the
         # other timings — record its error and keep going.
-        best = None
-        for _ in range(2):
+        samples = []
+        failed = False
+        while len(samples) < 2 or (
+            # a transient (GC pause, JIT deopt) can poison BOTH base
+            # runs; when they disagree by >1.5x take one tiebreaker
+            len(samples) == 2
+            and max(samples) > 1.5 * min(samples)
+        ):
             t0 = time.perf_counter()
             try:
                 df = registry[name](spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
             except Exception as exc:  # noqa: BLE001 - report, don't abort
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                failed = True
                 break
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        if best is not None:
-            timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+            # drop the DataFrame and collect BEFORE the next run:
+            # localCheckpoint blocks pin executor memory until the
+            # Python reference dies and the ContextCleaner runs, and
+            # accumulated blocks skew later queries via GC pressure.
+            del df
+            gc.collect()
+        if samples and not failed:
+            timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     record = {

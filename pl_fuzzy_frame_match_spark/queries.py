@@ -1705,6 +1705,57 @@ def semi_customers_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_quality_topk",
+    """
+    WITH q AS (
+      SELECT doc_id, source,
+        least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) AS len_score,
+        least((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+               / length(text)) * 5.0, 1.0) AS punct_penalty,
+        least((CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                 t -> list_contains(['the','a','and','of','to','in','is','it'], t)))
+               AS DOUBLE)
+               / len(regexp_extract_all(lower(text), '\\S+'))) * 8.0, 1.0)
+            AS sw_score
+      FROM documents WHERE length(text) > 0
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             round(0.4 * len_score + 0.3 * (1.0 - punct_penalty)
+                   + 0.3 * sw_score, 6) AS quality
+      FROM q
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source
+                    ORDER BY quality DESC, doc_id ASC) AS rank
+          FROM scored)
+    SELECT doc_id, source, quality, rank FROM r WHERE rank <= 5
+    """,
+)
+def docs_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-quota curation: keep the top-5 documents per source by
+    the composite quality score (dedup-rank ties on doc_id so results
+    are engine-reproducible). The window partitions by source — no
+    global sort; per-group state is the top-k heap only."""
+    from pyspark.sql import Window
+
+    from .functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "doc_id", "source", quality_score(F.col("text")).alias("quality")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@register(
     "bloom_semi_orders",
     """
     SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
