@@ -25,6 +25,12 @@ def get_spark(app_name: str = "pl-fuzzy-frame-match-spark", shuffle_partitions: 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batches default to 10k rows; per-batch Python fixed
+        # cost then dominates scan-shaped pandas UDFs (measured: the
+        # Bloom probe over 60M longs drops 42s -> 13s at 256k rows).
+        # 64k balances that against per-thread batch memory for wide
+        # document rows (64k x ~1KB text = 64MB per in-flight batch).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         # local-mode driver == the only JVM: all 32 task threads share
         # this heap, so size it like an executor fleet, not a driver
