@@ -172,3 +172,51 @@ def stratified_sample_sql_predicate(
         f"({stratum_sql} NOT IN ({in_list}) AND {keep(default_rate)})"
     )
     return " OR ".join(parts)
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stratum_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Corpus mixing to a per-stratum TOKEN budget: within each
+    stratum, admit documents in deterministic md5-of-id priority order
+    until the cumulative whitespace-token count reaches the budget
+    (the document that crosses the boundary is included — the budget
+    is a floor, matching "fill the mixture to N tokens").
+
+    Determinism: the admission order is a pure function of the id, so
+    the selected subset is stable across engines, reruns, partition
+    layouts and corpus growth *ahead of* the cutoff point.
+
+    Plan: one window (partitioned by stratum, ordered by the md5
+    priority) computing a running token sum — a single shuffle keyed
+    on the stratum. Within one stratum the running sum is a sequential
+    per-partition scan, so a single stratum holding most of a 100 TB
+    corpus serializes; at that scale the two-pass form is preferred
+    (histogram token totals by md5 PREFIX bucket, pick the cutoff
+    bucket driver-side, window ONLY the boundary bucket), which this
+    function is the reference semantics for.
+    """
+    from pyspark.sql import Window
+
+    from .text import token_count
+
+    pri = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(pri)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = token_count(F.col(text_col)).cast("long")
+    return (
+        df.withColumn("__n_tokens", toks)
+        .withColumn("__cum", F.sum("__n_tokens").over(w))
+        .filter(
+            (F.col("__cum") - F.col("__n_tokens")) < F.lit(budget_tokens)
+        )
+        .drop("__cum")
+        .withColumnRenamed("__n_tokens", "n_tokens")
+    )

@@ -985,6 +985,41 @@ _REGISTRY["docs_stratified_sample"] = (
 
 
 @register(
+    "docs_token_budget_mix",
+    r"""
+    WITH t AS (SELECT doc_id, lang,
+                      len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+                      md5(CAST(doc_id AS STRING)) AS pri
+               FROM documents),
+    c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY pri
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM c WHERE cum - n_tokens < 500
+    GROUP BY lang
+    """,
+)
+def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to a 500-token budget per language: documents
+    admitted in deterministic md5-priority order until each language's
+    token budget fills (boundary doc included). Summarized per
+    language. One window shuffle keyed on the stratum; the two-pass
+    md5-prefix-histogram form is the declared 100 TB variant (see
+    `sample_to_token_budget`)."""
+    from .functions.sampling import sample_to_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sample_to_token_budget(
+        docs, "text", "doc_id", "lang", budget_tokens=500
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@register(
     "pii_redact",
     r"""
     WITH ne AS (

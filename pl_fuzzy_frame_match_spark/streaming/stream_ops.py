@@ -334,3 +334,54 @@ def stream_fuzzy_enrich(
             yield out
 
     return stream_df.mapInPandas(enrich, out_schema)
+
+
+def stream_novelty_filter(
+    stream_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Streaming incremental dedup: pass through only arriving
+    documents whose content fingerprint (md5 of lowercased text) is
+    NOT in the existing corpus. The streaming twin of
+    ``dedup_incremental`` — same Bloom-prefiltered composition:
+
+    - the corpus fingerprint set folds ONCE at plan time into a
+      broadcast Bloom bitset (``operators/bloom.build_bloom`` —
+      distributed build, only bitsets cross the wire);
+    - each micro-batch row probes the bitset map-only; a Bloom miss
+      PROVES novelty, so those rows are emitted with no join at all;
+    - Bloom hits (the ~matching sliver + false positives) settle
+      through an exact stream-static ``left_anti`` join against the
+      corpus fingerprints.
+
+    Exactly the plain stream-static anti join's rows, but the per-
+    micro-batch join input shrinks to the Bloom survivors — the
+    static side is re-planned every micro-batch, so pruning its probe
+    input is what keeps steady-state latency flat as the corpus
+    grows. Stateless: no watermark, no state store (contrast
+    ``stream_exact_dedup``, which dedups WITHIN the stream under a
+    watermark; this operator dedups AGAINST a static corpus).
+    Output adds ``fp_col`` so downstream stages can fold accepted
+    rows back into the corpus fingerprint store.
+    """
+    from ..operators.bloom import bloom_contains, build_bloom
+
+    fp = F.md5(F.lower(F.col(text_col)))
+    corpus_fp = corpus_df.select(
+        F.md5(F.lower(F.col(text_col))).alias("__corpus_fp")
+    ).distinct()
+    blm = build_bloom(corpus_fp, "__corpus_fp")
+
+    tagged = stream_df.filter(F.col(text_col).isNotNull()).withColumn(
+        fp_col, fp
+    )
+    probe = bloom_contains(tagged, blm, fp_col)
+    certain_novel = tagged.filter(~probe)
+    maybe_seen = tagged.filter(probe).join(
+        corpus_fp,
+        tagged[fp_col] == corpus_fp["__corpus_fp"],
+        "left_anti",
+    )
+    return certain_novel.unionByName(maybe_seen)

@@ -1042,3 +1042,48 @@ def test_approx_percentiles_within_tolerance(spark):
             lo = vals[max(0, int(q * len(vals)) - 2)]
             hi = vals[min(len(vals) - 1, int(q * len(vals)) + 2)]
             assert lo <= row[col] <= hi, (lang, col, row[col], lo, hi)
+
+
+def test_stream_novelty_filter_matches_batch(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_novelty_filter,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "seen one"), (101, "seen two"), (102, "SEEN ONE")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "seen one"),        # in corpus (case-insensitive)
+            (2, "fresh alpha"),
+            (3, "Seen Two"),        # in corpus
+            (4, "fresh beta"),
+            (5, None),              # null text rejected
+        ],
+        ["doc_id", "text"],
+    )
+    # same callable on a batch frame = ground truth
+    expect = sorted(
+        r["doc_id"]
+        for r in stream_novelty_filter(batch, corpus).collect()
+    )
+    assert expect == [2, 4]
+
+    src = str(tmp_path / "novelty_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = stream_novelty_filter(stream, corpus)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("novelty_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.sql("select * from novelty_sink").collect()
+    )
+    assert got == expect
