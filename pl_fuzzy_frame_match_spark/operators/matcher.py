@@ -298,15 +298,24 @@ def refine_matches(
             .drop(mapping.left_col, mapping.right_col)
         )
     distinct_pairs = vals.select(mapping.left_col, mapping.right_col).distinct()
-    a = F.lower(F.col(mapping.left_col))
-    b = F.lower(F.col(mapping.right_col))
+    # alias the lowercased pair in a projection: an inline lower() is
+    # re-evaluated at every reference in the distance expression tree
+    # (levenshtein args + both lengths + the banded cap — ~6x per row);
+    # the alias binds one codegen variable per row
+    la, lb = _LC_PREFIX + "refine_l", _LC_PREFIX + "refine_r"
     scored = (
-        distinct_pairs.withColumn(
+        distinct_pairs.withColumn(la, F.lower(F.col(mapping.left_col)))
+        .withColumn(lb, F.lower(F.col(mapping.right_col)))
+        .withColumn(
             _DIST,
             distance_column(
-                mapping.fuzzy_type, a, b, mapping.reversed_threshold_score
+                mapping.fuzzy_type,
+                F.col(la),
+                F.col(lb),
+                mapping.reversed_threshold_score,
             ),
         )
+        .drop(la, lb)
         .filter(F.col(_DIST) <= F.lit(mapping.reversed_threshold_score))
         .withColumn(mapping.output_column_name, F.lit(1.0) - F.col(_DIST))
         .drop(_DIST)
