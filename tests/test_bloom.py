@@ -86,3 +86,37 @@ def test_distributed_build_matches_single_partition(spark):
     one = build_bloom(members.coalesce(1), "key")
     assert many.m == one.m and many.k == one.k
     assert (many.words == one.words).all()
+
+
+def test_int_hash_pair_properties():
+    """Integer fast path: deterministic across calls, no collisions of
+    the two streams, h2 always odd, exact at int64 extremes."""
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.bloom import _hash_pair
+
+    vals = pd.Series(
+        [0, 1, -1, 2**62, -(2**63), 2**63 - 1, 42, 2**53 + 1],
+        dtype="int64",
+    )
+    h1a, h2a = _hash_pair(vals)
+    h1b, h2b = _hash_pair(vals.copy())
+    assert (h1a == h1b).all() and (h2a == h2b).all()
+    assert (h2a % 2 == 1).all()
+    assert (h1a != h2a).all()
+    # 2**53 + 1 is not float64-representable: the int path must not
+    # degrade through float (distinct hash from its float neighbor)
+    n1, _ = _hash_pair(pd.Series([2**53], dtype="int64"))
+    assert h1a.iloc[7] != n1.iloc[0] if hasattr(h1a, "iloc") else h1a[7] != n1[0]
+
+
+def test_bloom_no_false_negatives_int_extremes(spark):
+    members = spark.createDataFrame(
+        [(0,), (1,), (-1,), (2**62,), (-(2**63),), (2**63 - 1,), (2**53 + 1,)],
+        "key long",
+    )
+    blm = build_bloom(members, "key")
+    assert blm.int_mode
+    fact = members.withColumnRenamed("key", "k")
+    got = bloom_semi_join(fact, members, ("k", "key"))
+    assert got.count() == 7  # every member must survive

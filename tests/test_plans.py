@@ -204,3 +204,29 @@ def test_parquet_scan_pushdown_and_pruning(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"doc_id", "lang", "n_chars"}, cols
+
+
+def test_corpus_analysis_ops_have_no_nested_loop_join(spark):
+    """contamination / boilerplate join exploded shingles against a
+    BROADCAST reference set; a BroadcastNestedLoopJoin or cartesian in
+    these plans would mean the equi-join degenerated."""
+    from pl_fuzzy_frame_match_spark.queries import (
+        boilerplate_frac,
+        contamination_ngram,
+    )
+
+    for fn in (contamination_ngram, boilerplate_frac):
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_repetition_stats_is_map_only(spark):
+    """The Gopher repetition signals must stay a pure scan: any
+    Exchange in the plan means a per-document statistic acquired a
+    corpus-wide shuffle."""
+    from pl_fuzzy_frame_match_spark.queries import text_repetition
+
+    plan = _plan(text_repetition(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
