@@ -1087,3 +1087,36 @@ def test_stream_novelty_filter_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from novelty_sink").collect()
     )
     assert got == expect
+
+
+def test_simhash_banding_lossless_below_band_count(spark):
+    """Pigeonhole proof check: with hamming budget < band count, the
+    banded operator's output must EQUAL the brute-force all-pairs
+    result — banding is candidate pruning, not approximation, in this
+    regime."""
+    from pl_fuzzy_frame_match_spark.functions.text import simhash64_py
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        simhash_dedup_pairs,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    sh = {i: simhash64_py(t) for i, t in rows if t is not None}
+    ids = sorted(sh)
+    want = {
+        (a, b): bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in simhash_dedup_pairs(
+            docs, "text", "doc_id", max_hamming=3, bands=4
+        ).collect()
+    }
+    assert got == want
