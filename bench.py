@@ -38,6 +38,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
     # optional extension headliners, present once implemented
     for extra in (
+        "fuzzy_join_exact_xl",
         "dedup_minhash",
         "dedup_clusters_minhash",
         "dedup_embedding",

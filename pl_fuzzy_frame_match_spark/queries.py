@@ -148,6 +148,47 @@ def fuzzy_join_jw_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_join_exact_xl",
+    """
+    SELECT p.p_partkey, p.p_name, c.c_custkey, c.c_name,
+           round(1.0 - levenshtein(lower(p_name), lower(c_name))
+                 / greatest(length(p_name), length(c_name), 1), 6)
+               AS p_name_vs_c_name_levenshtein
+    FROM (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 10000) p
+    CROSS JOIN (SELECT c_custkey, c_name FROM customer
+                WHERE c_custkey <= 8000) c
+    WHERE p_name IS NOT NULL AND c_name IS NOT NULL
+      AND levenshtein(lower(p_name), lower(c_name))
+          / greatest(length(p_name), length(c_name), 1) <= 0.60
+    """,
+)
+def fuzzy_join_exact_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE.md's 10K x 8K exact row (80M pairs at sf0.1,
+    reference M3: 18.67 s): every pair pays the banded-levenshtein
+    kernel; cross-family strings (part names x customer addresses)
+    keep the match output sparse like the reference's typo benchmark,
+    so the timing isolates exact-path scoring throughput rather than
+    result materialization. Key-range predicates (not LIMIT) keep the
+    inputs deterministic for the oracle."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 10000)
+        .select("p_partkey", "p_name")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 8000)
+        .select("c_custkey", "c_name")
+    )
+    out = fuzzy_match_dfs(
+        part,
+        cust,
+        [FuzzyMapping("p_name", "c_name", threshold_score=40.0)],
+    )
+    return _round6(out, "p_name_vs_c_name_levenshtein")
+
+
+@register(
     "fuzzy_join_auto_xl",
     """
     SELECT a.c_custkey, a.c_name, b.c_custkey AS c_custkey_right,
