@@ -227,3 +227,59 @@ def test_ann_banded_recall_vs_exact(spark, monkeypatch):
     assert banded <= exact
     recall = len(banded & exact) / len(exact)
     assert recall >= 0.9, f"banded recall {recall:.3f} < 0.9"
+
+
+# ---------------------------------------------------------------------------
+# End-to-end randomized equivalence: fuzzy_match_dfs vs a brute-force
+# reference model on adversarial small frames (nulls, duplicate keys,
+# empty strings, unicode, shared payload column names).
+# ---------------------------------------------------------------------------
+
+_rand_text = st.one_of(
+    st.none(),
+    st.text(alphabet="ab", min_size=0, max_size=4),
+    st.sampled_from(["", "a", "ab", "ba", "AB", "Ab", "abc", "ü", "Üb", "日本"]),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    left_vals=st.lists(_rand_text, min_size=0, max_size=12),
+    right_vals=st.lists(_rand_text, min_size=0, max_size=10),
+    th=st.sampled_from([1.0, 40.0, 75.0, 100.0]),
+    metric=st.sampled_from(["levenshtein", "jaro_winkler", "indel"]),
+)
+def test_fuzzy_match_random_equivalence(spark, left_vals, right_vals, th, metric):
+    from pl_fuzzy_frame_match_spark.functions.py_kernels import (
+        NORMALIZED_DISTANCE,
+    )
+    from pl_fuzzy_frame_match_spark.models import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.operators.matcher import fuzzy_match_dfs
+
+    left = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(left_vals)], "lid long, lname string"
+    )
+    right = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(right_vals)], "rid long, rname string"
+    )
+    m = FuzzyMapping("lname", "rname", threshold_score=th, fuzzy_type=metric)
+    out = fuzzy_match_dfs(left, right, [m])
+    score_col = [
+        c for c in out.columns if c not in ("lid", "lname", "rid", "rname")
+    ]
+    assert len(score_col) == 1, out.columns
+    got = {
+        (r["lid"], r["rid"], round(r[score_col[0]], 9))
+        for r in out.collect()
+    }
+    dist = NORMALIZED_DISTANCE[metric]
+    rev = m.reversed_threshold_score
+    want = set()
+    for i, lv in enumerate(left_vals):
+        for j, rv in enumerate(right_vals):
+            if lv is None or rv is None:
+                continue
+            d = dist(lv.lower(), rv.lower())
+            if d <= rev:
+                want.add((i, j, round(1.0 - d, 9)))
+    assert got == want
