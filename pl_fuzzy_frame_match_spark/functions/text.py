@@ -308,6 +308,44 @@ def boilerplate_fractions(
     )
 
 
+def chunk_documents(
+    df, text_col: str, id_col: str, chunk_tokens: int = 50, stride: int = 40
+):
+    """Split documents into fixed-token windows with overlap (the
+    standard pre-embedding / pre-training chunking step): window
+    ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``;
+    ``stride < chunk_tokens`` gives overlapping context windows.
+    Empty documents produce one empty chunk (callers filter).
+
+    Emits ``(id, chunk_index, n_tokens, chunk_md5)`` — the md5 is a
+    value-level fingerprint of the joined window so chunk CONTENT is
+    verifiable cross-engine without shipping it. Map-side only: the
+    token array, window starts (``sequence``), slices and fingerprints
+    are all per-row array expressions; the 1:N fan-out is one
+    ``posexplode``. Zero shuffle at any corpus size.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("__toks")
+    )
+    n = F.size("__toks")
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice("__toks", s + 1, chunk_tokens)
+    )
+    exploded = base.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_index", "__chunk")
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.size("__chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("__chunk"))).alias("chunk_md5"),
+    )
+
+
 def jaccard_similarity(a: Column, b: Column) -> Column:
     """Exact Jaccard of two (distinct-element) arrays, JVM-side."""
     inter = F.size(F.array_intersect(a, b))

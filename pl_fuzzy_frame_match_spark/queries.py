@@ -1026,6 +1026,31 @@ _REGISTRY["docs_stratified_sample"] = (
 
 
 @register(
+    "docs_chunk_tokens",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') w
+                  FROM documents WHERE text IS NOT NULL),
+    st AS (SELECT doc_id, w,
+                  unnest(range(0, greatest(len(w), 1), 40)) AS s
+           FROM toks)
+    SELECT doc_id, s // 40 AS chunk_index,
+           CAST(len(w[s + 1 : s + 50]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(w[s + 1 : s + 50], ' ')) AS chunk_md5
+    FROM st
+    """,
+)
+def docs_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: overlapping 50-token windows at stride 40
+    (the pre-embedding / pre-training chunking step), with md5 content
+    fingerprints so chunk values verify cross-engine. Map-only 1:N
+    fan-out — zero shuffle."""
+    from .functions.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=50, stride=40)
+
+
+@register(
     "docs_token_budget_mix",
     r"""
     WITH t AS (SELECT doc_id, lang,
