@@ -195,10 +195,11 @@ def sample_to_token_budget(
     priority) computing a running token sum — a single shuffle keyed
     on the stratum. Within one stratum the running sum is a sequential
     per-partition scan, so a single stratum holding most of a 100 TB
-    corpus serializes; at that scale the two-pass form is preferred
-    (histogram token totals by md5 PREFIX bucket, pick the cutoff
-    bucket driver-side, window ONLY the boundary bucket), which this
-    function is the reference semantics for.
+    corpus serializes; at that scale use
+    :func:`sample_to_token_budget_twopass` (histogram token totals by
+    md5 PREFIX bucket, cutoff bucket picked driver-side, window ONLY
+    the boundary bucket) — row-identical output, equivalence-tested,
+    with this function as its reference semantics.
     """
     from pyspark.sql import Window
 
@@ -220,3 +221,114 @@ def sample_to_token_budget(
         .drop("__cum")
         .withColumnRenamed("__n_tokens", "n_tokens")
     )
+
+
+def sample_to_token_budget_twopass(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stratum_col: str,
+    budget_tokens: int,
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """The 100 TB form of :func:`sample_to_token_budget` — row-identical
+    output (equivalence-tested), different plan:
+
+    1. histogram pass: per (stratum, md5-PREFIX bucket) token totals —
+       one map-side-combined aggregate, ``n_strata * 16^prefix_chars``
+       rows to the driver;
+    2. the driver walks each stratum's buckets in lexicographic order
+       (which refines the same md5 priority order) and finds the
+       boundary bucket where the budget crosses: every earlier bucket
+       is admitted WHOLE (a pushdown-friendly filter, no window), and
+       only the boundary bucket — ~1/256th of the stratum — pays a
+       running-sum window, seeded with the carried-in offset;
+    3. union of the two branches.
+
+    The full-stratum sequential window that serializes the one-pass
+    form is gone: the per-stratum sequential region shrinks by
+    ``16^prefix_chars``, and everything else is embarrassingly
+    parallel. Widen ``prefix_chars`` to shrink it further.
+    """
+    from .text import token_count
+
+    pri = F.md5(F.col(id_col).cast("string"))
+    bucket = F.substring(pri, 1, prefix_chars)
+    base = df.withColumn("__n_tokens", token_count(F.col(text_col)).cast("long")).withColumn(
+        "__bucket", bucket
+    )
+    totals = (
+        base.groupBy(stratum_col, "__bucket")
+        .agg(F.sum("__n_tokens").alias("__tok"))
+        .collect()
+    )
+    per_stratum: dict = {}
+    for r in totals:
+        per_stratum.setdefault(r[stratum_col], []).append(
+            (r["__bucket"], r["__tok"])
+        )
+    full_buckets: dict = {}  # stratum -> [bucket, ...] admitted whole
+    boundary = []  # (stratum, bucket, offset)
+    for stratum, rows in per_stratum.items():
+        cum = 0
+        for b, tok in sorted(rows):
+            if cum >= budget_tokens:
+                break  # later buckets rejected entirely
+            # budget crosses inside this bucket (or exactly fills it)
+            if cum + tok >= budget_tokens:
+                boundary.append((stratum, b, cum))
+                break
+            full_buckets.setdefault(stratum, []).append(b)
+            cum += tok
+    out_parts = []
+    if full_buckets:
+        # one isin per stratum (a flat per-bucket OR chain overflows
+        # the plan-conversion stack past ~1000 terms)
+        keep = None
+        for stratum, buckets in full_buckets.items():
+            c = (F.col(stratum_col) == stratum) & F.col("__bucket").isin(
+                buckets
+            )
+            keep = c if keep is None else keep | c
+        out_parts.append(base.filter(keep))
+    if boundary:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(stratum_col)
+            .orderBy(pri)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bcond = None
+        for stratum, b, off in boundary:
+            c = (F.col(stratum_col) == stratum) & (F.col("__bucket") == b)
+            bcond = c if bcond is None else (bcond | c)
+        off_expr = None
+        for stratum, b, off in boundary:
+            c = F.col(stratum_col) == stratum
+            off_expr = (
+                F.when(c, F.lit(off))
+                if off_expr is None
+                else off_expr.when(c, F.lit(off))
+            )
+        bdf = (
+            base.filter(bcond)
+            .withColumn("__cum", F.sum("__n_tokens").over(w))
+            .filter(
+                (off_expr + F.col("__cum") - F.col("__n_tokens"))
+                < F.lit(budget_tokens)
+            )
+            .drop("__cum")
+        )
+        out_parts.append(bdf)
+    spark = df.sparkSession
+    if not out_parts:
+        return (
+            base.withColumnRenamed("__n_tokens", "n_tokens")
+            .drop("__bucket")
+            .limit(0)
+        )
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumnRenamed("__n_tokens", "n_tokens").drop("__bucket")

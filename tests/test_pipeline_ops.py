@@ -1120,3 +1120,31 @@ def test_simhash_banding_lossless_below_band_count(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_token_budget_twopass_equals_window_form(spark):
+    """The scale (histogram + boundary-bucket) form must select exactly
+    the same documents as the reference single-window form, at budgets
+    that exercise empty, partial and saturated strata."""
+    from pl_fuzzy_frame_match_spark.functions.sampling import (
+        sample_to_token_budget,
+        sample_to_token_budget_twopass,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for budget in (1, 120, 500, 10_000_000):
+        a = {
+            (r["doc_id"], r["n_tokens"])
+            for r in sample_to_token_budget(
+                docs, "text", "doc_id", "lang", budget
+            ).collect()
+        }
+        b = {
+            (r["doc_id"], r["n_tokens"])
+            for r in sample_to_token_budget_twopass(
+                docs, "text", "doc_id", "lang", budget
+            ).collect()
+        }
+        assert a == b, (budget, len(a), len(b))
