@@ -240,6 +240,39 @@ def bloom_contains(
     return _probe(probe, expr.isNull())
 
 
+_BLOOM_MAGIC = b"SGBLOOM1"
+
+
+def save_bloom(blm: BloomFilter, path: str) -> None:
+    """Persist the bitset as the cross-batch artifact of incremental
+    dedup: built once from the corpus, reloaded per arriving batch
+    (the plain-join alternative re-shuffles the corpus every batch).
+    Fixed self-describing layout — magic, m, k, int_mode, words —
+    readable on any machine (explicit little-endian)."""
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(_BLOOM_MAGIC)
+        f.write(struct.pack("<QQB", blm.m, blm.k, int(blm.int_mode)))
+        f.write(blm.words.astype("<u8").tobytes())
+
+
+def load_bloom(path: str) -> BloomFilter:
+    import struct
+
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if magic != _BLOOM_MAGIC:
+            raise ValueError(f"not a bloom filter file: {path}")
+        m, k, int_mode = struct.unpack("<QQB", f.read(17))
+        words = np.frombuffer(f.read(), dtype="<u8").astype(np.uint64)
+    if len(words) != m // 64:
+        raise ValueError(
+            f"corrupt bloom file {path}: {len(words)} words for m={m}"
+        )
+    return BloomFilter(words=words, m=m, k=k, int_mode=bool(int_mode))
+
+
 def bloom_semi_join(
     fact: DataFrame,
     keys: DataFrame,

@@ -120,3 +120,37 @@ def test_bloom_no_false_negatives_int_extremes(spark):
     fact = members.withColumnRenamed("key", "k")
     got = bloom_semi_join(fact, members, ("k", "key"))
     assert got.count() == 7  # every member must survive
+
+
+def test_bloom_save_load_roundtrip_and_incremental_reuse(spark, tmp_path):
+    """The persisted bitset is the cross-batch artifact: a reloaded
+    filter must behave identically to the in-memory one, and the
+    novelty pipeline run against it must equal a fresh computation."""
+    from pyspark.sql import functions as F
+
+    from pl_fuzzy_frame_match_spark.operators.bloom import (
+        bloom_contains,
+        load_bloom,
+        save_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(500)], ["doc_id", "text"]
+    ).select(F.md5(F.lower(F.col("text"))).alias("fp"))
+    blm = build_bloom(corpus, "fp")
+    path = str(tmp_path / "corpus.bloom")
+    save_bloom(blm, path)
+    blm2 = load_bloom(path)
+    assert blm2.m == blm.m and blm2.k == blm.k
+    assert blm2.int_mode == blm.int_mode
+    assert (blm2.words == blm.words).all()
+
+    batch = spark.createDataFrame(
+        [(1, "doc body 7"), (2, "novel thing")], ["id", "text"]
+    ).withColumn("fp", F.md5(F.lower(F.col("text"))))
+    a = {r["id"]: r["hit"] for r in batch.select(
+        "id", bloom_contains(batch, blm, "fp").alias("hit")).collect()}
+    b = {r["id"]: r["hit"] for r in batch.select(
+        "id", bloom_contains(batch, blm2, "fp").alias("hit")).collect()}
+    assert a == b
+    assert a[1] is True  # member of the corpus
