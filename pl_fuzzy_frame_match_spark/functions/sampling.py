@@ -332,3 +332,49 @@ def sample_to_token_budget_twopass(
     for p in out_parts[1:]:
         out = out.unionByName(p)
     return out.withColumnRenamed("__n_tokens", "n_tokens").drop("__bucket")
+
+
+def pack_contexts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stratum_col: str,
+    context_tokens: int = 512,
+) -> DataFrame:
+    """GPT-style sequence packing layout: within each stratum,
+    documents are concatenated in deterministic md5-of-id order and the
+    token stream is sliced into fixed ``context_tokens`` windows. Each
+    document's placement is pure arithmetic over the running token
+    offset: ``pack_id = offset // context`` and ``pack_offset =
+    offset % context`` (documents may straddle pack boundaries — the
+    standard packed-pretraining layout, with attention masking handled
+    downstream).
+
+    One window shuffle keyed on the stratum; same sequentiality note
+    (and the same boundary-bucket two-pass remedy) as
+    :func:`sample_to_token_budget`. Deterministic across engines, runs
+    and partition layouts, so shard manifests are reproducible.
+    """
+    from pyspark.sql import Window
+
+    from .text import token_count
+
+    pri = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(pri)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = token_count(F.col(text_col)).cast("long")
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("n_tokens", toks)
+        .withColumn("__off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .select(
+            F.col(id_col),
+            F.col(stratum_col),
+            "n_tokens",
+            F.expr(f"__off DIV {int(context_tokens)}").alias("pack_id"),
+            (F.col("__off") % context_tokens).cast("long").alias("pack_offset"),
+        )
+    )

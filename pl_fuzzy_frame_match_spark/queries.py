@@ -1051,6 +1051,35 @@ def docs_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_pack_contexts",
+    r"""
+    WITH t AS (SELECT doc_id, lang,
+                      len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+                      md5(CAST(doc_id AS STRING)) AS pri
+               FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY pri
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS off
+          FROM t)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(off // 512 AS BIGINT) AS pack_id,
+           CAST(off % 512 AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def docs_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence-packing layout: concatenate each language's
+    documents in deterministic md5 order, slice the token stream into
+    512-token contexts, and emit every document's (pack_id,
+    pack_offset) placement — a reproducible shard manifest. One window
+    shuffle keyed on the stratum."""
+    from .functions.sampling import pack_contexts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_contexts(docs, "text", "doc_id", "lang", context_tokens=512)
+
+
+@register(
     "docs_token_budget_mix",
     r"""
     WITH t AS (SELECT doc_id, lang,
