@@ -230,3 +230,47 @@ def test_repetition_stats_is_map_only(spark):
 
     plan = _plan(text_repetition(spark, "/root/testdata/sf0.001"))
     assert "Exchange" not in plan, plan
+
+
+def test_audit_api_counts_and_asserts(spark):
+    """The public plan-audit API (plans/audit.py) agrees with the raw
+    string checks these tests do by hand."""
+    import pytest
+
+    from pl_fuzzy_frame_match_spark.plans.audit import (
+        PlanAssertionError,
+        assert_max_shuffles,
+        assert_no_nested_loop,
+        assert_scan_pruned,
+        audit,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+    a = audit(docs)
+    assert a.exchanges - a.broadcast_exchanges == 0
+    assert a.nested_loop_joins == 0 and a.cartesian_products == 0
+    assert a.pushed_filters
+    assert_no_nested_loop(docs)
+    assert_max_shuffles(docs, 0)
+    assert_scan_pruned(docs, {"doc_id", "lang", "n_chars"})
+
+    # a theta join must trip the nested-loop assert
+    l = spark.range(10).select(F.col("id").alias("a"))
+    r = spark.range(10).select(F.col("id").alias("b"))
+    theta = l.join(r, l["a"] < r["b"])
+    with pytest.raises(PlanAssertionError):
+        assert_no_nested_loop(theta)
+
+    # an aggregate has exactly one real shuffle
+    agg = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).groupBy("lang").count()
+    assert_max_shuffles(agg, 1)
+    a2 = audit(agg)
+    assert a2.exchanges - a2.broadcast_exchanges == 1
+    with pytest.raises(PlanAssertionError):
+        assert_max_shuffles(agg, 0)
