@@ -191,12 +191,18 @@ def approx_scored_pairs(
         n_left_keys, n_right_keys, max_hamming,
         jaccard_distance, num_hashes, bands,
     )
-    d = distance_column(
-        metric, F.lower(F.col(left_col)), F.lower(F.col(right_col)),
-        dist_bound,
-    )
-    return pairs.withColumn(dist_col, d).filter(
-        F.col(dist_col) <= F.lit(dist_bound)
+    # alias the lowercased pair in a projection: an inline lower()
+    # inside the distance expression is re-evaluated at every
+    # reference (~6x per candidate under the banded-levenshtein cap);
+    # the alias binds one codegen variable per candidate row
+    la, lb = "__lc_scored_l", "__lc_scored_r"
+    d = distance_column(metric, F.col(la), F.col(lb), dist_bound)
+    return (
+        pairs.withColumn(la, F.lower(F.col(left_col)))
+        .withColumn(lb, F.lower(F.col(right_col)))
+        .withColumn(dist_col, d)
+        .filter(F.col(dist_col) <= F.lit(dist_bound))
+        .drop(la, lb)
     )
 
 
