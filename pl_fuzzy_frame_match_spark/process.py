@@ -25,14 +25,21 @@ def calculate_fuzzy_score(
     distance ``s``, keep ``s <= th_score`` (``th_score`` is the already
     REVERSED 0-1 distance bound, as in the reference), flip to
     similarity."""
-    a = F.lower(F.col(left_col_name))
-    b = F.lower(F.col(right_col_name))
+    # alias the lowered pair once (an inline lower() re-evaluates at
+    # every reference inside the banded-distance expression tree)
+    la, lb = "__lc_proc_l", "__lc_proc_r"
     return (
-        mapping_table.withColumn(
-            "s", distance_column(fuzzy_method, a, b, float(th_score))
+        mapping_table.withColumn(la, F.lower(F.col(left_col_name)))
+        .withColumn(lb, F.lower(F.col(right_col_name)))
+        .withColumn(
+            "s",
+            distance_column(
+                fuzzy_method, F.col(la), F.col(lb), float(th_score)
+            ),
         )
         .filter(F.col("s") <= F.lit(float(th_score)))
         .withColumn("s", F.lit(1.0) - F.col("s"))
+        .drop(la, lb)
     )
 
 
