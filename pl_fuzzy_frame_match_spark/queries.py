@@ -1835,6 +1835,47 @@ def semi_customers_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_lineitem",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS qty_nulls,
+           round(min(l_quantity), 6) AS qty_min,
+           round(max(l_quantity), 6) AS qty_max,
+           round(avg(l_quantity), 6) AS qty_avg,
+           round(stddev_samp(l_quantity), 6) AS qty_std,
+           round(min(l_extendedprice), 6) AS price_min,
+           round(max(l_extendedprice), 6) AS price_max,
+           round(avg(l_extendedprice), 6) AS price_avg,
+           count(DISTINCT l_linestatus) AS n_status
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (data-quality pass): per-group row counts, null
+    counts, min/max/avg/stddev and low-cardinality distinct counts in
+    ONE aggregate pass over the scan — the profiling shape a pipeline
+    runs before training ingestion. All partial-aggregatable, map-side
+    combined; one shuffle of tiny per-group states."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_quantity"))
+        .cast("long")
+        .alias("qty_nulls"),
+        F.round(F.min("l_quantity"), 6).alias("qty_min"),
+        F.round(F.max("l_quantity"), 6).alias("qty_max"),
+        F.round(F.avg("l_quantity"), 6).alias("qty_avg"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_std"),
+        F.round(F.min("l_extendedprice"), 6).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 6).alias("price_max"),
+        F.round(F.avg("l_extendedprice"), 6).alias("price_avg"),
+        F.countDistinct("l_linestatus").alias("n_status"),
+    )
+
+
+@register(
     "docs_quality_topk",
     """
     WITH q AS (
