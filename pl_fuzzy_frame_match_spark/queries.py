@@ -1438,6 +1438,58 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND e.ts > s.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS step_view,
+           (SELECT count(*) FROM c) AS step_click,
+           (SELECT count(*) FROM p) AS step_purchase
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that first qualifying click — the
+    classic event-analytics progression count. Each step is one
+    filtered aggregate on user_id (map-side combined) semi-joined to
+    the prior step's frontier; the frontier frames shrink
+    monotonically, so every subsequent join broadcasts under AQE.
+    Timestamps strictly ordered, so the result is insensitive to
+    event-row order."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+
+    def first_after(prior: DataFrame, etype: str, tcol: str, out: str):
+        e = events.filter(F.col("event_type") == etype)
+        j = e.join(prior, on="user_id", how="inner").filter(
+            F.col("ts") > F.col(tcol)
+        )
+        return j.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    s = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after(s, "click", "t1", "t2")
+    p = first_after(c, "purchase", "t2", "t3")
+    return (
+        s.agg(F.count(F.lit(1)).alias("step_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("step_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("step_purchase")))
+    )
+
+
+@register(
     "pipeline_corpus_clean",
     f"""
     WITH q AS (
