@@ -174,6 +174,27 @@ def stratified_sample_sql_predicate(
     return " OR ".join(parts)
 
 
+def _with_budget_tokens(
+    df: DataFrame, text_col: str, id_col: str, stratum_col: str
+) -> DataFrame:
+    """Shared pre-sampling normalization for the token-budget forms:
+    compute ``__n_tokens`` and reject rows with a null token count,
+    null id or null stratum. Both the window form and the two-pass form
+    start from THIS frame, so their null semantics agree by
+    construction (a null-token row inside an admitted bucket, or a null
+    stratum, would otherwise be included by one form and excluded — or
+    crash the driver's bucket sort — in the other)."""
+    from .text import token_count
+
+    return df.withColumn(
+        "__n_tokens", token_count(F.col(text_col)).cast("long")
+    ).filter(
+        F.col("__n_tokens").isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(stratum_col).isNotNull()
+    )
+
+
 def sample_to_token_budget(
     df: DataFrame,
     text_col: str,
@@ -203,17 +224,14 @@ def sample_to_token_budget(
     """
     from pyspark.sql import Window
 
-    from .text import token_count
-
     pri = F.md5(F.col(id_col).cast("string"))
     w = (
         Window.partitionBy(stratum_col)
         .orderBy(pri)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toks = token_count(F.col(text_col)).cast("long")
     return (
-        df.withColumn("__n_tokens", toks)
+        _with_budget_tokens(df, text_col, id_col, stratum_col)
         .withColumn("__cum", F.sum("__n_tokens").over(w))
         .filter(
             (F.col("__cum") - F.col("__n_tokens")) < F.lit(budget_tokens)
@@ -250,11 +268,9 @@ def sample_to_token_budget_twopass(
     ``16^prefix_chars``, and everything else is embarrassingly
     parallel. Widen ``prefix_chars`` to shrink it further.
     """
-    from .text import token_count
-
     pri = F.md5(F.col(id_col).cast("string"))
     bucket = F.substring(pri, 1, prefix_chars)
-    base = df.withColumn("__n_tokens", token_count(F.col(text_col)).cast("long")).withColumn(
+    base = _with_budget_tokens(df, text_col, id_col, stratum_col).withColumn(
         "__bucket", bucket
     )
     totals = (

@@ -327,17 +327,25 @@ def embedding_dedup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_blocks: int = 1,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (left_id < right_id) by embedding cosine
     similarity >= threshold — exact all-pairs via the BLAS block kernel:
     the corpus is broadcast as a row-normalized numpy matrix and each
     Arrow batch of rows scores against it with one GEMM, emitting only
     surviving pairs. No quadratic row-level join ever materializes.
-    ``n_blocks>1`` switches to :func:`blocked_embedding_dedup_pairs`,
-    the fully distributed block-GEMM path (identical results, no
-    driver collect / broadcast bound) for corpora past one executor's
-    memory."""
+
+    ``n_blocks`` is PLANNER-CHOSEN by default (``None``): one cheap
+    count x dim aggregate decides broadcast (fits one executor) vs
+    :func:`blocked_embedding_dedup_pairs`, the fully distributed
+    block-GEMM path (identical results, no driver collect / broadcast
+    bound — a 100x corpus switches instead of OOMing the broadcast).
+    Pass an explicit int to pin the strategy."""
+    if n_blocks is None:
+        from ..plans.planner import choose_vector_blocks, vector_corpus_stats
+
+        n_rows, dim = vector_corpus_stats(df, vec_col)
+        n_blocks = choose_vector_blocks(n_rows, dim)
     if n_blocks > 1:
         return blocked_embedding_dedup_pairs(
             df, vec_col, id_col, threshold, n_blocks

@@ -56,17 +56,24 @@ def brute_force_topk(
     vec_col: str,
     id_col: str,
     k: int = 5,
-    corpus_blocks: int = 1,
+    corpus_blocks: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per probe (excluding self-matches).
     Returns (query_id, neighbor_id, cosine_sim, rank); ties broken by
     ascending neighbor id for determinism.
 
-    ``corpus_blocks=1`` (default): the corpus is collected + broadcast
-    once — right while it fits one executor. ``corpus_blocks>1``
-    switches to :func:`blocked_topk`, the fully distributed block-GEMM
-    path with identical results (equivalence-tested) and no driver
-    collect or broadcast bound."""
+    ``corpus_blocks`` is PLANNER-CHOSEN by default (``None``): one
+    cheap count x dim aggregate picks collect+broadcast (fast while the
+    corpus fits one executor) vs :func:`blocked_topk`, the fully
+    distributed block-GEMM path with identical results
+    (equivalence-tested) and no driver collect or broadcast bound — a
+    corpus past the broadcast budget switches instead of OOMing. Pass
+    an explicit int to pin the strategy."""
+    if corpus_blocks is None:
+        from ..plans.planner import choose_vector_blocks, vector_corpus_stats
+
+        n_rows, dim = vector_corpus_stats(corpus, vec_col)
+        corpus_blocks = choose_vector_blocks(n_rows, dim)
     if corpus_blocks > 1:
         return blocked_topk(probes, corpus, vec_col, id_col, k, corpus_blocks)
     spark = probes.sparkSession
@@ -200,11 +207,22 @@ def ivf_topk(
     clusters' members. Candidates shrink by ~n_probe/n_clusters;
     :func:`brute_force_topk` is the correctness reference.
 
-    Same broadcast contract as the brute-force path: the corpus
-    (ids, normalized matrix, cluster assignments) must fit one
-    executor; past that, shard the corpus into blocks, build one IVF
-    per block, union and merge per-query top-k."""
+    Broadcast contract is PLANNER-ENFORCED: the corpus (ids,
+    normalized matrix, cluster assignments) is collected + broadcast
+    while it fits one executor; past the broadcast budget this
+    function hands off to :func:`ivf_topk_distributed` (sampled
+    centroids + cogroup GEMM, no driver-resident corpus) instead of
+    OOMing the collect."""
     import numpy as np
+
+    from ..plans.planner import choose_vector_blocks, vector_corpus_stats
+
+    n_rows, dim = vector_corpus_stats(corpus, vec_col)
+    if choose_vector_blocks(n_rows, dim) > 1:
+        return ivf_topk_distributed(
+            probes, corpus, vec_col, id_col, k=k, n_clusters=n_clusters,
+            n_probe=n_probe, kmeans_iters=kmeans_iters, seed=seed,
+        )
 
     spark = probes.sparkSession
     corpus_ids, corpus_mat = normalized_matrix(corpus, vec_col, id_col)
@@ -454,11 +472,14 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: equi-join on the random-hyperplane bucket,
     exact cosine re-rank within the bucket. Candidates shrink by
-    ~2^n_planes; recall measured against :func:`brute_force_topk`."""
+    ~2^n_planes; recall measured against :func:`brute_force_topk`.
+
+    Pass ``dim`` explicitly (array columns don't carry their length in
+    the Spark schema) — the hyperplanes are driver-built plan literals,
+    so leaving it ``None`` costs one single-row inference job before
+    planning."""
     if dim is None:
-        dim = len(
-            corpus.select(vec_col).first()[0]
-        )
+        dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     a = probes.select(
         F.col(id_col).alias("query_id"),

@@ -59,6 +59,10 @@ def audit(df: DataFrame) -> PlanAudit:
     side only and are the cheap kind)."""
     plan = physical_plan(df)
     broadcast_ex = len(re.findall(r"BroadcastExchange", plan))
+    # \bExchange\b cannot match inside "BroadcastExchange" ('t' is a
+    # word char, so there is no boundary before the 'E'), so this count
+    # is shuffle Exchanges ONLY — do not subtract broadcast_exchanges
+    # from it again downstream.
     all_ex = len(re.findall(r"\bExchange\b", plan))
     return PlanAudit(
         exchanges=all_ex,
@@ -90,9 +94,13 @@ def assert_no_nested_loop(df: DataFrame) -> None:
 
 def assert_max_shuffles(df: DataFrame, n: int) -> None:
     """Fail if the plan has more than ``n`` non-broadcast Exchanges —
-    the operator's shuffle budget (PLANS.md §5)."""
+    the operator's shuffle budget (PLANS.md §5). ``audit().exchanges``
+    already excludes BroadcastExchange (the regex can't match inside
+    the longer token), so it is used directly — subtracting
+    ``broadcast_exchanges`` again would under-count and wave through
+    over-budget plans that contain broadcast joins."""
     a = audit(df)
-    real = a.exchanges - a.broadcast_exchanges
+    real = a.exchanges
     if real > n:
         raise PlanAssertionError(
             f"{real} shuffles in plan, budget is {n}", a.plan

@@ -120,3 +120,51 @@ def choose_candidate_strategy(
     else:
         use_approx = bool(use_appr_nearest_neighbor)
     return Strategy(use_approx=use_approx, cartesian=cartesian)
+
+
+# ---------------------------------------------------------------------------
+# Vector-family physical strategy (the analogue of choose_candidate_strategy
+# for embedding operators): broadcast the corpus matrix while it fits one
+# executor, switch to the distributed block-GEMM paths past that. The
+# reference's analogue is its 1e8 exact<->ANN crossover
+# (/root/reference/pl_fuzzy_frame_match/matcher.py:250,327) — a planner
+# decision, never a caller knob.
+# ---------------------------------------------------------------------------
+
+# One executor must hold the broadcast (ids + float64 matrix) alongside
+# task memory. 256 MB = ~500K rows of dim-64 / ~40K rows of dim-768 —
+# past it a 100x corpus would OOM the broadcast, so the planner switches
+# to blocks instead of the caller having to know.
+BROADCAST_VECTOR_BYTES = 256 << 20
+# Target packed-block size for the blocked paths: small enough that a
+# task holds two blocks plus the GEMM output, big enough that per-block
+# scheduling overhead stays negligible.
+VECTOR_BLOCK_BYTES = 64 << 20
+
+
+def vector_corpus_stats(df: DataFrame, vec_col: str) -> Tuple[int, int]:
+    """(row count, max vector length) in ONE aggregate pass — the cheap
+    stat the vector crossover needs (dim is not in the schema for
+    ``array`` columns, and a full count is one map-side-combined scan)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(F.size(vec_col)).alias("__dim"),
+    ).collect()[0]
+    return int(row["__n"] or 0), int(row["__dim"] or 0)
+
+
+def vector_matrix_bytes(n_rows: int, dim: int) -> int:
+    """Resident size of the corpus as (int64 ids + float64 matrix)."""
+    return n_rows * (8 + dim * 8)
+
+
+def choose_vector_blocks(n_rows: int, dim: int) -> int:
+    """Physical strategy for the embedding operators: 1 = collect +
+    broadcast the corpus matrix (GEMM against a broadcast — the fast
+    shape while it fits), >1 = the distributed block paths with this
+    many corpus blocks. Reads the module constants at call time so
+    tests can force the crossover."""
+    size = vector_matrix_bytes(n_rows, dim)
+    if size <= BROADCAST_VECTOR_BYTES:
+        return 1
+    return max(2, -(-size // VECTOR_BLOCK_BYTES))

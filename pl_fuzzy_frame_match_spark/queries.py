@@ -150,42 +150,40 @@ def fuzzy_join_jw_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_join_exact_xl",
     """
-    SELECT p.p_partkey, p.p_name, c.c_custkey, c.c_name,
-           round(1.0 - levenshtein(lower(p_name), lower(c_name))
-                 / greatest(length(p_name), length(c_name), 1), 6)
-               AS p_name_vs_c_name_levenshtein
-    FROM (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 10000) p
+    SELECT a.c_custkey, a.c_name,
+           b.c_custkey AS c_custkey_right, b.c_name AS c_name_right,
+           round(1.0 - levenshtein(lower(a.c_name), lower(b.c_name))
+                 / greatest(length(a.c_name), length(b.c_name), 1), 6)
+               AS c_name_vs_c_name_right_levenshtein
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 10000) a
     CROSS JOIN (SELECT c_custkey, c_name FROM customer
-                WHERE c_custkey <= 8000) c
-    WHERE p_name IS NOT NULL AND c_name IS NOT NULL
-      AND levenshtein(lower(p_name), lower(c_name))
-          / greatest(length(p_name), length(c_name), 1) <= 0.60
+                WHERE c_custkey % 15 < 8) b
+    WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+      AND levenshtein(lower(a.c_name), lower(b.c_name))
+          / greatest(length(a.c_name), length(b.c_name), 1) <= 0.10
     """,
 )
 def fuzzy_join_exact_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BASELINE.md's 10K x 8K exact row (80M pairs at sf0.1,
-    reference M3: 18.67 s): every pair pays the banded-levenshtein
-    kernel; cross-family strings (part names x customer addresses)
-    keep the match output sparse like the reference's typo benchmark,
-    so the timing isolates exact-path scoring throughput rather than
-    result materialization. Key-range predicates (not LIMIT) keep the
-    inputs deterministic for the oracle."""
-    part = (
-        load_table(spark, sf_dir, "part")
-        .filter(F.col("p_partkey") <= 10000)
-        .select("p_partkey", "p_name")
-    )
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") <= 8000)
-        .select("c_custkey", "c_name")
-    )
+    """BASELINE.md's 10K x 8K exact row (80M pairs at sf0.1, reference
+    M3: 18.67 s): every pair pays the banded-levenshtein kernel. Both
+    sides are near-unique customer-name subsets (custkey range vs
+    custkey mod — predicates, not LIMIT, so inputs are deterministic
+    for the oracle), giving 10,001 x 8,000 keys at sf0.1 and a REAL
+    match set at every scale: names are fixed 18-char strings, so
+    threshold 90 admits exactly the <=1-edit neighborhood (sim 17/18 ~
+    0.944 passes, 16/18 ~ 0.889 does not — a wide numeric margin for
+    the cross-engine hash compare; ~200K of 80M pairs survive at sf0.1,
+    ~21.6K of 1.2M at sf0.01, so the gate validates non-trivial output
+    while the timing still isolates exact-path scoring throughput)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    left = cust.filter(F.col("c_custkey") <= 10000)
+    right = cust.filter(F.col("c_custkey") % 15 < 8)
     out = fuzzy_match_dfs(
-        part,
-        cust,
-        [FuzzyMapping("p_name", "c_name", threshold_score=40.0)],
+        left,
+        right,
+        [FuzzyMapping("c_name", "c_name", threshold_score=90.0)],
     )
-    return _round6(out, "p_name_vs_c_name_levenshtein")
+    return _round6(out, "c_name_vs_c_name_right_levenshtein")
 
 
 @register(
@@ -753,7 +751,10 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 50)
-    out = lsh_topk(probes, emb, "embedding", "vec_id", k=5, n_planes=8)
+    # dim passed explicitly (TESTDATA embeddings are dim-64): the
+    # hyperplanes are plan literals, so inferring dim would cost a
+    # single-row job before planning
+    out = lsh_topk(probes, emb, "embedding", "vec_id", k=5, n_planes=8, dim=64)
     return _round6(out, "cosine_sim").withColumn(
         "rank", F.col("rank").cast("long")
     )
@@ -1085,7 +1086,9 @@ def docs_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, lang,
                       len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
                       md5(CAST(doc_id AS STRING)) AS pri
-               FROM documents),
+               FROM documents
+               WHERE text IS NOT NULL AND doc_id IS NOT NULL
+                 AND lang IS NOT NULL),
     c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY pri
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM t)
@@ -2074,9 +2077,11 @@ def doc_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     "dedup_incremental",
     """
     WITH seen AS (SELECT DISTINCT md5(lower(text)) AS fp
-                  FROM documents WHERE doc_id % 3 = 0),
+                  FROM documents
+                  WHERE doc_id % 3 = 0 AND text IS NOT NULL),
     batch AS (SELECT doc_id, md5(lower(text)) AS fp
-              FROM documents WHERE doc_id % 3 <> 0)
+              FROM documents
+              WHERE doc_id % 3 <> 0 AND text IS NOT NULL)
     SELECT b.doc_id, b.fp AS fingerprint
     FROM batch b
     WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
@@ -2094,7 +2099,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-per-fingerprint aggregate over the survivors."""
     from .operators.bloom import bloom_semi_join
 
-    docs = load_table(spark, sf_dir, "documents")
+    # null text is rejected on BOTH sides (matching the oracle's
+    # text IS NOT NULL): md5(lower(NULL)) is NULL, a Bloom probe of
+    # NULL is always False, and the oracle's NOT EXISTS + min-per-fp
+    # subqueries both null-reject — without the filter Spark would
+    # emit one (min doc_id, NULL) row the oracle never produces.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     fp = F.md5(F.lower(F.col("text")))
     seen = docs.filter(F.col("doc_id") % 3 == 0).select(fp.alias("fp"))
     batch = docs.filter(F.col("doc_id") % 3 != 0).select(

@@ -88,6 +88,32 @@ def test_distributed_build_matches_single_partition(spark):
     assert (many.words == one.words).all()
 
 
+def test_build_deep_tree_and_empty_inputs(spark):
+    """The executor-side tree merge (VERDICT r2 #2): a build over many
+    partitions — past the depth-2 threshold, so the reduce really goes
+    through intermediate executor rounds — matches the single-partition
+    build bit for bit; an all-null key frame yields an empty (all-miss)
+    filter instead of crashing the reduce."""
+    members = spark.range(0, 3000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    deep = build_bloom(members.repartition(96), "key")
+    one = build_bloom(members.coalesce(1), "key")
+    assert deep.m == one.m and deep.k == one.k
+    assert (deep.words == one.words).all()
+
+    nulls = spark.range(0, 10).select(
+        F.lit(None).cast("string").alias("key")
+    )
+    empty = build_bloom(nulls, "key")
+    assert int(empty.words.sum()) == 0
+    probe = spark.range(0, 5).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    hits = probe.filter(bloom_contains(probe, empty, "key")).count()
+    assert hits == 0
+
+
 def test_int_hash_pair_properties():
     """Integer fast path: deterministic across calls, no collisions of
     the two streams, h2 always odd, exact at int64 extremes."""

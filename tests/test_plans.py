@@ -251,7 +251,7 @@ def test_audit_api_counts_and_asserts(spark):
         .select("doc_id", "n_chars")
     )
     a = audit(docs)
-    assert a.exchanges - a.broadcast_exchanges == 0
+    assert a.exchanges == 0
     assert a.nested_loop_joins == 0 and a.cartesian_products == 0
     assert a.pushed_filters
     assert_no_nested_loop(docs)
@@ -271,6 +271,33 @@ def test_audit_api_counts_and_asserts(spark):
     ).groupBy("lang").count()
     assert_max_shuffles(agg, 1)
     a2 = audit(agg)
-    assert a2.exchanges - a2.broadcast_exchanges == 1
+    assert a2.exchanges == 1
+    with pytest.raises(PlanAssertionError):
+        assert_max_shuffles(agg, 0)
+
+
+def test_audit_shuffle_count_with_broadcast_join(spark):
+    """``audit().exchanges`` counts shuffle Exchanges only: a plan with
+    a BroadcastHashJoin must NOT have its broadcast exchange
+    double-discounted (the old ``exchanges - broadcast_exchanges``
+    under-counted and passed over-budget plans)."""
+    import pytest
+
+    from pl_fuzzy_frame_match_spark.plans.audit import (
+        PlanAssertionError,
+        assert_max_shuffles,
+        audit,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dims = spark.createDataFrame([("en",), ("de",)], ["lang"])
+    # broadcast join (0 shuffles) feeding an aggregate (1 shuffle)
+    joined = docs.join(F.broadcast(dims), on="lang", how="inner")
+    agg = joined.groupBy("lang").count()
+    a = audit(agg)
+    assert a.broadcast_hash_joins >= 1, a.plan
+    assert a.broadcast_exchanges >= 1, a.plan
+    assert a.exchanges == 1, a.plan  # the groupBy only; never negative
+    assert_max_shuffles(agg, 1)
     with pytest.raises(PlanAssertionError):
         assert_max_shuffles(agg, 0)
