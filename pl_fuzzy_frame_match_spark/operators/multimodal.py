@@ -2,11 +2,14 @@
 metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schema, partitioning, UDF signature, batch
-shape) is real and tested; the actual media decoding is STUBBED — the
-image/audio libraries are not in this container. ``decode_image``
-raises ``NotImplementedError`` unless ``fake=True``, in which case it
-derives deterministic pseudo-metadata from the bytes so the pipeline
-shape can be exercised end-to-end.
+shape) is real and tested. Media decoding probes for its optional
+dependency at execution time: ``decode_image`` uses Pillow when
+importable (null-metadata rows for undecodable payloads — a corrupt
+image must never kill a 100 TB stage) and otherwise raises
+``NotImplementedError`` unless ``fake=True``, in which case it derives
+deterministic pseudo-metadata from the bytes so the pipeline shape can
+be exercised end-to-end without the library. ffmpeg-backed frame
+sampling and model-backed feature extraction remain honest stubs.
 """
 
 from __future__ import annotations
@@ -58,6 +61,18 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 4
 
 
+def pil_available() -> bool:
+    """Optional-dependency probe: True when Pillow is importable (it is
+    NOT shipped in this container — the probe makes the real decode
+    path light up automatically wherever the library exists)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
 def decode_image(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -68,15 +83,27 @@ def decode_image(
     (Arrow batches, one Python worker per partition — the production
     shape for CPU-bound media decode on a Spark cluster).
 
-    STUB: real decoding needs PIL/ffmpeg, absent here. ``fake=True``
-    substitutes :func:`_fake_decode` so tests exercise the full Spark
-    plumbing; ``fake=False`` raises ``NotImplementedError`` at
-    execution time.
+    Real path: when Pillow is importable (:func:`pil_available`),
+    ``fake=False`` decodes each payload with ``PIL.Image.open`` and
+    emits (width, height, channels); payloads Pillow cannot parse emit
+    NULL dimensions instead of failing the job — at 100 TB a corrupt
+    image must never kill a stage. When Pillow is absent, ``fake=False``
+    raises ``NotImplementedError`` at execution time (honest stub) and
+    ``fake=True`` substitutes :func:`_fake_decode` so tests exercise
+    the full Spark plumbing either way.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_pil = False
+        if not fake:
+            try:
+                from PIL import Image  # noqa: F401
+
+                use_pil = True
+            except Exception:
+                pass
         for pdf in batches:
-            if not fake:
+            if not fake and not use_pil:
                 raise NotImplementedError(
                     "image decoding requires PIL/libvips — not available in "
                     "this environment; pass fake=True for the deterministic stub"
@@ -84,8 +111,28 @@ def decode_image(
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
-                w, h, c = _fake_decode(data)
-                rows.append((rid, len(data), w, h, c))
+                if fake:
+                    w, h, c = _fake_decode(data)
+                    rows.append((rid, len(data), w, h, c))
+                    continue
+                try:
+                    import io
+
+                    from PIL import Image
+
+                    with Image.open(io.BytesIO(data)) as img:
+                        rows.append(
+                            (
+                                rid,
+                                len(data),
+                                int(img.width),
+                                int(img.height),
+                                len(img.getbands()),
+                            )
+                        )
+                except Exception:
+                    # undecodable payload: metadata nulls, row survives
+                    rows.append((rid, len(data), None, None, None))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in DECODED_META_SCHEMA.fields]
             )

@@ -244,16 +244,20 @@ def test_blocked_sketch_scan_equals_unblocked(spark, monkeypatch):
     assert blocked == unblocked and len(unblocked) > 0
 
 
-def test_ann_with_all_empty_right_keys(spark):
+def test_ann_with_all_empty_right_keys(spark, monkeypatch):
     """A right frame whose keys are all empty strings passes the O7
     empty-frame early-exit but must yield an empty (not crashing)
-    ANN result."""
+    ANN result — on BOTH the catalyst top-N tier (default at this
+    volume) and the sketch-scan tier (forced)."""
+    from pl_fuzzy_frame_match_spark.operators import candidates as cand
+
     left = spark.createDataFrame([("alpha",), ("beta",)], ["a"])
     right = spark.createDataFrame([("",), ("",)], ["b"])
-    out = fuzzy_match_dfs(
-        left, right, [FuzzyMapping("a", "b", threshold_score=50.0)],
-        use_appr_nearest_neighbor=True,
-    )
+    maps = [FuzzyMapping("a", "b", threshold_score=50.0)]
+    out = fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=True)
+    assert out.count() == 0
+    monkeypatch.setattr(cand, "ANN_CATALYST_CAP", -1.0)
+    out = fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=True)
     assert out.count() == 0
 
 
@@ -314,6 +318,11 @@ def test_fused_rescoring_matches_jvm_scoring(spark, monkeypatch, metric):
 
     if not natk.native_available():
         pytest.skip("no C toolchain")
+    # pin the SKETCH tier: at this volume the ANN path would otherwise
+    # plan as the catalyst top-N tier and never touch the C scanner
+    from pl_fuzzy_frame_match_spark.operators import candidates as cand
+
+    monkeypatch.setattr(cand, "ANN_CATALYST_CAP", -1.0)
     import random
 
     rng = random.Random(23)

@@ -156,11 +156,45 @@ def test_multimodal_stub_plumbing(spark, docs):
     assert (r0["width"], r0["height"], r0["channels"]) == (
         r1["width"], r1["height"], r1["channels"]
     )
-    # real decode is stubbed
-    import pyspark.errors
+    # without Pillow the real path must raise (honest stub); with it,
+    # the PIL golden test below covers real decoding
+    from pl_fuzzy_frame_match_spark.operators.multimodal import pil_available
 
-    with pytest.raises(Exception):
-        decode_image(payload, fake=False).collect()
+    if not pil_available():
+        with pytest.raises(Exception):
+            decode_image(payload, fake=False).collect()
+
+
+def test_multimodal_real_decode_golden_with_pil(spark):
+    """Value-checked REAL decode: skipped when Pillow is absent (this
+    container), runs wherever the optional dep exists. Known-geometry
+    PNGs decode to exact (width, height, channels); an undecodable
+    payload yields a null-metadata row instead of failing the stage."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import decode_image
+
+    def png(w, h, mode):
+        buf = io.BytesIO()
+        PIL.new(mode, (w, h)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, bytearray(png(17, 9, "RGB"))),
+        (2, bytearray(png(300, 200, "L"))),
+        (3, bytearray(png(64, 64, "RGBA"))),
+        (4, bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["channels"])
+        for r in decode_image(df, fake=False).collect()
+    }
+    assert got[1] == (17, 9, 3)
+    assert got[2] == (300, 200, 1)
+    assert got[3] == (64, 64, 4)
+    assert got[4] == (None, None, None)
 
 
 def test_streaming_matches_batch(spark, tmp_path):

@@ -191,7 +191,10 @@ def _match_pairs(df):
     return {(r["lid"], r["rid"]) for r in df.select("lid", "rid").collect()}
 
 
-def test_ann_sketch_scan_recall_vs_exact(spark):
+def test_ann_catalyst_topn_recall_vs_exact(spark):
+    """Default forced-ANN at small pair volume plans as the catalyst
+    top-N tier — no hamming prefilter, so recall should be essentially
+    1 whenever matches-per-key stay under top_n."""
     from pl_fuzzy_frame_match_spark.models import FuzzyMapping
     from pl_fuzzy_frame_match_spark.operators.matcher import fuzzy_match_dfs
 
@@ -201,6 +204,28 @@ def test_ann_sketch_scan_recall_vs_exact(spark):
         fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=False)
     )
     assert len(exact) > 100  # the generator must produce real matches
+    ann = _match_pairs(
+        fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=True)
+    )
+    assert ann <= exact  # ANN is a subset of the exact result (lossy only)
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.99, f"catalyst top-N recall {recall:.3f} < 0.99"
+
+
+def test_ann_sketch_scan_recall_vs_exact(spark, monkeypatch):
+    from pl_fuzzy_frame_match_spark.models import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.operators import candidates
+    from pl_fuzzy_frame_match_spark.operators.matcher import fuzzy_match_dfs
+
+    left, right = _typo_name_frames(spark)
+    maps = [FuzzyMapping("lname", "rname", threshold_score=75.0)]
+    exact = _match_pairs(
+        fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=False)
+    )
+    assert len(exact) > 100  # the generator must produce real matches
+    # force the sketch-scan tier (normally chosen only past the
+    # catalyst cap) so its hamming-prefilter recall stays gated
+    monkeypatch.setattr(candidates, "ANN_CATALYST_CAP", -1.0)
     ann = _match_pairs(
         fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=True)
     )
@@ -220,6 +245,7 @@ def test_ann_banded_recall_vs_exact(spark, monkeypatch):
         fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=False)
     )
     # force the MinHash-banding fallback (normally only past 1e11 pairs)
+    monkeypatch.setattr(candidates, "ANN_CATALYST_CAP", -1.0)
     monkeypatch.setattr(candidates, "SKETCH_SCAN_CAP", 0.0)
     banded = _match_pairs(
         fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=True)
@@ -227,6 +253,47 @@ def test_ann_banded_recall_vs_exact(spark, monkeypatch):
     assert banded <= exact
     recall = len(banded & exact) / len(exact)
     assert recall >= 0.9, f"banded recall {recall:.3f} < 0.9"
+
+
+def test_banded_bucket_cap_bounds_hot_family(spark, monkeypatch):
+    """Skew guard (VERDICT r2 #7): a degenerate key family that
+    collapses into one LSH bucket per band must have its candidate
+    volume bounded by the per-bucket cap — with a tiny forced cap the
+    banding path still completes, respects top_n, and stays a subset
+    of the exact join."""
+    from pl_fuzzy_frame_match_spark.models import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.operators import candidates
+    from pl_fuzzy_frame_match_spark.operators.matcher import fuzzy_match_dfs
+
+    # one hot family: shared long stem, only the suffix digit varies ->
+    # near-identical shingle sets, every key in the same bucket
+    left = spark.createDataFrame(
+        [(i, f"megacorp industrial holdings unit {i:03d}") for i in range(300)],
+        ["lid", "lname"],
+    )
+    right = spark.createDataFrame(
+        [(j, f"megacorp industrial holdings unit {j:03d}") for j in range(0, 300, 3)],
+        ["rid", "rname"],
+    )
+    maps = [FuzzyMapping("lname", "rname", threshold_score=90.0)]
+    exact = _match_pairs(
+        fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=False)
+    )
+    assert exact
+    # force the banding tier AND a cap far below the family size
+    monkeypatch.setattr(candidates, "ANN_CATALYST_CAP", -1.0)
+    monkeypatch.setattr(candidates, "SKETCH_SCAN_CAP", 0.0)
+    monkeypatch.setattr(candidates, "BANDED_BUCKET_CAP", 16)
+    capped = _match_pairs(
+        fuzzy_match_dfs(
+            left, right, maps, use_appr_nearest_neighbor=True, top_n=5
+        )
+    )
+    assert capped <= exact  # capping only removes candidates
+    per_left = {}
+    for l, r in capped:
+        per_left[l] = per_left.get(l, 0) + 1
+    assert all(v <= 5 for v in per_left.values())
 
 
 # ---------------------------------------------------------------------------
