@@ -61,7 +61,15 @@ from .candidates import (
     approx_scored_pairs,
     attach_index_lists,
     exact_candidates,
+    max_key_length,
+    neighborhood1_scored_pairs,
 )
+
+# Attempt the deletion-neighborhood rewrite (cap <= 1) only when the
+# distance bound is small enough that SOME realistic key length
+# satisfies floor(bound * maxlen) <= 1 — avoids paying the max-length
+# probe on clearly-inapplicable thresholds.
+NEIGHBORHOOD_BOUND_GATE = 0.2
 
 LEFT_INDEX = "__left_index"
 RIGHT_INDEX = "__right_index"
@@ -188,6 +196,58 @@ def first_round_matches(
             .withColumn(LEFT_INDEX, F.explode(LEFT_INDEX))
             .withColumn(RIGHT_INDEX, F.explode(RIGHT_INDEX))
             .withColumn(mapping.output_column_name, F.lit(1.0))
+        )
+    from .candidates import SKETCH_SCAN_CAP
+
+    cartesian = max(n_left_keys, 1) * max(n_right_keys, 1)
+    neighborhood_ok = (
+        use_appr_nearest_neighbor is not True  # forced ANN stays ANN
+        and mapping.fuzzy_type == "levenshtein"
+        and 0.0 < mapping.reversed_threshold_score <= NEIGHBORHOOD_BOUND_GATE
+        and int(
+            mapping.reversed_threshold_score
+            * max(
+                max_key_length(left_keys, mapping.left_col),
+                max_key_length(right_keys, mapping.right_col),
+            )
+        )
+        <= 1
+    )
+    if neighborhood_ok and (
+        cartesian <= cross_over  # replaces the cartesian: always wins
+        or cartesian > SKETCH_SCAN_CAP  # replaces lossy banding: exact AND cheaper
+        or use_appr_nearest_neighbor is False  # forced exact at any volume
+    ):
+        # O9 (engine-original rewrite, no reference analogue): every
+        # pair's banded cap floor(bound * maxlen) is <= 1, so the
+        # threshold can only admit lev <= 1 pairs — plan candidate
+        # generation as a deletion-neighborhood EQUI-join (FastSS):
+        # |key|+1 variant rows per key, hash join, exact rescore.
+        # Lossless and linear in the key count. Policy: below the
+        # crossover it replaces the cartesian outright; in the
+        # mid-volume ANN window the fused sketch scan stays (its
+        # measured constant beats the variant join's shuffles); past
+        # the sketch cap it replaces MinHash banding — an EXACT plan
+        # where the reference can only go lossy, at any volume (the
+        # 1e14 abort stops applying to these thresholds).
+        scored = neighborhood1_scored_pairs(
+            left_keys, right_keys, mapping.left_col, mapping.right_col,
+            mapping.reversed_threshold_score, dist_col=_DIST,
+            n_left_keys=n_left_keys, n_right_keys=n_right_keys,
+        ).withColumn(_SCORE, F.lit(1.0) - F.col(_DIST))
+        survivors = attach_index_lists(
+            scored, left_keys, right_keys, mapping.left_col, mapping.right_col,
+            n_left_keys, n_right_keys,
+        )
+        return (
+            survivors.select(_SCORE, LEFT_INDEX, RIGHT_INDEX)
+            .withColumn(LEFT_INDEX, F.explode(LEFT_INDEX))
+            .withColumn(RIGHT_INDEX, F.explode(RIGHT_INDEX))
+            .select(
+                LEFT_INDEX,
+                RIGHT_INDEX,
+                F.col(_SCORE).alias(mapping.output_column_name),
+            )
         )
     strategy = choose_candidate_strategy(
         n_left_keys, n_right_keys, use_appr_nearest_neighbor, cross_over

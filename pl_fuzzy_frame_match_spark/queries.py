@@ -304,11 +304,29 @@ def fuzzy_join_jaro(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "c_name_vs_s_name_jaro")
 
 
-@register("fuzzy_join_ann", None)  # ANN is lossy by design -> rows-only check
+@register(
+    "fuzzy_join_ann",
+    """
+    SELECT c.*, s.*,
+           round(1.0 - levenshtein(lower(c_name), lower(s_name))
+                 / greatest(length(c_name), length(s_name), 1), 6)
+               AS c_name_vs_s_name_levenshtein
+    FROM customer c CROSS JOIN supplier s
+    WHERE c_name IS NOT NULL AND s_name IS NOT NULL
+      AND levenshtein(lower(c_name), lower(s_name))
+          / greatest(length(c_name), length(s_name), 1) <= 0.30
+    """,
+)
 def fuzzy_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forced LSH-approximate candidate path (reference
-    cross_join_large_files): MinHash banding over 3-gram shingles, top-N per
-    key, then exact rescoring + threshold."""
+    """Forced approximate candidate path (reference
+    cross_join_large_files). At this pair volume the ANN planner picks
+    the pure-Catalyst top-N tier — exact scoring + per-key top-N cap —
+    and because no left key has anywhere near top_n=500 matches at the
+    gate scale, the cap never truncates and the result EQUALS the
+    exact join: the lossy-by-design operator becomes oracle-checkable
+    exactly where its chosen tier is lossless. (At volumes where the
+    sketch-scan tier kicks in, recall gates in tests/test_properties.py
+    take over.)"""
     left = load_table(spark, sf_dir, "customer")
     right = load_table(spark, sf_dir, "supplier")
     out = fuzzy_match_dfs(

@@ -116,6 +116,41 @@ def test_ann_catalyst_tier_has_no_python_stage(spark):
     assert all(v <= 10 for v in per_left.values())
 
 
+def test_neighborhood_rewrite_is_equi_join_and_lossless(spark, monkeypatch):
+    """O9: with a levenshtein bound implying edit cap <= 1 for every
+    pair, the exact path must plan as a deletion-neighborhood hash
+    join (no cartesian anywhere) and produce EXACTLY the cross-join
+    path's rows."""
+    from pl_fuzzy_frame_match_spark.models import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.operators import matcher as M
+
+    left = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}") for i in range(400)], ["lid", "lname"]
+    )
+    right = spark.createDataFrame(
+        [(j, f"Customer#{j:09d}") for j in range(0, 1200, 3)], ["rid", "rname"]
+    )
+    maps = [FuzzyMapping("lname", "rname", threshold_score=90.0)]
+
+    out = M.fuzzy_match_dfs(left, right, maps)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def rows(df):
+        return sorted(
+            (r["lid"], r["rid"], round(r["lname_vs_rname_levenshtein"], 9))
+            for r in df.collect()
+        )
+
+    got = rows(out)
+    assert got  # 1-edit neighbors must exist
+    # disable the rewrite -> reference cross-join path, identical rows
+    monkeypatch.setattr(M, "NEIGHBORHOOD_BOUND_GATE", -1.0)
+    want = rows(M.fuzzy_match_dfs(left, right, maps))
+    assert got == want
+
+
 def test_exact_candidates_broadcast_small_side(spark):
     from pl_fuzzy_frame_match_spark.operators.candidates import (
         exact_candidates,

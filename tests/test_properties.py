@@ -313,7 +313,10 @@ _rand_text = st.one_of(
 @given(
     left_vals=st.lists(_rand_text, min_size=0, max_size=12),
     right_vals=st.lists(_rand_text, min_size=0, max_size=10),
-    th=st.sampled_from([1.0, 40.0, 75.0, 100.0]),
+    # 90 puts levenshtein runs through the deletion-neighborhood
+    # rewrite (bound 0.10 <= gate), so the brute-force model also
+    # pins O9's losslessness on adversarial inputs
+    th=st.sampled_from([1.0, 40.0, 75.0, 90.0, 100.0]),
     metric=st.sampled_from(["levenshtein", "jaro_winkler", "indel"]),
 )
 def test_fuzzy_match_random_equivalence(spark, left_vals, right_vals, th, metric):
