@@ -29,6 +29,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Below this (symmetrized, deduped) edge count the component labeling
+# runs as a driver-side union-find over one collect — near-dup edge
+# sets are a tiny fraction of any corpus (256 edges from 5K docs at
+# the bench scale), and the distributed loop's per-round fixed cost
+# (checkpoint + convergence probe jobs) dwarfs the actual work there.
+# 2M (u, v) longs is ~32 MB on the driver. Past the limit the
+# pointer-jumping loop below is the (unchanged) 100 TB path — the
+# crossover is planner-chosen from the measured count, same pattern as
+# the vector family's broadcast <-> blocked switch.
+SMALL_GRAPH_EDGE_LIMIT = 2_000_000
+
+
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Min-id union-find over a collected edge list; returns the same
+    (node, component) contract as the distributed loop (min reachable
+    id — unique fixpoint, so the two paths agree exactly)."""
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym.collect():
+        u, v = row["u"], row["v"]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN id: the root is always the component min
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    rows = [(n, find(n)) for n in parent]
+    return sym.sparkSession.createDataFrame(
+        rows, "node long, component long"
+    )
+
 
 def connected_components(
     edges: DataFrame,
@@ -48,6 +92,8 @@ def connected_components(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
     sym = sym.localCheckpoint(eager=True)
+    if sym.count() <= SMALL_GRAPH_EDGE_LIMIT:  # free: checkpointed
+        return _driver_union_find(sym)
 
     labels = (
         sym.groupBy("u")
@@ -79,7 +125,10 @@ def connected_components(
                     F.coalesce(prop["nlabel"], labels["label"]),
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the convergence probe below is the
+            # round's first action and materializes it — one job per
+            # round instead of (eager checkpoint + probe)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

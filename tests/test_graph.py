@@ -23,12 +23,38 @@ def test_two_components_and_cycle(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
 
 
-def test_long_chain_converges_logarithmically(spark):
+def test_long_chain_converges_logarithmically(spark, monkeypatch):
     # a 64-node path: naive min-propagation needs ~63 rounds; the
-    # pointer-jumping frontier must finish well inside max_rounds=12
+    # pointer-jumping frontier must finish well inside max_rounds=12.
+    # Force the distributed loop (small edge sets otherwise take the
+    # driver union-find fast path).
+    from pl_fuzzy_frame_match_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "SMALL_GRAPH_EDGE_LIMIT", -1)
     edges = [(i, i + 1) for i in range(63)]
     got = _cc(spark, edges, max_rounds=12)
     assert got == {(i, 0) for i in range(64)}
+
+
+def test_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The small-graph driver union-find and the pointer-jumping loop
+    are the same operator — their labelings must be identical (min
+    reachable id is a unique fixpoint) on a mixed graph of chains,
+    cycles, stars and singleton bridges."""
+    import random
+
+    from pl_fuzzy_frame_match_spark.operators import graph as G
+
+    rng = random.Random(41)
+    edges = [(i, i + 1) for i in range(0, 30)]          # chain
+    edges += [(100 + i, 100 + (i + 1) % 7) for i in range(7)]  # cycle
+    edges += [(200, 200 + i) for i in range(1, 9)]      # star
+    edges += [(rng.randrange(300, 340), rng.randrange(300, 340))
+              for _ in range(25)]                        # random blob
+    fast = _cc(spark, edges)
+    monkeypatch.setattr(G, "SMALL_GRAPH_EDGE_LIMIT", -1)
+    slow = _cc(spark, edges)
+    assert fast == slow
 
 
 def test_min_id_not_an_endpoint_ordering(spark):
@@ -65,7 +91,10 @@ def test_empty_edges(spark):
     assert canonical_corpus(df, pairs, "doc_id").count() == 2
 
 
-def test_nonconvergence_raises(spark):
+def test_nonconvergence_raises(spark, monkeypatch):
+    from pl_fuzzy_frame_match_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "SMALL_GRAPH_EDGE_LIMIT", -1)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], ["left_id", "right_id"]
     )
