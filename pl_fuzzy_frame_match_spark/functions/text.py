@@ -513,3 +513,114 @@ def redact_pii(df, text_col: str, id_col: str):
         numbers.cast("long").alias("n_numbers"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def token_kgrams(text: Column, k: int) -> Column:
+    """All (positional, non-distinct) k-token windows of the
+    whitespace-token stream, each hashed to int64. Docs with fewer
+    than ``k`` tokens yield an empty array.
+
+    The window list is built JVM-side (sequence + transform +
+    concat_ws + xxhash64 — whole-stage codegen); hashing keeps the
+    shuffle payload at 8 bytes per window instead of the ~6k-char
+    gram string, which is what makes the cross-doc aggregation
+    feasible at corpus scale."""
+    toks = tokens(text)
+    n = F.size(toks)
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        starts,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+
+
+def duplicate_span_stats(df, text_col: str, id_col: str, k: int = 5):
+    """Per-document duplicated-span statistics à la suffix-array
+    training-data dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"), at k-token-window granularity: a
+    window is *duplicated* when the identical k-gram also occurs in at
+    least one OTHER document. Emits, per document with >= k tokens:
+    ``n_windows``, ``n_dup_windows`` and ``dup_frac`` — the standard
+    "what fraction of this document is copied text" filter signal.
+
+    Scale plan: map-only k-gram fan-out (int64 hashes, not strings) ->
+    one groupBy(gram) with map-side partial agg keeping only
+    (min_doc, max_doc) per gram (cross-doc duplication is exactly
+    min != max — no countDistinct, no doc-list materialization) ->
+    equi-join back on the gram hash (co-partitioned with the agg
+    output, AQE reuses the exchange) -> per-doc count aggregate.
+    Nothing is driver-side and the widest shuffle row is 24 bytes."""
+    g = (
+        df.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(token_kgrams(F.col(text_col), k)).alias("__gram"),
+        )
+    )
+    spread = g.groupBy("__gram").agg(
+        F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx")
+    )
+    dup = F.when(F.col("__mn") != F.col("__mx"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        g.join(spread, on="__gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(dup).cast("long").alias("n_dup_windows"),
+        )
+        .select(
+            F.col(id_col),
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# Quality-classifier coefficients: in a real pipeline these come from
+# an offline logistic regression / fastText-style fit on labeled
+# good/bad documents; the deployment artifact is exactly this — a
+# handful of floats shipped into the scoring expression. Fixed here so
+# the score is deterministic and SQL-replayable.
+QUALITY_LOGREG_WEIGHTS = {
+    "bias": -2.0,
+    "log_tokens": 0.45,
+    "stopword_ratio": 3.0,
+    "punct_ratio": -6.0,
+    "mean_token_len": 0.10,
+}
+
+
+def logreg_quality(df, text_col: str, id_col: str, keep_threshold: float = 0.5):
+    """Linear (logistic-regression) document-quality classifier: the
+    production counterpart of `quality_score`'s heuristic — features
+    (log token count, stopword ratio, punctuation ratio, mean token
+    length) are combined with offline-trained weights through a
+    sigmoid, yielding a calibrated keep-probability and a keep flag.
+
+    Pure Catalyst arithmetic over one row at a time: map-only, zero
+    shuffle, fully inside whole-stage codegen — on 100 TB this is a
+    scan-speed pass. Documents with no tokens are dropped (every
+    feature is undefined), matching the oracle's length guard."""
+    w = QUALITY_LOGREG_WEIGHTS
+    t = F.col(text_col)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["log_tokens"]) * F.log(F.lit(1.0) + token_count(t))
+        + F.lit(w["stopword_ratio"]) * stopword_ratio(t)
+        + F.lit(w["punct_ratio"]) * punct_ratio(t)
+        + F.lit(w["mean_token_len"]) * mean_token_length(t)
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        df.filter(t.isNotNull() & (F.size(tokens(t)) > 0))
+        .select(
+            F.col(id_col),
+            F.round(score, 6).alias("quality_prob"),
+            (score >= F.lit(keep_threshold)).alias("keep"),
+        )
+    )

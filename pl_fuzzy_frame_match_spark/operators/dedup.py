@@ -485,3 +485,71 @@ def blocked_embedding_dedup_pairs(
                     )
 
     return pairs.mapInPandas(scan, schema)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    n: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by n-gram set containment:
+    C(A, B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — the measure
+    for "document A is substantially contained in B" (news-wire
+    reposts, quote-heavy pages, boilerplate-wrapped copies) that
+    symmetric Jaccard misses when |B| >> |A|. Emits every ORDERED pair
+    (doc_a != doc_b) with containment >= threshold.
+
+    Scale plan (the standard inverted-index word-count shape):
+    distinct shingles hashed to int64 -> self equi-join on the shingle
+    hash (shingles with document frequency 1 produce no pairs and cost
+    nothing beyond the shuffle; both sides co-partition on the hash)
+    -> groupBy(doc_a, doc_b) count = |A ∩ B| with map-side partial
+    aggregation -> broadcast-join the per-doc set sizes. The
+    threshold test is INTEGER arithmetic (inter * denom_scale >=
+    size_a * num_scale), so no float comparison can flip a pair
+    cross-engine; containment itself is emitted rounded for display.
+    Skew note: a corpus-scale hot shingle (boilerplate sentence) fans
+    out quadratically in the equi-join — upstream boilerplate
+    stripping (`boilerplate_fractions`) or a document-frequency cap is
+    the mitigation, and `prefix_filter_jaccard_pairs` shows the
+    prefix-filter variant that applies probe-side for containment.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1000)
+    sh = (
+        df.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("__g"),
+        )
+        .select("__doc", F.xxhash64("__g").alias("__h"))
+    )
+    sizes = sh.groupBy("__doc").agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col("__doc").alias("doc_a"), "__h")
+    b = sh.select(F.col("__doc").alias("doc_b"), "__h")
+    inter = (
+        a.join(b, on="__h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("__doc").alias("doc_a"),
+                                     F.col("__sz").alias("__sza"))),
+            on="doc_a",
+        )
+        .filter(
+            F.col("__inter") * F.lit(frac.denominator)
+            >= F.col("__sza") * F.lit(frac.numerator)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("__inter") / F.col("__sza"), 6).alias("containment"),
+        )
+    )
+    return out

@@ -507,3 +507,209 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
     )
+
+
+def _pq_train_codebooks(
+    sample_mat: "np.ndarray", m: int, ksub: int, iters: int, seed: int
+) -> "np.ndarray":
+    """Seeded per-subspace k-means over a (row-normalized) training
+    sample -> codebooks of shape (m, ksub, dim//m). Deterministic:
+    numpy RNG seeded, fixed iteration count, stable argmax."""
+    n, dim = sample_mat.shape
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = sample_mat[:, s * dsub : (s + 1) * dsub]
+        kk = min(ksub, max(1, n))
+        cents = sub[rng.choice(n, size=kk, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(kk):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        if kk < ksub:  # degenerate tiny sample: pad by repeating
+            cents = np.vstack([cents] * (ksub // kk + 1))[:ksub]
+        books[s] = cents
+    return books
+
+
+def pq_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    train_size: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via PRODUCT QUANTIZATION with
+    asymmetric distance computation (ADC, Jégou et al. 2011) and exact
+    re-ranking: each row-normalized corpus vector is compressed to
+    ``m`` sub-codes (one byte-ish code per ``dim/m``-dim subspace,
+    codebooks trained by seeded per-subspace k-means on a deterministic
+    hash-ordered sample), probes score the COMPRESSED corpus through
+    per-probe lookup tables, and the top ``k*refine`` approximate
+    candidates are re-ranked with exact cosine.
+
+    Scale shape — the corpus NEVER leaves the executors:
+    - codebook training touches only a ``train_size`` TakeOrdered
+      sample (driver-side k-means on <=2048 x dim floats);
+    - encoding is a map-only ``mapInPandas`` pass emitting (id, codes)
+      at ~``m`` small-ints per vector — a 64-dim float vector shrinks
+      ~32x, which is the whole point: the code table for 10^9 vectors
+      is ~8 GB where the raw vectors are ~256 GB;
+    - the ADC scan broadcasts only the PROBE lookup tables
+      (nq x m x ksub doubles — ~10 MB for 10k probes) and streams the
+      code table, keeping a per-batch top-``k*refine`` per probe, so
+      only ~nq * k * refine candidate rows per partition ever shuffle;
+    - re-ranking hash-joins the candidate ids back to the corpus
+      (candidates broadcast — they are tiny) for exact cosine.
+    The probe side is collected to build LUTs — in search workloads
+    probes are the small side; recall is gated in tests against
+    :func:`brute_force_topk`."""
+    spark = probes.sparkSession
+    # --- 1. train (deterministic hash-ordered sample, TakeOrdered plan)
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(train_size)
+    )
+    s_ids, s_mat = normalized_matrix(sample, vec_col, id_col)
+    dim = s_mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    books = _pq_train_codebooks(s_mat, m, ksub, kmeans_iters, seed)
+    bc_books = spark.sparkContext.broadcast(books)
+    dsub = dim // m
+
+    # --- 2. encode corpus (map-only; codes stay executor-side)
+    from pyspark.sql.types import ArrayType, ShortType
+
+    enc_schema = StructType(
+        [
+            StructField("neighbor_id", LongType()),
+            StructField("codes", ArrayType(ShortType())),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bks = bc_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(v, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0
+            v = v / nrm
+            codes = np.empty((len(v), m), dtype=np.int16)
+            for s in range(m):
+                sub = v[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1).astype(np.int16)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    code_table = corpus.select(id_col, vec_col).mapInPandas(encode, enc_schema)
+
+    # --- 3. probe LUTs (probe side collected — the small side)
+    p_ids, p_mat = normalized_matrix(probes, vec_col, id_col)
+    # LUT[q, s, c] = <q_sub_s, codebook_s_c>  (inner product of normalized
+    # halves sums to the approximate cosine)
+    luts = np.stack(
+        [p_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
+        axis=1,
+    )  # (nq, m, ksub)
+    bc_luts = spark.sparkContext.broadcast((p_ids, luts))
+    cand_per_probe = k * refine
+
+    cand_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("approx_sim", DoubleType()),
+        ]
+    )
+
+    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, tables = bc_luts.value  # (nq,), (nq, m, ksub)
+        per_s = tables.transpose(1, 2, 0)  # (m, ksub, nq)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            scores = per_s[0][codes[:, 0]]  # (n, nq)
+            for s in range(1, m):
+                scores = scores + per_s[s][codes[:, s]]
+            mask_self = nids[:, None] == qids[None, :]
+            scores[mask_self] = -np.inf
+            cc = min(cand_per_probe, scores.shape[0])
+            sel = np.argpartition(-scores, cc - 1, axis=0)[:cc]  # (cc, nq)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                rows = sel[:, qi]
+                sc = scores[rows, qi]
+                keep = np.isfinite(sc)
+                out_q.extend([qids[qi]] * int(keep.sum()))
+                out_n.extend(nids[rows[keep]])
+                out_s.extend(sc[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "approx_sim": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    local_cands = code_table.mapInPandas(adc_scan, cand_schema)
+    win_a = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        local_cands.withColumn("__r", F.row_number().over(win_a))
+        .filter(F.col("__r") <= cand_per_probe)
+        .select("query_id", "neighbor_id")
+    )
+
+    # --- 4. exact re-rank: hash-join candidates (broadcast) to vectors
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qvecs = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    rescored = (
+        cvecs.join(F.broadcast(cands), on="neighbor_id")
+        .join(F.broadcast(qvecs), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

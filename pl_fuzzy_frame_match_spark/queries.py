@@ -2170,3 +2170,250 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: span-level dedup, asymmetric containment, learned
+# quality scoring, cohort retention, wider TPC-H coverage
+# ---------------------------------------------------------------------------
+
+@register(
+    "docs_dup_spans",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+                  FROM documents
+                  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    g AS (SELECT doc_id, md5(array_to_string(w[i + 1 : i + 5], ' ')) AS gram
+          FROM (SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS i
+                FROM toks WHERE len(w) >= 5)),
+    gd AS (SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx
+           FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows,
+           round(sum(CASE WHEN mn <> mx THEN 1 ELSE 0 END) * 1.0 / count(*),
+                 6) AS dup_frac
+    FROM g JOIN gd USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span fraction per document (suffix-array-style
+    training-data dedup at 5-token-window granularity, Lee et al.
+    2022): the filter signal for "how much of this document is copied
+    from elsewhere in the corpus". Shuffle payload is int64 gram
+    hashes; cross-doc duplication detected as min_doc != max_doc per
+    gram — no distinct-count, no doc lists."""
+    from .functions.text import duplicate_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, "text", "doc_id", k=5)
+
+
+@register(
+    "dedup_containment",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+                  FROM documents
+                  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))) AS g
+           FROM toks),
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b USING (g)
+              WHERE a.doc_id <> b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, round(i * 1.0 / s, 6) AS containment
+    FROM inter JOIN sz ON sz.doc_id = inter.doc_a
+    WHERE i * 2 >= s
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: ordered (doc_a, doc_b) pairs
+    where >= 50% of doc_a's word-trigram set also occurs in doc_b —
+    catches small-document-contained-in-big-document duplication that
+    symmetric Jaccard under-scores. Integer threshold arithmetic, so
+    no float comparison decides membership."""
+    from .operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "text", "doc_id", threshold=0.5, n=3)
+
+
+@register(
+    "docs_quality_logreg",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\S+')) AS n_toks,
+        CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+             t -> list_contains(['the','a','and','of','to','in','is','it'],
+                                t))) AS DOUBLE)
+          / len(regexp_extract_all(lower(text), '\S+')) AS swr,
+        CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+          / length(text) AS pr,
+        list_sum(list_transform(regexp_extract_all(lower(text), '\S+'),
+                                t -> CAST(length(t) AS DOUBLE)))
+          / len(regexp_extract_all(lower(text), '\S+')) AS mtl
+      FROM documents
+      WHERE text IS NOT NULL
+        AND len(regexp_extract_all(lower(text), '\S+')) > 0
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-2.0 + 0.45 * ln(1.0 + n_toks)
+                 + 3.0 * swr - 6.0 * pr + 0.10 * mtl))), 6) AS quality_prob,
+           (1.0 / (1.0 + exp(-(-2.0 + 0.45 * ln(1.0 + n_toks)
+                 + 3.0 * swr - 6.0 * pr + 0.10 * mtl))) >= 0.5) AS keep
+    FROM f
+    """,
+)
+def docs_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned (logistic-regression) document-quality classifier with
+    offline-trained weights shipped as plan literals — the deployment
+    shape of fastText/logreg quality filters. Map-only, zero shuffle,
+    whole-stage codegen."""
+    from .functions.text import logreg_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return logreg_quality(docs, "text", "doc_id", keep_threshold=0.5)
+
+
+@register(
+    "events_retention",
+    """
+    WITH a AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 604800000000 AS wk
+               FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+    SELECT cohort_wk, wk - cohort_wk AS week_offset, count(*) AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY cohort_wk, wk - cohort_wk
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active week
+    (integer microsecond-epoch weeks — engine-portable, no calendar
+    ambiguity), counted per week-offset from their cohort. Two
+    shuffles, both keyed on user_id, so AQE reuses the exchange
+    between the distinct, the min-aggregate and the join."""
+    events = load_table(spark, sf_dir, "events")
+    wk = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000")
+    a = (
+        events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", wk.alias("wk"))
+        .distinct()
+    )
+    c = a.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        a.join(c, on="user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "tpch_q5",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier revenue): the classic multi-way
+    star-ish join. region/nation/supplier broadcast (dims), the
+    orders filter is pushed to the parquet scan, and the one
+    unavoidable shuffle pair is orders-lineitem on orderkey; the
+    n_name aggregate is map-side-combined on the already-joined
+    stream."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    nr = F.broadcast(n.join(r, n["n_regionkey"] == r["r_regionkey"]))
+    sn = F.broadcast(s.join(nr, s["s_nationkey"] == nr["n_nationkey"]))
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(sn, (F.col("l_suppkey") == sn["s_suppkey"])
+                  & (F.col("c_nationkey") == sn["s_nationkey"]))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure filter + scalar
+    aggregate — the canonical predicate-pushdown probe. All four
+    predicates reach the parquet scan as PushedFilters; the aggregate
+    is a map-side partial sum with a 1-row final exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register("ann_pq", None)  # quantized + approximate -> rows-only
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with exact re-ranking: the
+    compressed-corpus ANN path (codes ~32x smaller than raw vectors,
+    corpus never collected). Recall-gated against brute_force_topk in
+    tests; lossy by design -> rows-only."""
+    from .operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    out = pq_topk(probes, emb, "embedding", "vec_id", k=5, m=8, refine=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))

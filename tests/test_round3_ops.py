@@ -1,0 +1,182 @@
+"""Unit tests for the round-3 operators: duplicated-span stats,
+asymmetric containment, logistic-regression quality scoring, cohort
+retention. (The sf0.001 oracle replay in test_queries_oracle.py covers
+the registered query forms; these pin the operator semantics on small
+hand-built fixtures.)"""
+
+from pyspark.sql import functions as F
+
+from pl_fuzzy_frame_match_spark.functions.text import (
+    duplicate_span_stats,
+    logreg_quality,
+    token_kgrams,
+)
+from pl_fuzzy_frame_match_spark.operators.dedup import containment_pairs
+
+
+def test_token_kgrams_window_count(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c"), (3, "a b"), (4, None)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(token_kgrams(F.col("text"), 3)).alias("n")
+        ).collect()
+    }
+    assert out[1] == 4  # 6 tokens -> 4 trigram windows
+    assert out[2] == 1
+    assert out[3] == 0  # shorter than k -> empty
+    assert out[4] == 0  # null text falls into the empty-array branch
+
+
+def test_duplicate_span_stats_cross_doc_only(spark):
+    # doc 1 and 2 share the 5-gram "q w e r t"; doc 3 repeats its own
+    # 5-gram twice but shares nothing cross-doc -> dup_frac 0.
+    df = spark.createDataFrame(
+        [
+            (1, "q w e r t x y z"),
+            (2, "a b q w e r t c"),
+            (3, "m n o p s m n o p s"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in duplicate_span_stats(df, "text", "doc_id", k=5).collect()
+    }
+    assert rows[1]["n_windows"] == 4 and rows[1]["n_dup_windows"] == 1
+    assert rows[2]["n_windows"] == 4 and rows[2]["n_dup_windows"] == 1
+    assert rows[3]["n_dup_windows"] == 0 and rows[3]["dup_frac"] == 0.0
+
+
+def test_containment_is_asymmetric(spark):
+    # small doc fully contained in big doc: containment(small->big)=1,
+    # containment(big->small) < 1 and below threshold.
+    small = "alpha beta gamma delta"
+    big = small + " one two three four five six seven eight nine ten"
+    df = spark.createDataFrame([(1, small), (2, big)], ["doc_id", "text"])
+    out = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "text", "doc_id", threshold=0.5, n=3
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert (2, 1) not in out  # big in small is far below 0.5
+
+
+def test_containment_threshold_integer_exact(spark):
+    # 2 shared trigrams of 4 -> containment exactly 0.5: the integer
+    # comparison must admit the boundary pair.
+    a = "a b c d e f"  # trigrams: abc bcd cde def (4)
+    b = "a b c d x y z"  # shares abc bcd (2 of a's 4)... cde? no (d x)
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    out = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "text", "doc_id", threshold=0.5, n=3
+        ).collect()
+    }
+    assert out[(1, 2)] == 0.5
+
+
+def test_logreg_quality_monotone_in_stopwords(spark):
+    # more stopwords (positive weight) -> higher keep-probability,
+    # holding length roughly fixed.
+    low = "zzz qqq vvv kkk mmm nnn ppp rrr sss ttt"
+    high = "the a and of to in is it the a"
+    df = spark.createDataFrame([(1, low), (2, high)], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r for r in logreg_quality(df, "text", "doc_id").collect()
+    }
+    assert 0.0 < rows[1]["quality_prob"] < rows[2]["quality_prob"] < 1.0
+    assert rows[1]["keep"] in (True, False)
+
+
+def test_logreg_quality_drops_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "real text here"), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    ids = [r["doc_id"] for r in logreg_quality(df, "text", "doc_id").collect()]
+    assert ids == [1]
+
+
+def test_events_retention_week_zero_covers_all_users(spark):
+    from pl_fuzzy_frame_match_spark.queries import queries
+
+    from .conftest import SF_DIR
+
+    out = queries()["events_retention"](spark, SF_DIR).collect()
+    week0 = sum(r["n_users"] for r in out if r["week_offset"] == 0)
+    import duckdb
+
+    n_users = duckdb.connect().execute(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{SF_DIR}/events.parquet') WHERE user_id IS NOT NULL"
+    ).fetchone()[0]
+    # every user appears in their own cohort at offset 0
+    assert week0 == n_users
+    assert all(r["week_offset"] >= 0 for r in out)
+
+
+def test_pq_topk_recall_vs_bruteforce(spark):
+    import numpy as np
+    from pl_fuzzy_frame_match_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i in range(200):
+        v = base[i % 40] + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(
+            probes, emb, "embedding", "vec_id", k=3
+        ).collect()
+    }
+    approx_rows = pq_topk(
+        probes, emb, "embedding", "vec_id", k=3, m=4, refine=8,
+        train_size=200,
+    ).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"PQ recall too low: {recall}"
+    # re-ranked scores are EXACT cosines: every overlapping pair agrees
+    # with the brute-force score to 1e-6
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in brute_force_topk(
+            probes, emb, "embedding", "vec_id", k=3
+        ).collect()
+    }
+    for r in approx_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(r["cosine_sim"] - round(bf[key], 6)) <= 1e-6
+
+
+def test_pq_topk_deterministic(spark):
+    import numpy as np
+    from pl_fuzzy_frame_match_spark.operators.similarity import pq_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(100)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = emb.filter(F.col("vec_id") < 10)
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pq_topk(probes, emb, "embedding", "vec_id", k=3, m=4).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pq_topk(probes, emb, "embedding", "vec_id", k=3, m=4).collect()
+    )
+    assert a == b and len(a) == 30
