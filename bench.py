@@ -49,6 +49,13 @@ def main() -> None:
         "events_sessionize",
         "events_asof_purchase",
         "events_error_windows",
+        "docs_dup_spans",
+        "docs_dup_span_removal",
+        "dedup_containment",
+        "ann_pq",
+        "tpch_q5",
+        "tpch_q6",
+        "events_retention",
     ):
         if extra in registry:
             names.append(extra)

@@ -515,6 +515,19 @@ def redact_pii(df, text_col: str, id_col: str):
     )
 
 
+def widen_narrow_scan(df, min_parts_factor: int = 2):
+    """Repartition ONLY when the input has fewer partitions than the
+    cluster has cores (a single small parquet file scans as one task
+    and serializes every downstream map-only fan-out on one core).
+    At real corpus scale the scan already has thousands of splits and
+    this is a no-op — no unconditional full-body shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * min_parts_factor
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(target)
+    return df
+
+
 def token_kgrams(text: Column, k: int) -> Column:
     """All (positional, non-distinct) k-token windows of the
     whitespace-token stream, each hashed to int64. Docs with fewer
@@ -553,7 +566,8 @@ def duplicate_span_stats(df, text_col: str, id_col: str, k: int = 5):
     output, AQE reuses the exchange) -> per-doc count aggregate.
     Nothing is driver-side and the widest shuffle row is 24 bytes."""
     g = (
-        df.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        widen_narrow_scan(df)
+        .filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
         .select(
             F.col(id_col),
             F.explode(token_kgrams(F.col(text_col), k)).alias("__gram"),
@@ -623,4 +637,63 @@ def logreg_quality(df, text_col: str, id_col: str, keep_threshold: float = 0.5):
             F.round(score, 6).alias("quality_prob"),
             (score >= F.lit(keep_threshold)).alias("keep"),
         )
+    )
+
+
+def remove_duplicate_spans(df, text_col: str, id_col: str, k: int = 5):
+    """The REMOVAL form of :func:`duplicate_span_stats` (Lee et al.
+    2022): delete every token covered by a cross-document-duplicated
+    k-token window and emit the cleaned document — the transform a
+    training-data pipeline actually applies before tokenization.
+    Output: (id, n_tokens, n_removed, cleaned_md5) — counts plus a
+    fingerprint of the cleaned text, value-checkable cross-engine
+    without moving document bodies.
+
+    Plan: the same hashed-gram aggregation as the stats op (map-only
+    fan-out -> min/max-doc per gram -> join back), then duplicated
+    window STARTS collapse to one small int array per doc and the
+    token-coverage test runs as a Catalyst higher-order filter
+    (exists() over the starts array) — per-document work is
+    O(tokens * dup_windows) with ~150-token docs, no extra shuffle
+    beyond the per-doc collect_list."""
+    base = widen_narrow_scan(df).filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    toks = base.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    g = base.select(
+        F.col(id_col),
+        F.posexplode(token_kgrams(F.col(text_col), k)).alias(
+            "__pos", "__gram"
+        ),
+    )
+    spread = g.groupBy("__gram").agg(
+        F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx")
+    )
+    dup_starts = (
+        g.join(spread, on="__gram")
+        .filter(F.col("__mn") != F.col("__mx"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("__pos")).alias("__starts"))
+    )
+    joined = toks.join(dup_starts, on=id_col, how="left").select(
+        F.col(id_col),
+        "__toks",
+        F.coalesce(F.col("__starts"), F.array().cast("array<int>")).alias(
+            "__starts"
+        ),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, pos: ~F.exists(
+            F.col("__starts"),
+            lambda s: (s <= pos) & (pos <= s + F.lit(k - 1)),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("cleaned_md5"),
     )

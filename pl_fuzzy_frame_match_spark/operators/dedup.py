@@ -519,8 +519,11 @@ def containment_pairs(
     from fractions import Fraction
 
     frac = Fraction(threshold).limit_denominator(1000)
+    from ..functions.text import widen_narrow_scan
+
     sh = (
-        df.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        widen_narrow_scan(df)
+        .filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
         .select(
             F.col(id_col).alias("__doc"),
             F.explode(word_shingles(F.col(text_col), n)).alias("__g"),

@@ -2417,3 +2417,43 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 50)
     out = pq_topk(probes, emb, "embedding", "vec_id", k=5, m=8, refine=4)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "docs_dup_span_removal",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+                  FROM documents
+                  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    g AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(w[i + 1 : i + 5], ' ')) AS gram
+          FROM (SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS i
+                FROM toks WHERE len(w) >= 5)),
+    gd AS (SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx
+           FROM g GROUP BY gram),
+    ds AS (SELECT doc_id, list_sort(list(pos)) AS starts
+           FROM g JOIN gd USING (gram) WHERE mn <> mx GROUP BY doc_id),
+    j AS (SELECT t.doc_id, w, coalesce(starts, []) AS starts
+          FROM toks t LEFT JOIN ds ON t.doc_id = ds.doc_id),
+    f AS (SELECT doc_id, w,
+                 list_filter(w, (t, i) ->
+                     len(list_filter(starts,
+                         s -> s <= i - 1 AND i - 1 <= s + 4)) = 0) AS kept
+          FROM j)
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+    FROM f
+    """,
+)
+def docs_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (Lee et al. 2022): tokens covered by any
+    cross-document-duplicated 5-token window are deleted; emits counts
+    plus an md5 fingerprint of every cleaned document so the transform
+    is value-checked without shipping bodies. Same two-shuffle gram
+    aggregation as docs_dup_spans; the coverage test is a Catalyst
+    higher-order filter per document."""
+    from .functions.text import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "text", "doc_id", k=5)

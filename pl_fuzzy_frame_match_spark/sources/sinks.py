@@ -128,3 +128,39 @@ def compact_parquet(
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    path: Optional[str] = None,
+    sort_by: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed/external table write: rows are hash-distributed
+    into ``n_buckets`` files per partition ON the join/agg key at WRITE
+    time, so every later equi-join or aggregation between tables
+    bucketed the same way runs with ZERO shuffle — the exchange is
+    prepaid once at ingest and amortized over every downstream query.
+    ``sort_by`` additionally sorts within buckets, removing the
+    sort from sort-merge joins too.
+
+    This is the 100 TB co-location strategy for the hot join keys of a
+    corpus (doc_id, user_id, orderkey): at a thousand executors,
+    re-shuffling 100 TB per query is the dominant cost — a bucketed
+    layout turns it into a scan-local join (see
+    tests/test_plans.py for the zero-Exchange plan guard). Bucketed
+    tables require the catalog (``saveAsTable``): plain
+    ``.parquet(path)`` writes would lose the bucket metadata."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

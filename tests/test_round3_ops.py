@@ -180,3 +180,75 @@ def test_pq_topk_deterministic(spark):
         for r in pq_topk(probes, emb, "embedding", "vec_id", k=3, m=4).collect()
     )
     assert a == b and len(a) == 30
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    import hashlib
+
+    from pl_fuzzy_frame_match_spark.functions.text import (
+        remove_duplicate_spans,
+    )
+
+    # docs 1/2 share the window "q w e r t" (doc1 positions 0-4 via
+    # start 0; doc2 starts at 2): covered tokens are removed, the rest
+    # survive in order.
+    df = spark.createDataFrame(
+        [(1, "q w e r t x y z"), (2, "a b q w e r t c"), (3, "solo doc here")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, "text", "doc_id", k=5).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows[1]["n_removed"] == 5
+    assert rows[1]["cleaned_md5"] == md5("x y z")
+    assert rows[2]["n_removed"] == 5
+    assert rows[2]["cleaned_md5"] == md5("a b c")
+    # doc 3 is shorter than k: nothing removable, text intact
+    assert rows[3]["n_removed"] == 0
+    assert rows[3]["cleaned_md5"] == md5("solo doc here")
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.plans.audit import (
+        assert_max_shuffles,
+        audit,
+    )
+    from pl_fuzzy_frame_match_spark.sources.sinks import write_bucketed
+
+    left = spark.range(0, 10_000).withColumn(
+        "v", F.col("id") % 7
+    )
+    right = spark.range(0, 10_000).withColumn(
+        "w", F.col("id") % 11
+    )
+    write_bucketed(
+        left, "b3_left", ["id"], 4, path=str(tmp_path / "bl"), sort_by=["id"]
+    )
+    write_bucketed(
+        right, "b3_right", ["id"], 4, path=str(tmp_path / "br"), sort_by=["id"]
+    )
+    try:
+        bl = spark.table("b3_left")
+        br = spark.table("b3_right")
+        # disable broadcast so the join would otherwise shuffle both sides
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bl.join(br, on="id").groupBy().agg(
+                F.sum(F.col("v") + F.col("w")).alias("s")
+            )
+            # bucket co-location: the equi-join itself needs ZERO
+            # exchanges; the only shuffle is the final 1-row aggregate
+            assert_max_shuffles(joined, 1)
+            a = audit(bl.join(br, on="id"))
+            assert a.exchanges == 0, a.plan
+            # and results are still correct
+            n = bl.join(br, on="id").count()
+            assert n == 10_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b3_left")
+        spark.sql("DROP TABLE IF EXISTS b3_right")
