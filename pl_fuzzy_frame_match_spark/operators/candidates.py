@@ -342,21 +342,24 @@ def neighborhood1_scored_pairs(
         rv = F.broadcast(rv)
     elif 0 < n_left_keys <= BROADCAST_KEY_LIMIT // 32:
         lv = F.broadcast(lv)
-    cand = (
-        lv.join(rv, on="__var", how="inner")
-        .select(left_col, right_col)
-        .distinct()
-    )
+    cand = lv.join(rv, on="__var", how="inner").select(left_col, right_col)
     la, lb = "__lc_n1_l", "__lc_n1_r"
     d = distance_column(
         "levenshtein", F.col(la), F.col(lb), dist_bound
     )
+    # rescore BEFORE deduplicating: the banded-lev filter is codegen
+    # (~0.1 us/pair) while distinct() is a full shuffle of string
+    # pairs — thresholding first shrinks the distinct's input by the
+    # filter's selectivity (4x on the 80M-pair bench shape), and a
+    # pair's score is a pure function of the pair, so dedup order
+    # cannot change the result set
     return (
         cand.withColumn(la, F.lower(F.col(left_col)))
         .withColumn(lb, F.lower(F.col(right_col)))
         .withColumn(dist_col, d)
         .filter(F.col(dist_col) <= F.lit(dist_bound))
         .drop(la, lb)
+        .distinct()
     )
 
 
