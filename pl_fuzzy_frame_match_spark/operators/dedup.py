@@ -556,3 +556,81 @@ def containment_pairs(
         )
     )
     return out
+
+
+def prefix_filter_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT containment pairs (same contract/result as
+    :func:`containment_pairs`) without the full inverted-index
+    self-join — the 100 TB formulation.
+
+    Probe-side prefix filtering: containment C(A,B) >= t requires
+    sharing at least ``ceil(t*|A|)`` of A's shingles, so with A's
+    shingles ordered by global document frequency ascending, the first
+    ``|A| - ceil(t*|A|) + 1`` (rarest) shingles must hit B. Candidate
+    generation joins only A's PREFIX shingles against B's full shingle
+    set — prefixes hold the rarest shingles, so join groups stay small
+    even when a boilerplate shingle is corpus-frequent (the hot key
+    never becomes a probe key; it can still appear on the B side, but
+    each B occurrence meets only the few docs whose PREFIX contains
+    it). All thresholds are integer arithmetic (``required = (num*|A|
+    + denom - 1) // denom``) so no float rounding can shrink a prefix
+    and silently drop a true pair. Survivors verify with the exact
+    intersection over full hashed-shingle arrays."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    frac = Fraction(threshold).limit_denominator(1000)
+    num, den = frac.numerator, frac.denominator
+    hashed = _hashed_shingles(df, text_col, id_col, n).persist()
+    tok = hashed.select(
+        F.col(id_col),
+        F.size("__shh").alias("__n"),
+        F.explode("__shh").alias("__tok"),
+    )
+    dfreq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__df").asc(), F.col("__tok").asc()
+    )
+    required = F.floor((F.col("__n") * num + den - 1) / den)
+    prefix = (
+        tok.join(dfreq, on="__tok", how="inner")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__n") - required + 1)
+        .select(F.col(id_col).alias("doc_a"), "__tok")
+    )
+    full = tok.select(F.col(id_col).alias("doc_b"), "__tok")
+    cand = (
+        prefix.join(full, on="__tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("__shh").alias("__sha"),
+        F.size("__shh").alias("__sza"),
+    )
+    hb = hashed.select(
+        F.col(id_col).alias("doc_b"), F.col("__shh").alias("__shb")
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    return (
+        cand.join(ha, on="doc_a")
+        .join(hb, on="doc_b")
+        .withColumn("__inter", inter)
+        .filter(F.col("__inter") * den >= F.col("__sza") * num)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("__inter") / F.col("__sza"), 6).alias(
+                "containment"
+            ),
+        )
+    )

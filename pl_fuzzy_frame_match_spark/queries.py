@@ -2235,12 +2235,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup detection: ordered (doc_a, doc_b) pairs
     where >= 50% of doc_a's word-trigram set also occurs in doc_b —
     catches small-document-contained-in-big-document duplication that
-    symmetric Jaccard under-scores. Integer threshold arithmetic, so
-    no float comparison decides membership."""
-    from .operators.dedup import containment_pairs
+    symmetric Jaccard under-scores. Runs the probe-side
+    prefix-filtered formulation (rarest shingles as join keys — no
+    hot-shingle fan-out; equivalence-tested vs the plain inverted
+    index at 4 thresholds). Integer threshold arithmetic throughout,
+    so no float comparison decides membership."""
+    from .operators.dedup import prefix_filter_containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return containment_pairs(docs, "text", "doc_id", threshold=0.5, n=3)
+    return prefix_filter_containment_pairs(
+        docs, "text", "doc_id", threshold=0.5, n=3
+    )
 
 
 @register(

@@ -252,3 +252,141 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b3_left")
         spark.sql("DROP TABLE IF EXISTS b3_right")
+
+
+def test_duplicate_span_stats_matches_bruteforce_model(spark):
+    """Randomized equivalence vs a driver-side python model: windows,
+    cross-doc duplication flags and removal fingerprints all agree on
+    corpora drawn from a tiny vocabulary (maximal collision rates)."""
+    import hashlib
+    import random
+
+    from pl_fuzzy_frame_match_spark.functions.text import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d"]
+    k = 3
+    docs = []
+    for i in range(60):
+        n = rng.randint(0, 12)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    # python model
+    grams = {}  # gram -> set of docs
+    per_doc = {}  # doc -> list of grams (positional)
+    for i, text in docs:
+        toks = text.split()
+        gs = [
+            " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+        ]
+        per_doc[i] = (toks, gs)
+        for g in gs:
+            grams.setdefault(g, set()).add(i)
+    expect_stats = {}
+    expect_clean = {}
+    for i, (toks, gs) in per_doc.items():
+        if not gs:
+            if toks or docs[i][1] == "":
+                expect_clean[i] = (
+                    len(toks),
+                    0,
+                    hashlib.md5(" ".join(toks).encode()).hexdigest(),
+                )
+            continue
+        dup = [len(grams[g]) > 1 for g in gs]
+        expect_stats[i] = (len(gs), sum(dup))
+        covered = set()
+        for j, d in enumerate(dup):
+            if d:
+                covered.update(range(j, j + k))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        expect_clean[i] = (
+            len(toks),
+            len(toks) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got_stats = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in duplicate_span_stats(df, "text", "doc_id", k=k).collect()
+    }
+    assert got_stats == expect_stats
+    got_clean = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_md5"])
+        for r in remove_duplicate_spans(df, "text", "doc_id", k=k).collect()
+    }
+    assert got_clean == expect_clean
+
+
+def test_containment_matches_bruteforce_model(spark):
+    import random
+
+    from pl_fuzzy_frame_match_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(7)
+    vocab = ["x", "y", "z", "w", "v"]
+    n = 3
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10))))
+        for i in range(40)
+    ]
+
+    def shingles(text):
+        toks = text.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+
+    expect = {}
+    for i, ta in docs:
+        sa = shingles(ta)
+        for j, tb in docs:
+            if i == j:
+                continue
+            inter = len(sa & shingles(tb))
+            if inter * 2 >= len(sa):
+                expect[(i, j)] = round(inter / len(sa), 6)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "text", "doc_id", threshold=0.5, n=n
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_prefix_filter_containment_equals_exact(spark):
+    import random
+
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        containment_pairs,
+        prefix_filter_containment_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = ["p", "q", "r", "s", "t", "u"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for thr in (0.5, 0.6, 0.8, 1.0):
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(
+                df, "text", "doc_id", threshold=thr, n=3
+            ).collect()
+        }
+        pf = {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in prefix_filter_containment_pairs(
+                df, "text", "doc_id", threshold=thr, n=3
+            ).collect()
+        }
+        assert pf == exact, f"threshold {thr}: {len(pf)} vs {len(exact)}"
