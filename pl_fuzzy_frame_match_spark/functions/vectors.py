@@ -148,3 +148,40 @@ def quantize_int8(vec: Column, scale_out: str = "scale"):
 def dequantize(q: Column, scale: Column) -> Column:
     """Back to doubles: ``x_i ~= q_i * scale``."""
     return F.transform(q, lambda v: v.cast("double") * scale)
+
+
+def label_centroids(df, vec_col: str, label_col: str):
+    """Per-label embedding centroids (the class-prototype /
+    cluster-summary aggregation of an embedding pipeline), emitted as
+    value-checkable digests: vector count, centroid component sum and
+    centroid L2 norm, rounded for cross-engine comparison.
+
+    Distributed formulation: posexplode to (label, position, value)
+    rows -> one avg aggregate keyed on (label, position) -> per-label
+    fold. The shuffle key carries the dimension index, so a 4096-dim
+    corpus parallelizes across label x dim cells instead of building
+    per-label giant rows; no collect, no UDF — everything is codegen."""
+    from pyspark.sql import functions as F
+
+    e = (
+        df.filter(F.col(vec_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+    )
+    c = e.groupBy("label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("m"),
+        F.count(F.lit(1)).alias("nv"),
+    )
+    return (
+        c.groupBy("label")
+        .agg(
+            F.max("nv").alias("n_vecs"),
+            F.round(F.sum("m"), 6).alias("centroid_sum"),
+            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias(
+                "centroid_norm"
+            ),
+        )
+        .withColumn("n_vecs", F.col("n_vecs").cast("long"))
+    )

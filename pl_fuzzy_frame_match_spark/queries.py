@@ -2462,3 +2462,30 @@ def docs_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return remove_duplicate_spans(docs, "text", "doc_id", k=5)
+
+
+@register(
+    "emb_label_centroids",
+    """
+    WITH e AS (SELECT label, unnest(embedding) AS val,
+                      generate_subscripts(embedding, 1) AS pos
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    c AS (SELECT label, pos, avg(CAST(val AS DOUBLE)) AS m,
+                 count(*) AS nv
+          FROM e GROUP BY label, pos)
+    SELECT label, CAST(max(nv) AS BIGINT) AS n_vecs,
+           round(sum(m), 6) AS centroid_sum,
+           round(sqrt(sum(m * m)), 6) AS centroid_norm
+    FROM c GROUP BY label
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid digests of the embedding corpus — the
+    class-prototype aggregation (nearest-centroid classifiers, IVF
+    coarse quantizers, drift monitoring). Shuffle keyed on
+    (label, dim) cells; zero driver involvement."""
+    from .functions.vectors import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "embedding", "label")

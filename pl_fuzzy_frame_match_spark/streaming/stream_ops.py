@@ -385,3 +385,23 @@ def stream_novelty_filter(
         "left_anti",
     )
     return certain_novel.unionByName(maybe_seen)
+
+
+def stream_quality_filter(
+    spark, path: str, schema, text_col: str = "text",
+    id_col: str = "doc_id", keep_threshold: float = 0.5,
+):
+    """Streaming twin of the logistic-regression quality classifier
+    (`functions/text.py::logreg_quality`): the scorer is a map-only
+    Catalyst expression, so the SAME column logic applies unchanged to
+    a file-source stream — per-microbatch, stateless, no watermark
+    needed. The ingest-time quality gate of a continuously-crawled
+    corpus."""
+    from ..functions.text import logreg_quality
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    return logreg_quality(stream, text_col, id_col, keep_threshold)

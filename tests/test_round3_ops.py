@@ -390,3 +390,35 @@ def test_prefix_filter_containment_equals_exact(spark):
             ).collect()
         }
         assert pf == exact, f"threshold {thr}: {len(pf)} vs {len(exact)}"
+
+
+def test_stream_quality_filter_matches_batch(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.functions.text import logreg_quality
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_quality_filter,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = {
+        r["doc_id"]: (r["quality_prob"], r["keep"])
+        for r in logreg_quality(docs, "text", "doc_id").collect()
+    }
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    stream_df = stream_quality_filter(
+        spark, src, spark.read.parquet(src).schema
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("q_filter")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["quality_prob"], r["keep"])
+        for r in spark.sql("SELECT * FROM q_filter").collect()
+    }
+    assert streamed == batch
