@@ -53,6 +53,7 @@ from ..plans.planner import (
     DEFAULT_CROSS_OVER,
     choose_candidate_strategy,
     get_count_and_approx_uniqueness,
+    get_count_uniqueness_and_maxlen,
     order_mappings_by_selectivity,
     should_deduplicate_inputs,
 )
@@ -162,6 +163,8 @@ def first_round_matches(
     use_appr_nearest_neighbor: Optional[bool],
     top_n: int,
     cross_over: float,
+    max_len_left: Optional[int] = None,
+    max_len_right: Optional[int] = None,
 ) -> DataFrame:
     """Round 1 of the per-mapping loop (reference matcher.py:419-504):
     build key frames, pick exact/approx strategy on the cartesian of
@@ -207,8 +210,12 @@ def first_round_matches(
         and int(
             mapping.reversed_threshold_score
             * max(
-                max_key_length(left_keys, mapping.left_col),
-                max_key_length(right_keys, mapping.right_col),
+                max_len_left
+                if max_len_left is not None
+                else max_key_length(left_keys, mapping.left_col),
+                max_len_right
+                if max_len_right is not None
+                else max_key_length(right_keys, mapping.right_col),
             )
         )
         <= 1
@@ -448,13 +455,13 @@ def fuzzy_match_dfs(
     # instead of paying two serial job round-trips.
     with ThreadPoolExecutor(max_workers=2) as pool:
         left_fut = pool.submit(
-            get_count_and_approx_uniqueness, left, [m.left_col for m in maps]
+            get_count_uniqueness_and_maxlen, left, [m.left_col for m in maps]
         )
         right_fut = pool.submit(
-            get_count_and_approx_uniqueness, right, [m.right_col for m in maps]
+            get_count_uniqueness_and_maxlen, right, [m.right_col for m in maps]
         )
-        left_count, left_uniq = left_fut.result()
-        right_count, right_uniq = right_fut.result()
+        left_count, left_uniq, left_maxlen = left_fut.result()
+        right_count, right_uniq, right_maxlen = right_fut.result()
     maps = set_output_column_names(maps)
     if left_count == 0 or right_count == 0:  # O7 early exit
         return _empty_result(spark, left, right, maps)
@@ -507,6 +514,8 @@ def fuzzy_match_dfs(
                 use_appr_nearest_neighbor,
                 top_n,
                 cross_over_for_appr_nearest_neighbor,
+                max_len_left=left_maxlen.get(mapping.left_col),
+                max_len_right=right_maxlen.get(mapping.right_col),
             )
         else:
             logger.info(

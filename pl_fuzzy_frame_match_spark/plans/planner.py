@@ -45,11 +45,32 @@ def get_count_and_approx_uniqueness(
     (pre_process.py:12-28, 48-67); fusing them halves the planner's job
     count, which matters because every extra Spark job is fixed
     scheduling overhead at small scale and an extra full scan at 100 TB."""
+    n, uniq, _ = get_count_uniqueness_and_maxlen(df, columns)
+    return n, uniq
+
+
+def get_count_uniqueness_and_maxlen(
+    df: DataFrame, columns: Sequence[str]
+) -> Tuple[int, Dict[str, int], Dict[str, int]]:
+    """Row count, approximate distinct count AND max string length per
+    column in ONE aggregate pass. The max length feeds the
+    deletion-neighborhood gate (O9) — fusing it here removes the two
+    per-mapping probe jobs `max_key_length` would otherwise run (each
+    a full scan at 100 TB)."""
+    cols = list(dict.fromkeys(columns))
     row = df.agg(
         F.count(F.lit(1)).alias("__fuzzy_n"),
-        *[F.approx_count_distinct(c).alias(c) for c in dict.fromkeys(columns)],
+        *[F.approx_count_distinct(c).alias(c) for c in cols],
+        *[
+            F.max(F.length(F.col(c).cast("string"))).alias(f"__len_{c}")
+            for c in cols
+        ],
     ).collect()[0]
-    return int(row["__fuzzy_n"]), {c: int(row[c]) for c in dict.fromkeys(columns)}
+    return (
+        int(row["__fuzzy_n"]),
+        {c: int(row[c]) for c in cols},
+        {c: int(row[f"__len_{c}"] or 0) for c in cols},
+    )
 
 
 def get_approx_uniqueness(df: DataFrame, columns: Sequence[str]) -> Dict[str, int]:
