@@ -713,3 +713,167 @@ def pq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivfpq_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    train_size: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the composed billion-scale ANN index (FAISS's default
+    architecture) — coarse k-means cluster pruning (only ``n_probe``
+    of ``n_clusters`` inverted lists are scanned per probe) OVER
+    product-quantized codes (ADC scoring against ~32x-compressed
+    vectors) WITH exact cosine re-ranking of the survivors.
+
+    Scale shape: training touches a TakeOrdered hash-sample (driver
+    k-means, <= ``train_size`` rows); corpus encoding is one map-only
+    pass emitting (id, cluster, codes); the scan is an equi-join of
+    the code table against a BROADCAST (query, cluster) probe list —
+    so each corpus row is touched only by the probes that selected its
+    cluster (expected fan-out nq * n_probe / n_clusters per row, a
+    ~4x I/O cut at the defaults and arbitrarily larger with more
+    clusters) — scored through broadcast LUTs in an Arrow-batched
+    UDF, top-``k*refine`` per probe via window, then the tiny
+    candidate set re-ranks with exact cosine. The corpus never
+    reaches the driver."""
+    spark = probes.sparkSession
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(train_size)
+    )
+    _, s_mat = normalized_matrix(sample, vec_col, id_col)
+    n_s, dim = s_mat.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    # coarse centroids: seeded Lloyd on the normalized sample
+    ncl = min(n_clusters, max(1, n_s))
+    rng = np.random.default_rng(seed)
+    cents = s_mat[rng.choice(n_s, size=ncl, replace=False)].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(s_mat @ cents.T, axis=1)
+        for c in range(ncl):
+            members = s_mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    books = _pq_train_codebooks(s_mat, m, ksub, kmeans_iters, seed + 1)
+    bc_train = spark.sparkContext.broadcast((cents, books))
+    dsub = dim // m
+
+    from pyspark.sql.types import ArrayType, ShortType
+
+    enc_schema = StructType(
+        [
+            StructField("neighbor_id", LongType()),
+            StructField("cluster", IntegerType()),
+            StructField("codes", ArrayType(ShortType())),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cc, bks = bc_train.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(v, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0
+            v = v / nrm
+            cluster = np.argmax(v @ cc.T, axis=1).astype(np.int32)
+            codes = np.empty((len(v), m), dtype=np.int16)
+            for s in range(m):
+                sub = v[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1).astype(np.int16)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cluster": cluster,
+                    "codes": list(codes),
+                }
+            )
+
+    code_table = corpus.select(id_col, vec_col).mapInPandas(encode, enc_schema)
+
+    # probe side: LUTs + probed-cluster list (both tiny, broadcast)
+    p_ids, p_mat = normalized_matrix(probes, vec_col, id_col)
+    luts = np.stack(
+        [p_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
+        axis=1,
+    )  # (nq, m, ksub)
+    npb = min(n_probe, ncl)
+    probe_cl = np.argpartition(-(p_mat @ cents.T), npb - 1, axis=1)[:, :npb]
+    probe_rows = [
+        (int(p_ids[i]), int(c)) for i in range(len(p_ids)) for c in probe_cl[i]
+    ]
+    probe_df = F.broadcast(
+        spark.createDataFrame(probe_rows, ["query_id", "cluster"])
+    )
+    qidx = {int(q): i for i, q in enumerate(p_ids)}
+    bc_score = spark.sparkContext.broadcast((qidx, luts))
+
+    @F.pandas_udf(DoubleType())
+    def adc(query_id: pd.Series, codes: pd.Series) -> pd.Series:
+        qmap, tables = bc_score.value
+        qi = query_id.map(qmap).to_numpy(dtype=np.int64)
+        cd = np.array(codes.tolist(), dtype=np.int64)
+        sc = tables[qi[:, None], np.arange(m)[None, :], cd].sum(axis=1)
+        return pd.Series(sc)
+
+    cands = (
+        code_table.join(probe_df, on="cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx_sim", adc("query_id", "codes"))
+    )
+    win_a = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    top_cands = (
+        cands.withColumn("__r", F.row_number().over(win_a))
+        .filter(F.col("__r") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qvecs = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    rescored = (
+        cvecs.join(F.broadcast(top_cands), on="neighbor_id")
+        .join(F.broadcast(qvecs), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -2489,3 +2489,20 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_centroids(emb, "embedding", "label")
+
+
+@register("ann_ivfpq", None)  # cluster-pruned + quantized -> rows-only
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index: coarse cluster pruning over
+    product-quantized codes with exact re-ranking — the
+    billion-vector architecture (FAISS default). Recall-gated in
+    tests; lossy by design -> rows-only."""
+    from .operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    out = ivfpq_topk(
+        probes, emb, "embedding", "vec_id", k=5, n_clusters=16,
+        n_probe=4, m=8, refine=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -422,3 +422,46 @@ def test_stream_quality_filter_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM q_filter").collect()
     }
     assert streamed == batch
+
+
+def test_ivfpq_topk_recall_vs_bruteforce(spark):
+    import numpy as np
+    from pl_fuzzy_frame_match_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i in range(240):
+        v = base[i % 40] + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = {}
+    for r in brute_force_topk(probes, emb, "embedding", "vec_id", k=3).collect():
+        exact[(r["query_id"], r["neighbor_id"])] = r["cosine_sim"]
+    got_rows = ivfpq_topk(
+        probes, emb, "embedding", "vec_id", k=3, n_clusters=8, n_probe=4,
+        m=4, refine=8, train_size=240,
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+    recall = len(set(exact) & got) / len(exact)
+    assert recall >= 0.7, f"IVF-PQ recall too low: {recall}"
+    # survivors carry EXACT cosine scores
+    for r in got_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(r["cosine_sim"] - round(exact[key], 6)) <= 1e-6
+    # determinism
+    again = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            probes, emb, "embedding", "vec_id", k=3, n_clusters=8,
+            n_probe=4, m=4, refine=8, train_size=240,
+        ).collect()
+    }
+    assert again == {
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in got_rows
+    }
