@@ -2506,3 +2506,164 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=4, m=8, refine=4,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "validate_lineitem",
+    """
+    WITH n AS (SELECT count(*) AS n_rows FROM lineitem),
+    v AS (
+      SELECT 'discount_in_range' AS c,
+             count(*) FILTER (WHERE NOT coalesce(
+                 l_discount BETWEEN 0 AND 0.1, FALSE)) AS v
+      FROM lineitem
+      UNION ALL
+      SELECT 'quantity_le_30',
+             count(*) FILTER (WHERE NOT coalesce(l_quantity <= 30, FALSE))
+      FROM lineitem
+      UNION ALL
+      SELECT 'shipdate_not_null',
+             count(*) FILTER (WHERE l_shipdate IS NULL)
+      FROM lineitem
+      UNION ALL
+      SELECT 'shipdate_before_2000',
+             count(*) FILTER (WHERE NOT coalesce(
+                 l_shipdate < TIMESTAMP '2000-01-01', FALSE))
+      FROM lineitem
+      UNION ALL
+      SELECT 'orderkey_in_orders',
+             count(*) FILTER (WHERE l_orderkey IS NULL OR NOT EXISTS (
+                 SELECT 1 FROM orders o
+                 WHERE o.o_orderkey = lineitem.l_orderkey))
+      FROM lineitem
+    )
+    SELECT c AS constraint, CAST(v AS BIGINT) AS n_violations,
+           n_rows, round(v * 1.0 / greatest(n_rows, 1), 6) AS violation_frac
+    FROM v, n
+    """,
+)
+def validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative ingest-validation audit over lineitem: four
+    row-local constraints fused into ONE aggregate scan (conditional
+    counts, map-side combined) plus a referential-integrity anti-join
+    against orders — the acceptance gate a daily 100 TB ingest runs
+    before publishing a partition. Mix of passing and failing
+    constraints so the audit output is value-checked non-trivially."""
+    from .functions.validate import (
+        constraint_violation_counts,
+        referential_violation_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    base = constraint_violation_counts(
+        li,
+        {
+            "discount_in_range": (F.col("l_discount") >= 0)
+            & (F.col("l_discount") <= 0.1),
+            "quantity_le_30": F.col("l_quantity") <= 30,
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+            "shipdate_before_2000": F.col("l_shipdate")
+            < F.lit("2000-01-01").cast("timestamp"),
+        },
+    )
+    n_ref = referential_violation_count(
+        li, ["l_orderkey"], orders, ["o_orderkey"]
+    )
+    n_rows = li.count()
+    ref_row = spark.createDataFrame(
+        [("orderkey_in_orders", n_ref, n_rows)],
+        ["constraint", "n_violations", "n_rows"],
+    ).select(
+        "constraint",
+        "n_violations",
+        "n_rows",
+        F.round(
+            F.col("n_violations") / F.greatest(F.col("n_rows"), F.lit(1)), 6
+        ).alias("violation_frac"),
+    )
+    return base.unionByName(ref_row)
+
+
+@register(
+    "text_bigram_pmi",
+    r"""
+    WITH toks AS (SELECT regexp_extract_all(lower(text), '\S+') AS w
+                  FROM documents WHERE text IS NOT NULL),
+    b AS (SELECT w[i] AS t1, w[i + 1] AS t2
+          FROM (SELECT w, unnest(range(1, len(w))) AS i
+                FROM toks WHERE len(w) >= 2)),
+    bc AS (SELECT t1, t2, count(*) AS c FROM b GROUP BY t1, t2),
+    uc AS (SELECT t, count(*) AS c
+           FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nb FROM bc),
+    totu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uc)
+    SELECT t1, t2, bc.c AS n_pair,
+           round(ln((bc.c / nb) / ((u1.c / nu) * (u2.c / nu))), 6) AS pmi
+    FROM bc
+    JOIN uc u1 ON u1.t = bc.t1
+    JOIN uc u2 ON u2.t = bc.t2
+    CROSS JOIN tot CROSS JOIN totu
+    ORDER BY n_pair DESC, t1 ASC, t2 ASC
+    LIMIT 100
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-100 adjacent-token bigrams with
+    pointwise mutual information (the phrase-detection pass of a
+    tokenizer/vocabulary pipeline, Mikolov-style phrase scoring).
+    Bigrams explode map-only from a materialized token array (never
+    re-tokenizing inside the lambda); counts aggregate map-side; the
+    two scalar totals broadcast. Selection orders on INTEGER count
+    with full lexicographic tie-break, so the LIMIT boundary is
+    deterministic cross-engine and PMI floats never decide
+    membership."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.filter(F.col("text").isNotNull())
+        .select(tokens(F.col("text")).alias("__w"))
+        .filter(F.size("__w") >= 2)
+    )
+    bg = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w") - 2),
+                lambda i: F.struct(
+                    F.element_at("__w", i + 1).alias("t1"),
+                    F.element_at("__w", i + 2).alias("t2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.t1", "bg.t2")
+    bc = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c"))
+    uc = (
+        t.select(F.explode("__w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = bc.agg(F.sum("c").cast("double").alias("nb"))
+    totu = uc.agg(F.sum("c").cast("double").alias("nu"))
+    joined = (
+        bc.join(F.broadcast(uc.selectExpr("t AS t1", "c AS c1")), on="t1")
+        .join(F.broadcast(uc.selectExpr("t AS t2", "c AS c2")), on="t2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(totu))
+    )
+    return (
+        joined.select(
+            "t1",
+            "t2",
+            F.col("c").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.col("nb"))
+                    / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("n_pair").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(100)
+    )
