@@ -588,7 +588,15 @@ def prefix_filter_containment_pairs(
 
     frac = Fraction(threshold).limit_denominator(1000)
     num, den = frac.numerator, frac.denominator
-    hashed = _hashed_shingles(df, text_col, id_col, n).persist()
+    # same null contract as containment_pairs and the SQL oracle:
+    # null text/id rows are rejected BEFORE shingling — otherwise the
+    # empty-fallback shingle {""} would pair every null-text doc with
+    # every empty doc at containment 1.0 (caught by
+    # test_round3_ops_null_and_empty_inputs)
+    clean = df.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    hashed = _hashed_shingles(clean, text_col, id_col, n).persist()
     tok = hashed.select(
         F.col(id_col),
         F.size("__shh").alias("__n"),

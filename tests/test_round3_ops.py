@@ -465,3 +465,39 @@ def test_ivfpq_topk_recall_vs_bruteforce(spark):
     assert again == {
         (r["query_id"], r["rank"], r["neighbor_id"]) for r in got_rows
     }
+
+
+def test_round3_ops_null_and_empty_inputs(spark):
+    from pl_fuzzy_frame_match_spark.functions.text import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        containment_pairs,
+        prefix_filter_containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (None, "a b c d e f g"),
+            (3, "a b c d e f g"),
+            (4, "a b c d e f g"),
+        ],
+        ["doc_id", "text"],
+    )
+    # span ops: null text / null id rows are dropped, not crashed on
+    stats = {r["doc_id"] for r in duplicate_span_stats(df, "text", "doc_id").collect()}
+    assert stats == {3, 4}
+    clean = {r["doc_id"]: r for r in remove_duplicate_spans(df, "text", "doc_id").collect()}
+    assert set(clean) == {2, 3, 4}  # empty text kept (0 tokens), nulls dropped
+    assert clean[3]["n_removed"] == clean[3]["n_tokens"] == 7
+    # containment: identical docs contain each other fully; null/empty ignored
+    for fn in (containment_pairs, prefix_filter_containment_pairs):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in fn(df, "text", "doc_id", threshold=0.5, n=3).collect()
+        }
+        assert pairs.get((3, 4)) == 1.0 and pairs.get((4, 3)) == 1.0
+        assert all(a in (3, 4) and b in (3, 4) for a, b in pairs), pairs
