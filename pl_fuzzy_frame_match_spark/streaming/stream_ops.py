@@ -405,3 +405,96 @@ def stream_quality_filter(
         .parquet(path)
     )
     return logreg_quality(stream, text_col, id_col, keep_threshold)
+
+
+def click_purchase_interval_join(
+    events: DataFrame, window_seconds: int = 600
+) -> DataFrame:
+    """Batch twin of :func:`stream_interval_join`: clicks joined to
+    the SAME USER's purchases that occur within ``window_seconds``
+    after the click — attribution within a bounded window. Equi-join
+    on user_id with the time bound as a residual predicate (hash
+    join, never a nested loop)."""
+    ev = _as_instant(events, "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        clicks.join(purchases, on="user_id")
+        .filter(
+            (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+            )
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.unix_timestamp("purchase_ts").cast("long")
+            - F.unix_timestamp("click_ts").cast("long"),
+        )
+        .toDF("user_id", "click_id", "purchase_id", "gap_seconds")
+    )
+
+
+def stream_interval_join(
+    spark, path: str, schema, window_seconds: int = 600
+):
+    """STREAM-STREAM interval join (the Structured Streaming join with
+    buffered state on BOTH sides): clicks and purchases are two
+    watermarked streams over the same source; each click matches the
+    same user's purchases within ``window_seconds`` after it. The
+    time-bound condition lets Spark evict state — a click older than
+    the purchase watermark minus the window can never match again and
+    is dropped, so state is bounded by (watermark delay + window) x
+    arrival rate, not by stream length. Batch twin:
+    :func:`click_purchase_interval_join` (equivalence-tested)."""
+    delay = f"{window_seconds * 2} seconds"
+
+    def side(event_type: str, id_alias: str, ts_alias: str):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(path)
+        )
+        s = _as_instant(s, "ts")
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id"),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, delay)
+        )
+
+    clicks = side("click", "click_id", "click_ts")
+    purchases = side("purchase", "purchase_id", "purchase_ts")
+    joined = clicks.alias("c").join(
+        purchases.alias("p"),
+        F.expr(
+            f"""
+            c.user_id = p.user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {window_seconds} SECONDS
+            """
+        ),
+    )
+    return joined.select(
+        F.col("c.user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_timestamp("purchase_ts").cast("long")
+            - F.unix_timestamp("click_ts").cast("long")
+        ).alias("gap_seconds"),
+    )

@@ -501,3 +501,36 @@ def test_round3_ops_null_and_empty_inputs(spark):
         }
         assert pairs.get((3, 4)) == 1.0 and pairs.get((4, 3)) == 1.0
         assert all(a in (3, 4) and b in (3, 4) for a, b in pairs), pairs
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        click_purchase_interval_join,
+        stream_interval_join,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["gap_seconds"])
+        for r in click_purchase_interval_join(events, 600).collect()
+    }
+    assert batch  # the corpus must actually exercise the join
+    src = str(tmp_path / "events_ssj")
+    events.write.parquet(src)
+    out = stream_interval_join(
+        spark, src, spark.read.parquet(src).schema, 600
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["gap_seconds"])
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    assert streamed == batch
