@@ -334,6 +334,15 @@ def neighborhood1_scored_pairs(
     rv = right_keys.select(right_col).withColumn(
         "__var", F.explode(_deletion1_variants(right_col))
     )
+    # key frames arrive AQE-coalesced to one partition (tiny aggregate
+    # outputs), which would serialize the variant join + rescore chain
+    # on a single task (measured: 3.7 s of a 5.6 s query on one core).
+    # Spread the probe side by the candidate volume estimate — same
+    # policy as the exact path's pair-volume repartition.
+    est_pairs = max(n_left_keys, 1) * 32  # ~dup-factor-bounded fanout
+    n_parts = _compute_parallelism(left_keys, est_pairs)
+    if n_parts > 1:
+        lv = lv.repartition(n_parts, "__var")
     # |key|+1 variant rows per key: broadcast the smaller side while it
     # fits so the variant join never shuffles the larger one
     if 0 < n_right_keys <= BROADCAST_KEY_LIMIT // 32 and (
