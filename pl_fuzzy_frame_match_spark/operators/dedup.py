@@ -239,9 +239,15 @@ def minhash_dedup_pairs(
         ).alias("__shh"),
     ).persist()
     n_docs = hashed.count()
-    banded = banded_buckets(
-        shingled, [id_col], F.col("__sh"), num_hashes, bands
-    ).select(id_col, "band", "band_key")
+    banded = (
+        banded_buckets(shingled, [id_col], F.col("__sh"), num_hashes, bands)
+        .select(id_col, "band", "band_key")
+        # materialize ONCE: both sides of the self-join read this frame,
+        # and a lazy persist races (the join's two stages each compute
+        # the signatures before either populates the cache) — measured
+        # as two full signature passes at bench scale
+        .localCheckpoint(eager=True)
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
