@@ -56,6 +56,8 @@ def main() -> None:
         "tpch_q5",
         "tpch_q6",
         "events_retention",
+        "ann_ivfpq",
+        "text_bigram_pmi",
     ):
         if extra in registry:
             names.append(extra)

@@ -534,3 +534,57 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssj").collect()
     }
     assert streamed == batch
+
+
+def test_round3_plan_guards(spark):
+    """Shuffle budgets + no nested loops for the round-3 operators,
+    via the public plan-audit API."""
+    from pl_fuzzy_frame_match_spark.functions.text import (
+        duplicate_span_stats,
+        logreg_quality,
+        remove_duplicate_spans,
+    )
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        prefix_filter_containment_pairs,
+    )
+    from pl_fuzzy_frame_match_spark.plans.audit import (
+        assert_max_shuffles,
+        assert_no_nested_loop,
+        audit,
+    )
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # logreg scorer: map-only — ZERO exchanges
+    a = audit(logreg_quality(docs, "text", "doc_id"))
+    assert a.exchanges == 0, a.plan
+    # span stats: gram agg + join-back + per-doc agg (<= 3 shuffles,
+    # one may be the widen repartition), never a nested loop
+    stats = duplicate_span_stats(docs, "text", "doc_id", k=5)
+    assert_no_nested_loop(stats)
+    assert_max_shuffles(stats, 4)
+    removal = remove_duplicate_spans(docs, "text", "doc_id", k=5)
+    assert_no_nested_loop(removal)
+    assert_max_shuffles(removal, 6)
+    # prefix-filtered containment: equi-joins/aggregations only
+    pairs = prefix_filter_containment_pairs(docs, "text", "doc_id")
+    assert_no_nested_loop(pairs)
+
+
+def test_round3_vector_plan_guards(spark):
+    from pl_fuzzy_frame_match_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+    from pl_fuzzy_frame_match_spark.plans.audit import assert_no_nested_loop
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F2.col("vec_id") < 10)
+    for op in (pq_topk, ivfpq_topk):
+        out = op(probes, emb, "embedding", "vec_id", k=3)
+        assert_no_nested_loop(out)
+        # and it actually produces ranked rows
+        rows = out.collect()
+        assert rows and all(r["rank"] >= 1 for r in rows)
