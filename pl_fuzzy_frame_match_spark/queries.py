@@ -2667,3 +2667,97 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pair").desc(), F.col("t1").asc(), F.col("t2").asc())
         .limit(100)
     )
+
+
+@register(
+    "tpch_q18",
+    """
+    WITH big AS (SELECT l_orderkey FROM lineitem
+                 GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+    SELECT c_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           round(o_totalprice, 6) AS o_totalprice,
+           round(sum(l_quantity), 6) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    aggregate drives a semi-join back into the fact table. The `big`
+    key set is a pre-aggregated ~few-hundred-row frame -> broadcast
+    LEFT SEMI join prunes lineitem AND orders before the wide join;
+    the final aggregate is map-side combined on already-joined rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 200)
+        .select("l_orderkey")
+    )
+    li_f = li.join(F.broadcast(big), on="l_orderkey", how="left_semi")
+    return (
+        orders.join(
+            F.broadcast(big.withColumnRenamed("l_orderkey", "o_orderkey")),
+            on="o_orderkey",
+            how="left_semi",
+        )
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(li_f, orders["o_orderkey"] == li_f["l_orderkey"])
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "tpch_q17_shape",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l1
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 5
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a CORRELATED
+    scalar subquery per part. Expressed as an explicit pre-aggregate +
+    equi-join (exactly Catalyst's decorrelation): per-part average in
+    one map-side-combined pass, broadcast back, filter, scalar
+    aggregate — no per-row subquery execution anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") <= 5
+    ).select("p_partkey")
+    avgq = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("__half_avg")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(avgq), on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("__half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
