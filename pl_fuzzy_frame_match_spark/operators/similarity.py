@@ -877,3 +877,193 @@ def ivfpq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    m: int = 8,
+    ksub: int = 16,
+    train_size: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+) -> None:
+    """Build a DURABLE product-quantization index: train codebooks on
+    a deterministic hash-sample, encode the corpus map-only, and write
+    (a) the code table as parquet and (b) the codebooks + params as a
+    one-row JSON sidecar. Building once amortizes the encode pass over
+    every later query batch — the index for 10^9 64-dim vectors is
+    ~8 GB of parquet instead of 256 GB of floats, and rebuilding is
+    only needed when the corpus changes."""
+    import json as _json
+
+    spark = corpus.sparkSession
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(train_size)
+    )
+    _, s_mat = normalized_matrix(sample, vec_col, id_col)
+    dim = s_mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    books = _pq_train_codebooks(s_mat, m, ksub, kmeans_iters, seed)
+    bc_books = spark.sparkContext.broadcast(books)
+    dsub = dim // m
+
+    from pyspark.sql.types import ArrayType, ShortType
+
+    enc_schema = StructType(
+        [
+            StructField("neighbor_id", LongType()),
+            StructField("codes", ArrayType(ShortType())),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bks = bc_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(v, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0
+            v = v / nrm
+            codes = np.empty((len(v), m), dtype=np.int16)
+            for s in range(m):
+                sub = v[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1).astype(np.int16)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    corpus.select(id_col, vec_col).mapInPandas(encode, enc_schema).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    meta = {
+        "m": m,
+        "ksub": ksub,
+        "dim": dim,
+        "books": books.tolist(),
+    }
+    spark.createDataFrame([(\
+        _json.dumps(meta),)], ["meta_json"]).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/meta")
+
+
+def query_pq_index(
+    probes: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    k: int = 5,
+    refine: int = 4,
+) -> DataFrame:
+    """Query a :func:`build_pq_index` index: ADC scan of the persisted
+    code table (probe LUTs broadcast; per-batch top-k*refine), exact
+    re-rank against the live corpus vectors. The encode pass is NOT
+    re-paid — only the ~m-bytes-per-vector code parquet is scanned."""
+    import json as _json
+
+    spark = probes.sparkSession
+    meta = _json.loads(
+        spark.read.json(f"{path}/meta").collect()[0]["meta_json"]
+    )
+    m, dim = int(meta["m"]), int(meta["dim"])
+    books = np.array(meta["books"], dtype=np.float64)
+    dsub = dim // m
+    code_table = spark.read.parquet(f"{path}/codes")
+
+    p_ids, p_mat = normalized_matrix(probes, vec_col, id_col)
+    luts = np.stack(
+        [p_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
+        axis=1,
+    )
+    bc_luts = spark.sparkContext.broadcast((p_ids, luts))
+    cand_per_probe = k * refine
+
+    cand_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("approx_sim", DoubleType()),
+        ]
+    )
+
+    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, tables = bc_luts.value
+        per_s = tables.transpose(1, 2, 0)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            scores = per_s[0][codes[:, 0]]
+            for s in range(1, m):
+                scores = scores + per_s[s][codes[:, s]]
+            scores[nids[:, None] == qids[None, :]] = -np.inf
+            cc = min(cand_per_probe, scores.shape[0])
+            sel = np.argpartition(-scores, cc - 1, axis=0)[:cc]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                rows = sel[:, qi]
+                sc = scores[rows, qi]
+                keep = np.isfinite(sc)
+                out_q.extend([qids[qi]] * int(keep.sum()))
+                out_n.extend(nids[rows[keep]])
+                out_s.extend(sc[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "approx_sim": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    local_cands = code_table.mapInPandas(adc_scan, cand_schema)
+    win_a = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        local_cands.withColumn("__r", F.row_number().over(win_a))
+        .filter(F.col("__r") <= cand_per_probe)
+        .select("query_id", "neighbor_id")
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qvecs = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    rescored = (
+        cvecs.join(F.broadcast(cands), on="neighbor_id")
+        .join(F.broadcast(qvecs), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -588,3 +588,39 @@ def test_round3_vector_plan_guards(spark):
         # and it actually produces ranked rows
         rows = out.collect()
         assert rows and all(r["rank"] >= 1 for r in rows)
+
+
+def test_pq_index_roundtrip_matches_direct(spark, tmp_path):
+    import numpy as np
+    from pl_fuzzy_frame_match_spark.operators.similarity import (
+        build_pq_index,
+        pq_topk,
+        query_pq_index,
+    )
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((30, 16))
+    rows = [
+        (i, [float(x) for x in base[i % 30] + 0.05 * rng.standard_normal(16)])
+        for i in range(150)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = emb.filter(F.col("vec_id") < 15)
+    path = str(tmp_path / "pq_index")
+    build_pq_index(
+        emb, "embedding", "vec_id", path, m=4, train_size=150
+    )
+    via_index = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
+        for r in query_pq_index(
+            probes, emb, "embedding", "vec_id", path, k=3, refine=8
+        ).collect()
+    )
+    direct = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
+        for r in pq_topk(
+            probes, emb, "embedding", "vec_id", k=3, m=4, refine=8,
+            train_size=150,
+        ).collect()
+    )
+    assert via_index == direct and len(via_index) == 45
