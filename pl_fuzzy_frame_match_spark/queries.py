@@ -2761,3 +2761,79 @@ def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    r"""
+    WITH toks AS (SELECT doc_id, source,
+                         regexp_extract_all(lower(text), '\S+') AS w,
+                         text
+                  FROM documents
+                  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    g AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(w[i + 1 : i + 5], ' ')) AS gram
+          FROM (SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS i
+                FROM toks WHERE len(w) >= 5)),
+    gd AS (SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx
+           FROM g GROUP BY gram),
+    ds AS (SELECT doc_id, list_sort(list(pos)) AS starts
+           FROM g JOIN gd USING (gram) WHERE mn <> mx GROUP BY doc_id),
+    cleaned AS (
+      SELECT t.doc_id, t.source, t.text,
+             list_filter(w, (tk, i) ->
+                 len(list_filter(coalesce(starts, []),
+                     s -> s <= i - 1 AND i - 1 <= s + 4)) = 0) AS kept
+      FROM toks t LEFT JOIN ds ON t.doc_id = ds.doc_id),
+    scored AS (
+      SELECT doc_id, source, len(kept) AS kept_tokens,
+             1.0 / (1.0 + exp(-(-2.0
+                 + 0.45 * ln(1.0 + len(regexp_extract_all(lower(text), '\S+')))
+                 + 3.0 * (CAST(len(list_filter(
+                       regexp_extract_all(lower(text), '\S+'),
+                       tk -> list_contains(
+                           ['the','a','and','of','to','in','is','it'], tk)))
+                       AS DOUBLE)
+                     / len(regexp_extract_all(lower(text), '\S+')))
+                 - 6.0 * (CAST(length(regexp_replace(text, '[^.,!?;:]', '',
+                       'g')) AS DOUBLE) / length(text))
+                 + 0.10 * (list_sum(list_transform(
+                       regexp_extract_all(lower(text), '\S+'),
+                       tk -> CAST(length(tk) AS DOUBLE)))
+                     / len(regexp_extract_all(lower(text), '\S+')))
+             ))) AS prob
+      FROM cleaned
+      WHERE len(regexp_extract_all(lower(text), '\S+')) > 0)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(kept_tokens) AS BIGINT) AS total_kept_tokens
+    FROM scored WHERE prob >= 0.5
+    GROUP BY source
+    """,
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED pretraining-corpus pipeline: duplicated-span removal
+    (Lee et al.) -> logistic-regression quality gate -> per-source
+    corpus summary (docs kept, deduplicated tokens remaining). Shows
+    the round-3 operators composing lazily into ONE Catalyst plan:
+    the gram aggregation, coverage filter, quality scorer and final
+    rollup plan together — Catalyst prunes and pipelines across the
+    operator boundaries, nothing materializes in between."""
+    from .functions.text import logreg_quality, remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = remove_duplicate_spans(docs, "text", "doc_id", k=5).select(
+        "doc_id", (F.col("n_tokens") - F.col("n_removed")).alias("kept_tokens")
+    )
+    quality = logreg_quality(docs, "text", "doc_id").filter(
+        F.col("quality_prob") >= 0.5
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(cleaned, on="doc_id")
+        .join(quality.select("doc_id"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept_tokens").cast("long").alias("total_kept_tokens"),
+        )
+    )
