@@ -648,3 +648,105 @@ def prefix_filter_containment_pairs(
             ),
         )
     )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 2,
+) -> None:
+    """Persist a NEAR-dup index for incremental dedup: band keys
+    (``bands`` int64 rows per doc) and the hashed shingle arrays (for
+    exact verification) as two parquet tables. The near-dup analogue
+    of the persistable Bloom bitset (`operators/bloom.py`) — a daily
+    ingest probes new batches against the accumulated index instead of
+    re-scanning the whole seen corpus."""
+    from ..functions.minhash import banded_buckets
+    from ..functions.text import widen_narrow_scan
+
+    clean = widen_narrow_scan(df).filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    shingled = clean.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    banded_buckets(
+        shingled, [id_col], F.col("__sh"), num_hashes, bands
+    ).select(id_col, "band", "band_key").write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+    shingled.select(
+        F.col(id_col),
+        F.array_sort(
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
+        ).alias("__shh"),
+    ).write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def incremental_near_dup_pairs(
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    jaccard_distance: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and a persisted
+    :func:`build_minhash_index`: batch band keys equi-join the stored
+    band table (shuffle keyed on one int64 — the stored side is never
+    re-shingled), survivors verify with exact Jaccard against the
+    stored shingle arrays. Returns (batch_id, index_id, jaccard_dist).
+
+    Same banding guarantee as `minhash_dedup_pairs`; the incremental
+    cost is proportional to the BATCH size plus matched buckets, not
+    the corpus."""
+    from ..functions.minhash import banded_buckets
+    from ..functions.text import widen_narrow_scan
+
+    spark = batch.sparkSession
+    clean = widen_narrow_scan(batch).filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    shingled = clean.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    new_bands = (
+        banded_buckets(shingled, [id_col], F.col("__sh"), num_hashes, bands)
+        .select(F.col(id_col).alias("batch_id"), "band", "band_key")
+        .localCheckpoint(eager=True)
+    )
+    idx_bands = spark.read.parquet(f"{path}/bands").select(
+        F.col(id_col).alias("index_id"), "band", "band_key"
+    )
+    cand = (
+        new_bands.join(idx_bands, on=["band", "band_key"])
+        .select("batch_id", "index_id")
+        .distinct()
+    )
+    new_sh = shingled.select(
+        F.col(id_col).alias("batch_id"),
+        F.array_sort(
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
+        ).alias("__bsh"),
+    )
+    idx_sh = spark.read.parquet(f"{path}/shingles").select(
+        F.col(id_col).alias("index_id"), F.col("__shh").alias("__ish")
+    )
+    inter = F.size(F.array_intersect(F.col("__bsh"), F.col("__ish")))
+    union = F.size("__bsh") + F.size("__ish") - inter
+    return (
+        cand.join(new_sh, on="batch_id")
+        .join(idx_sh, on="index_id")
+        .select(
+            "batch_id",
+            "index_id",
+            (F.lit(1.0) - inter.cast("double") / union).alias("jaccard_dist"),
+        )
+        .filter(F.col("jaccard_dist") <= F.lit(jaccard_distance))
+    )

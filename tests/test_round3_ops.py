@@ -624,3 +624,36 @@ def test_pq_index_roundtrip_matches_direct(spark, tmp_path):
         ).collect()
     )
     assert via_index == direct and len(via_index) == 45
+
+
+def test_incremental_near_dup_matches_batch_banding(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_near_dup_pairs,
+        minhash_dedup_pairs,
+    )
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(seen, "text", "doc_id", path)
+    inc = {
+        (r["batch_id"], r["index_id"])
+        for r in incremental_near_dup_pairs(
+            batch, "text", "doc_id", path, jaccard_distance=0.8
+        ).collect()
+    }
+    # reference: full-corpus banding, restricted to cross-split pairs
+    full = minhash_dedup_pairs(
+        docs, "text", "doc_id", jaccard_distance=0.8
+    ).collect()
+    expect = set()
+    for r in full:
+        l, rr = r["left_id"], r["right_id"]
+        if l % 2 != rr % 2:  # one side in batch, one in index
+            b, i = (l, rr) if l % 2 == 1 else (rr, l)
+            expect.add((b, i))
+    assert inc == expect
+    assert inc  # the corpus has planted near-dups across the split
