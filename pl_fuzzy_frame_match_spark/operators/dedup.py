@@ -665,6 +665,25 @@ def build_minhash_index(
     of the persistable Bloom bitset (`operators/bloom.py`) — a daily
     ingest probes new batches against the accumulated index instead of
     re-scanning the whole seen corpus."""
+    bands_df, shingles_df = minhash_index_frames(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    bands_df.write.mode("overwrite").parquet(f"{path}/bands")
+    shingles_df.write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def minhash_index_frames(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 2,
+):
+    """(bands, shingles) frames of the durable near-dup index for a
+    document frame — shared by the one-shot :func:`build_minhash_index`
+    (overwrite) and the streaming ``foreachBatch`` maintainer
+    (append per microbatch)."""
     from ..functions.minhash import banded_buckets
     from ..functions.text import widen_narrow_scan
 
@@ -674,17 +693,16 @@ def build_minhash_index(
     shingled = clean.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
     ).filter(F.size("__sh") > 0)
-    banded_buckets(
+    bands_df = banded_buckets(
         shingled, [id_col], F.col("__sh"), num_hashes, bands
-    ).select(id_col, "band", "band_key").write.mode("overwrite").parquet(
-        f"{path}/bands"
-    )
-    shingled.select(
+    ).select(id_col, "band", "band_key")
+    shingles_df = shingled.select(
         F.col(id_col),
         F.array_sort(
             F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
         ).alias("__shh"),
-    ).write.mode("overwrite").parquet(f"{path}/shingles")
+    )
+    return bands_df, shingles_df
 
 
 def incremental_near_dup_pairs(

@@ -498,3 +498,35 @@ def stream_interval_join(
             - F.unix_timestamp("click_ts").cast("long")
         ).alias("gap_seconds"),
     )
+
+
+def stream_maintain_minhash_index(
+    spark, path: str, schema, index_path: str,
+    text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 8, shingle_n: int = 2,
+):
+    """Maintain the durable near-dup index (`build_minhash_index`)
+    from a document STREAM: each microbatch's band keys and shingle
+    arrays append to the index parquet via ``foreachBatch`` — the
+    CDC-ingest pattern where the index grows with arrivals and
+    `incremental_near_dup_pairs` probes stay batch-proportional.
+    Returns the started streaming query (caller awaits/stops)."""
+    from ..operators.dedup import minhash_index_frames
+
+    def update(batch_df, _batch_id: int) -> None:
+        bands_df, shingles_df = minhash_index_frames(
+            batch_df, text_col, id_col, num_hashes, bands, shingle_n
+        )
+        bands_df.write.mode("append").parquet(f"{index_path}/bands")
+        shingles_df.write.mode("append").parquet(f"{index_path}/shingles")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return (
+        stream.writeStream.foreachBatch(update)
+        .trigger(availableNow=True)
+        .start()
+    )

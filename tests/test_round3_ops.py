@@ -657,3 +657,53 @@ def test_incremental_near_dup_matches_batch_banding(spark, tmp_path):
             expect.add((b, i))
     assert inc == expect
     assert inc  # the corpus has planted near-dups across the split
+
+
+def test_pipeline_pretrain_corpus_plan(spark):
+    from pl_fuzzy_frame_match_spark.plans.audit import (
+        assert_max_shuffles,
+        assert_no_nested_loop,
+    )
+    from pl_fuzzy_frame_match_spark.queries import queries
+
+    df = queries()["pipeline_pretrain_corpus"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert_no_nested_loop(df)
+    # gram agg + join-back + starts agg + 2 doc joins + rollup, plus
+    # the widen repartition: the composed chain stays a bounded-shuffle
+    # single Catalyst plan (nothing materializes between operators)
+    assert_max_shuffles(df, 8)
+
+
+def test_stream_maintained_index_matches_batch_build(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_near_dup_pairs,
+    )
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_maintain_minhash_index,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    # stream the seen split in multiple files -> multiple microbatches
+    src = str(tmp_path / "docs_src")
+    seen.repartition(4).write.parquet(src)
+    streamed_idx = str(tmp_path / "mh_streamed")
+    q = stream_maintain_minhash_index(
+        spark, src, spark.read.parquet(src).schema, streamed_idx
+    )
+    q.awaitTermination(180)
+    built_idx = str(tmp_path / "mh_built")
+    build_minhash_index(seen, "text", "doc_id", built_idx)
+    probe = lambda p: {
+        (r["batch_id"], r["index_id"])
+        for r in incremental_near_dup_pairs(
+            batch, "text", "doc_id", p, jaccard_distance=0.8
+        ).collect()
+    }
+    a, b = probe(streamed_idx), probe(built_idx)
+    assert a == b and a
