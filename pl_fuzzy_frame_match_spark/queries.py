@@ -2837,3 +2837,137 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("kept_tokens").cast("long").alias("total_kept_tokens"),
         )
     )
+
+
+@register(
+    "tpch_q7_shape",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+)
+def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the
+    nation pair predicate broadcasts through supplier AND customer
+    sides; the orderkey join is the one real shuffle. Year extraction
+    groups an integer, not a date — engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_suppkey", "l_orderkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("FRANCE", "GERMANY")
+    ).select("n_nationkey", "n_name")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("s_nationkey"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            on="s_nationkey",
+        )
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("cust_nation"),
+            ),
+            on="c_nationkey",
+        )
+    )
+    return (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q10_shape",
+    """
+    WITH r AS (
+      SELECT c_custkey, c_name,
+             sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+      GROUP BY c_custkey, c_name
+    ),
+    k AS (SELECT *, row_number() OVER (
+              ORDER BY round(rev, 4) DESC, c_custkey ASC) AS rn FROM r)
+    SELECT c_custkey, c_name, round(rev, 6) AS revenue, rn
+    FROM k WHERE rn <= 20
+    """,
+)
+def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    lost revenue. The global ranking orders on revenue ROUNDED to 4
+    decimals with custkey tie-break, so cross-engine float-sum noise
+    (different addition orders) cannot reorder the LIMIT boundary;
+    displayed revenue still carries 6 decimals. Spark plans the
+    ranking as TakeOrdered-style top-k, not a full sort."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    r = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev")
+        )
+    )
+    w = Window.orderBy(F.round("rev", 4).desc(), F.col("c_custkey").asc())
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "c_custkey", "c_name", F.round("rev", 6).alias("revenue"), "rn"
+        )
+    )

@@ -707,3 +707,31 @@ def test_stream_maintained_index_matches_batch_build(spark, tmp_path):
     }
     a, b = probe(streamed_idx), probe(built_idx)
     assert a == b and a
+
+
+def test_pq_edge_cases(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from pl_fuzzy_frame_match_spark.operators.similarity import pq_topk
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(15)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = emb.filter(F.col("vec_id") < 5)
+    # dim 15 not divisible by m=4 -> explicit error, not silent garbage
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_topk(probes, emb, "embedding", "vec_id", k=3, m=4)
+    # zero vectors normalize to zero (cosine 0) without NaN poisoning
+    rows16 = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)]
+    rows16.append((40, [0.0] * 16))
+    emb16 = spark.createDataFrame(rows16, ["vec_id", "embedding"])
+    out = pq_topk(
+        emb16.filter(F.col("vec_id").isin(0, 40)), emb16,
+        "embedding", "vec_id", k=3, m=4, train_size=41,
+    ).collect()
+    # zero-vector cosine is NULL (consistent with cosine_similarity's
+    # contract: dropped by any > threshold), never NaN/Inf
+    assert all(
+        r["cosine_sim"] is None or np.isfinite(r["cosine_sim"]) for r in out
+    )
