@@ -414,12 +414,22 @@ def fuzzy_match_dfs(
     cross_over_for_appr_nearest_neighbor: float = DEFAULT_CROSS_OVER,
     use_appr_nearest_neighbor_for_new_matches: Optional[bool] = None,
     top_n_for_new_matches: Optional[int] = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Fuzzy-join ``left`` and ``right`` on every mapping in
     ``fuzzy_maps`` (conjunction). Returns a lazy DataFrame with all left
     columns ++ all (collision-renamed) right columns ++ one similarity
     score column per mapping, in that order (reference matcher.py:624,
     661-722).
+
+    ``how`` extends the reference's inner-only contract Spark-first:
+    ``"left"`` keeps unmatched left rows (right columns and scores
+    null — exactly SQL's LEFT JOIN on the fuzzy predicate),
+    ``"left_semi"`` returns just the left rows WITH a fuzzy match,
+    ``"left_anti"`` the left rows WITHOUT one (the "new entities"
+    query of an entity-resolution pipeline). Candidate generation and
+    scoring are identical across modes — only the final payload join
+    changes, so every optimizer rewrite applies to all four.
 
     The result is lazy — this is the union of the reference's eager
     ``fuzzy_match_dfs`` and lazy ``fuzzy_match_dfs_with_context`` entry
@@ -439,6 +449,8 @@ def fuzzy_match_dfs(
         logger = logging.getLogger(__name__)
     if not fuzzy_maps:
         raise ValueError("fuzzy_maps must be non-empty")
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(f"unsupported how: {how!r}")
     spark = left.sparkSession
 
     # ---- PHASE A: plan (reference pre_process.py:281-327)
@@ -464,7 +476,23 @@ def fuzzy_match_dfs(
         right_count, right_uniq, right_maxlen = right_fut.result()
     maps = set_output_column_names(maps)
     if left_count == 0 or right_count == 0:  # O7 early exit
-        return _empty_result(spark, left, right, maps)
+        if how == "left_anti":
+            return left  # nothing can match: every left row is novel
+        if how == "left_semi":
+            return left.limit(0)
+        empty = _empty_result(spark, left, right, maps)
+        if how == "left":
+            if left_count == 0:
+                return empty
+            null_rights = [
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in right.schema.fields
+            ] + [
+                F.lit(None).cast("double").alias(m.output_column_name)
+                for m in maps
+            ]
+            return left.select("*", *null_rights)
+        return empty
 
     maps = order_mappings_by_selectivity(
         maps, left_uniq, right_uniq, left_count, right_count
@@ -526,6 +554,18 @@ def fuzzy_match_dfs(
             )
 
     # ---- PHASE D: payload re-attach + frozen column order
+    if how in ("left_semi", "left_anti"):
+        return left_i.join(
+            matches.select(LEFT_INDEX), on=LEFT_INDEX, how=how
+        ).drop(LEFT_INDEX)
+    if how == "left":
+        enriched = matches.join(
+            _maybe_broadcast(right_i, right_count), on=RIGHT_INDEX, how="inner"
+        ).drop(RIGHT_INDEX)
+        return (
+            left_i.join(enriched, on=LEFT_INDEX, how="left")
+            .select(*output_cols)
+        )
     result = (
         matches.join(
             _maybe_broadcast(left_i, left_count), on=LEFT_INDEX, how="inner"

@@ -2971,3 +2971,37 @@ def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", F.round("rev", 6).alias("revenue"), "rn"
         )
     )
+
+
+@register(
+    "fuzzy_join_left",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+           c.c_mktsegment,
+           s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal,
+           round(1.0 - levenshtein(lower(c.c_name), lower(s.s_name))
+                 / greatest(length(c.c_name), length(s.s_name), 1), 6)
+               AS c_name_vs_s_name_levenshtein
+    FROM customer c
+    LEFT JOIN supplier s
+      ON s.s_name IS NOT NULL AND c.c_name IS NOT NULL
+     AND levenshtein(lower(c.c_name), lower(s.s_name))
+         / greatest(length(c.c_name), length(s.s_name), 1) <= 0.30
+    """,
+)
+def fuzzy_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT fuzzy join (engine extension beyond the reference's
+    inner-only contract): every customer row survives; those without a
+    supplier name within the threshold carry null supplier columns and
+    a null score — exactly SQL's LEFT JOIN on the fuzzy predicate.
+    Same candidate/scoring plan as the inner join; only the final
+    payload join flips to left outer."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    out = fuzzy_match_dfs(
+        cust,
+        supp,
+        [FuzzyMapping("c_name", "s_name", threshold_score=70.0)],
+        how="left",
+    )
+    return _round6(out, "c_name_vs_s_name_levenshtein")

@@ -735,3 +735,64 @@ def test_pq_edge_cases(spark):
     assert all(
         r["cosine_sim"] is None or np.isfinite(r["cosine_sim"]) for r in out
     )
+
+
+def test_fuzzy_join_modes(spark):
+    from pl_fuzzy_frame_match_spark import FuzzyMapping, fuzzy_match_dfs
+
+    left = spark.createDataFrame(
+        [(1, "spark"), (2, "flink"), (3, None), (4, "zzzzz")],
+        ["lid", "name"],
+    )
+    right = spark.createDataFrame(
+        [(10, "sparc"), (11, "blink")], ["rid", "label"]
+    )
+    maps = [FuzzyMapping("name", "label", threshold_score=75.0)]
+    inner = fuzzy_match_dfs(left, right, maps).collect()
+    matched_lids = {r["lid"] for r in inner}
+    assert matched_lids == {1, 2}
+
+    lj = fuzzy_match_dfs(left, right, maps, how="left").collect()
+    assert {r["lid"] for r in lj} == {1, 2, 3, 4}
+    by_lid = {}
+    for r in lj:
+        by_lid.setdefault(r["lid"], []).append(r)
+    # unmatched rows keep left payload, null right + null score
+    for lid in (3, 4):
+        (row,) = by_lid[lid]
+        assert row["rid"] is None and row["label"] is None
+        assert row["name_vs_label_levenshtein"] is None
+    # matched rows carry the same scores as inner
+    assert {
+        (r["lid"], r["rid"], r["name_vs_label_levenshtein"]) for r in inner
+    } <= {(r["lid"], r["rid"], r["name_vs_label_levenshtein"]) for r in lj}
+
+    semi = fuzzy_match_dfs(left, right, maps, how="left_semi")
+    assert sorted(r["lid"] for r in semi.collect()) == [1, 2]
+    assert semi.columns == ["lid", "name"]
+    anti = fuzzy_match_dfs(left, right, maps, how="left_anti")
+    assert sorted(r["lid"] for r in anti.collect()) == [3, 4]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported how"):
+        fuzzy_match_dfs(left, right, maps, how="full")
+
+
+def test_fuzzy_join_modes_empty_right(spark):
+    from pl_fuzzy_frame_match_spark import FuzzyMapping, fuzzy_match_dfs
+
+    left = spark.createDataFrame([(1, "a"), (2, "b")], ["lid", "name"])
+    right = spark.createDataFrame([], "rid long, label string")
+    maps = [FuzzyMapping("name", "label", threshold_score=75.0)]
+    assert fuzzy_match_dfs(left, right, maps).count() == 0
+    assert fuzzy_match_dfs(left, right, maps, how="left_semi").count() == 0
+    assert sorted(
+        r["lid"] for r in fuzzy_match_dfs(
+            left, right, maps, how="left_anti"
+        ).collect()
+    ) == [1, 2]
+    lj = fuzzy_match_dfs(left, right, maps, how="left")
+    rows = lj.collect()
+    assert sorted(r["lid"] for r in rows) == [1, 2]
+    assert all(r["rid"] is None for r in rows)
