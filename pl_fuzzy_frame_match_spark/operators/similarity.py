@@ -536,6 +536,180 @@ def _pq_train_codebooks(
     return books
 
 
+# --- shared PQ machinery (pq_topk, ivfpq_topk, build/query_pq_index) ----
+
+_PQ_CAND_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("approx_sim", DoubleType()),
+    ]
+)
+
+
+def _pq_train_sample(corpus, vec_col, id_col, train_size, m):
+    """Deterministic hash-ordered training sample as a normalized
+    matrix (TakeOrdered plan — no full sort); validates dim % m."""
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(train_size)
+    )
+    _, s_mat = normalized_matrix(sample, vec_col, id_col)
+    dim = s_mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    return s_mat, dim
+
+
+def _normalize_rows(v: "np.ndarray") -> "np.ndarray":
+    nrm = np.linalg.norm(v, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    return v / nrm
+
+
+def _pq_assign_codes(v: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """(n, m) int16 sub-codes: per subspace, nearest codebook entry."""
+    m = books.shape[0]
+    dsub = books.shape[2]
+    codes = np.empty((len(v), m), dtype=np.int16)
+    for s in range(m):
+        sub = v[:, s * dsub : (s + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(d2, axis=1).astype(np.int16)
+    return codes
+
+
+def _pq_encode_frame(corpus, vec_col, id_col, books, cluster_centroids=None):
+    """Map-only corpus encoding: (neighbor_id, codes) — plus a
+    ``cluster`` column when coarse centroids are given (IVF-PQ). Codes
+    stay executor-side; this is the ~32x compression pass."""
+    from pyspark.sql.types import ArrayType, ShortType
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((books, cluster_centroids))
+    fields = [StructField("neighbor_id", LongType())]
+    if cluster_centroids is not None:
+        fields.append(StructField("cluster", IntegerType()))
+    fields.append(StructField("codes", ArrayType(ShortType())))
+    enc_schema = StructType(fields)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bks, cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = _normalize_rows(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            )
+            out = {"neighbor_id": pdf[id_col].to_numpy(dtype=np.int64)}
+            if cents is not None:
+                out["cluster"] = np.argmax(v @ cents.T, axis=1).astype(
+                    np.int32
+                )
+            out["codes"] = list(_pq_assign_codes(v, bks))
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, enc_schema)
+
+
+def _pq_luts(p_mat: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """ADC lookup tables (nq, m, ksub): LUT[q, s, c] = <q_sub_s,
+    codebook_s_c> — summing the per-subspace inner products of the
+    normalized halves approximates the cosine."""
+    m, dsub = books.shape[0], books.shape[2]
+    return np.stack(
+        [p_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
+        axis=1,
+    )
+
+
+def _adc_candidates(code_table, p_ids, luts, cand_per_probe):
+    """ADC scan of a (neighbor_id, codes) table against broadcast
+    probe LUTs: per-Arrow-batch top-``cand_per_probe`` per probe, then
+    a global window merge — only ~nq * cand_per_probe rows per
+    partition ever shuffle. Returns (query_id, neighbor_id)."""
+    m = luts.shape[1]
+    spark = code_table.sparkSession
+    bc_luts = spark.sparkContext.broadcast((p_ids, luts))
+
+    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, tables = bc_luts.value  # (nq,), (nq, m, ksub)
+        per_s = tables.transpose(1, 2, 0)  # (m, ksub, nq)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            scores = per_s[0][codes[:, 0]]  # (n, nq)
+            for s in range(1, m):
+                scores = scores + per_s[s][codes[:, s]]
+            scores[nids[:, None] == qids[None, :]] = -np.inf  # self-match
+            cc = min(cand_per_probe, scores.shape[0])
+            sel = np.argpartition(-scores, cc - 1, axis=0)[:cc]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                rows = sel[:, qi]
+                sc = scores[rows, qi]
+                keep = np.isfinite(sc)
+                out_q.extend([qids[qi]] * int(keep.sum()))
+                out_n.extend(nids[rows[keep]])
+                out_s.extend(sc[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "approx_sim": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    local_cands = code_table.mapInPandas(adc_scan, _PQ_CAND_SCHEMA)
+    win_a = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local_cands.withColumn("__r", F.row_number().over(win_a))
+        .filter(F.col("__r") <= cand_per_probe)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _exact_rerank(probes, corpus, vec_col, id_col, cands, k):
+    """Exact cosine re-rank of a tiny candidate set: candidates and
+    probe vectors broadcast into hash joins against the live corpus;
+    final top-k via per-query window (sim desc, id asc ties)."""
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qvecs = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    rescored = (
+        cvecs.join(F.broadcast(cands), on="neighbor_id")
+        .join(F.broadcast(qvecs), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def pq_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -574,145 +748,14 @@ def pq_topk(
     The probe side is collected to build LUTs — in search workloads
     probes are the small side; recall is gated in tests against
     :func:`brute_force_topk`."""
-    spark = probes.sparkSession
-    # --- 1. train (deterministic hash-ordered sample, TakeOrdered plan)
-    sample = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(train_size)
-    )
-    s_ids, s_mat = normalized_matrix(sample, vec_col, id_col)
-    dim = s_mat.shape[1]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
+    s_mat, _ = _pq_train_sample(corpus, vec_col, id_col, train_size, m)
     books = _pq_train_codebooks(s_mat, m, ksub, kmeans_iters, seed)
-    bc_books = spark.sparkContext.broadcast(books)
-    dsub = dim // m
-
-    # --- 2. encode corpus (map-only; codes stay executor-side)
-    from pyspark.sql.types import ArrayType, ShortType
-
-    enc_schema = StructType(
-        [
-            StructField("neighbor_id", LongType()),
-            StructField("codes", ArrayType(ShortType())),
-        ]
-    )
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bks = bc_books.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            nrm = np.linalg.norm(v, axis=1, keepdims=True)
-            nrm[nrm == 0.0] = 1.0
-            v = v / nrm
-            codes = np.empty((len(v), m), dtype=np.int16)
-            for s in range(m):
-                sub = v[:, s * dsub : (s + 1) * dsub]
-                d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = np.argmin(d2, axis=1).astype(np.int16)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "codes": list(codes),
-                }
-            )
-
-    code_table = corpus.select(id_col, vec_col).mapInPandas(encode, enc_schema)
-
-    # --- 3. probe LUTs (probe side collected — the small side)
+    code_table = _pq_encode_frame(corpus, vec_col, id_col, books)
     p_ids, p_mat = normalized_matrix(probes, vec_col, id_col)
-    # LUT[q, s, c] = <q_sub_s, codebook_s_c>  (inner product of normalized
-    # halves sums to the approximate cosine)
-    luts = np.stack(
-        [p_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
-        axis=1,
-    )  # (nq, m, ksub)
-    bc_luts = spark.sparkContext.broadcast((p_ids, luts))
-    cand_per_probe = k * refine
-
-    cand_schema = StructType(
-        [
-            StructField("query_id", LongType()),
-            StructField("neighbor_id", LongType()),
-            StructField("approx_sim", DoubleType()),
-        ]
+    cands = _adc_candidates(
+        code_table, p_ids, _pq_luts(p_mat, books), k * refine
     )
-
-    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids, tables = bc_luts.value  # (nq,), (nq, m, ksub)
-        per_s = tables.transpose(1, 2, 0)  # (m, ksub, nq)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
-            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            scores = per_s[0][codes[:, 0]]  # (n, nq)
-            for s in range(1, m):
-                scores = scores + per_s[s][codes[:, s]]
-            mask_self = nids[:, None] == qids[None, :]
-            scores[mask_self] = -np.inf
-            cc = min(cand_per_probe, scores.shape[0])
-            sel = np.argpartition(-scores, cc - 1, axis=0)[:cc]  # (cc, nq)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(qids)):
-                rows = sel[:, qi]
-                sc = scores[rows, qi]
-                keep = np.isfinite(sc)
-                out_q.extend([qids[qi]] * int(keep.sum()))
-                out_n.extend(nids[rows[keep]])
-                out_s.extend(sc[keep])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.array(out_q, dtype=np.int64),
-                    "neighbor_id": np.array(out_n, dtype=np.int64),
-                    "approx_sim": np.array(out_s, dtype=np.float64),
-                }
-            )
-
-    local_cands = code_table.mapInPandas(adc_scan, cand_schema)
-    win_a = Window.partitionBy("query_id").orderBy(
-        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
-    )
-    cands = (
-        local_cands.withColumn("__r", F.row_number().over(win_a))
-        .filter(F.col("__r") <= cand_per_probe)
-        .select("query_id", "neighbor_id")
-    )
-
-    # --- 4. exact re-rank: hash-join candidates (broadcast) to vectors
-    cvecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    qvecs = probes.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    rescored = (
-        cvecs.join(F.broadcast(cands), on="neighbor_id")
-        .join(F.broadcast(qvecs), on="query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("__qv"), F.col("__cv")).alias(
-                "cosine_sim"
-            ),
-        )
-    )
-    win = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _exact_rerank(probes, corpus, vec_col, id_col, cands, k)
 
 
 def ivfpq_topk(
@@ -748,15 +791,8 @@ def ivfpq_topk(
     candidate set re-ranks with exact cosine. The corpus never
     reaches the driver."""
     spark = probes.sparkSession
-    sample = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(train_size)
-    )
-    _, s_mat = normalized_matrix(sample, vec_col, id_col)
-    n_s, dim = s_mat.shape
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
+    s_mat, _ = _pq_train_sample(corpus, vec_col, id_col, train_size, m)
+    n_s = s_mat.shape[0]
     # coarse centroids: seeded Lloyd on the normalized sample
     ncl = min(n_clusters, max(1, n_s))
     rng = np.random.default_rng(seed)
@@ -771,50 +807,13 @@ def ivfpq_topk(
                 if nv > 0:
                     cents[c] = v / nv
     books = _pq_train_codebooks(s_mat, m, ksub, kmeans_iters, seed + 1)
-    bc_train = spark.sparkContext.broadcast((cents, books))
-    dsub = dim // m
-
-    from pyspark.sql.types import ArrayType, ShortType
-
-    enc_schema = StructType(
-        [
-            StructField("neighbor_id", LongType()),
-            StructField("cluster", IntegerType()),
-            StructField("codes", ArrayType(ShortType())),
-        ]
+    code_table = _pq_encode_frame(
+        corpus, vec_col, id_col, books, cluster_centroids=cents
     )
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cc, bks = bc_train.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            nrm = np.linalg.norm(v, axis=1, keepdims=True)
-            nrm[nrm == 0.0] = 1.0
-            v = v / nrm
-            cluster = np.argmax(v @ cc.T, axis=1).astype(np.int32)
-            codes = np.empty((len(v), m), dtype=np.int16)
-            for s in range(m):
-                sub = v[:, s * dsub : (s + 1) * dsub]
-                d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = np.argmin(d2, axis=1).astype(np.int16)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "cluster": cluster,
-                    "codes": list(codes),
-                }
-            )
-
-    code_table = corpus.select(id_col, vec_col).mapInPandas(encode, enc_schema)
 
     # probe side: LUTs + probed-cluster list (both tiny, broadcast)
     p_ids, p_mat = normalized_matrix(probes, vec_col, id_col)
-    luts = np.stack(
-        [p_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
-        axis=1,
-    )  # (nq, m, ksub)
+    luts = _pq_luts(p_mat, books)
     npb = min(n_probe, ncl)
     probe_cl = np.argpartition(-(p_mat @ cents.T), npb - 1, axis=1)[:, :npb]
     probe_rows = [
@@ -825,13 +824,14 @@ def ivfpq_topk(
     )
     qidx = {int(q): i for i, q in enumerate(p_ids)}
     bc_score = spark.sparkContext.broadcast((qidx, luts))
+    m_ = m
 
     @F.pandas_udf(DoubleType())
     def adc(query_id: pd.Series, codes: pd.Series) -> pd.Series:
         qmap, tables = bc_score.value
         qi = query_id.map(qmap).to_numpy(dtype=np.int64)
         cd = np.array(codes.tolist(), dtype=np.int64)
-        sc = tables[qi[:, None], np.arange(m)[None, :], cd].sum(axis=1)
+        sc = tables[qi[:, None], np.arange(m_)[None, :], cd].sum(axis=1)
         return pd.Series(sc)
 
     cands = (
@@ -847,36 +847,7 @@ def ivfpq_topk(
         .filter(F.col("__r") <= k * refine)
         .select("query_id", "neighbor_id")
     )
-    cvecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    qvecs = probes.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    rescored = (
-        cvecs.join(F.broadcast(top_cands), on="neighbor_id")
-        .join(F.broadcast(qvecs), on="query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("__qv"), F.col("__cv")).alias(
-                "cosine_sim"
-            ),
-        )
-    )
-    win = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _exact_rerank(probes, corpus, vec_col, id_col, top_cands, k)
 
 
 def build_pq_index(
@@ -900,62 +871,15 @@ def build_pq_index(
     import json as _json
 
     spark = corpus.sparkSession
-    sample = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(train_size)
-    )
-    _, s_mat = normalized_matrix(sample, vec_col, id_col)
-    dim = s_mat.shape[1]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
+    s_mat, dim = _pq_train_sample(corpus, vec_col, id_col, train_size, m)
     books = _pq_train_codebooks(s_mat, m, ksub, kmeans_iters, seed)
-    bc_books = spark.sparkContext.broadcast(books)
-    dsub = dim // m
-
-    from pyspark.sql.types import ArrayType, ShortType
-
-    enc_schema = StructType(
-        [
-            StructField("neighbor_id", LongType()),
-            StructField("codes", ArrayType(ShortType())),
-        ]
-    )
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bks = bc_books.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            nrm = np.linalg.norm(v, axis=1, keepdims=True)
-            nrm[nrm == 0.0] = 1.0
-            v = v / nrm
-            codes = np.empty((len(v), m), dtype=np.int16)
-            for s in range(m):
-                sub = v[:, s * dsub : (s + 1) * dsub]
-                d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = np.argmin(d2, axis=1).astype(np.int16)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "codes": list(codes),
-                }
-            )
-
-    corpus.select(id_col, vec_col).mapInPandas(encode, enc_schema).write.mode(
+    _pq_encode_frame(corpus, vec_col, id_col, books).write.mode(
         "overwrite"
     ).parquet(f"{path}/codes")
-    meta = {
-        "m": m,
-        "ksub": ksub,
-        "dim": dim,
-        "books": books.tolist(),
-    }
-    spark.createDataFrame([(\
-        _json.dumps(meta),)], ["meta_json"]).coalesce(1).write.mode(
-        "overwrite"
-    ).json(f"{path}/meta")
+    meta = {"m": m, "ksub": ksub, "dim": dim, "books": books.tolist()}
+    spark.createDataFrame(
+        [(_json.dumps(meta),)], ["meta_json"]
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
 
 
 def query_pq_index(
@@ -977,93 +901,10 @@ def query_pq_index(
     meta = _json.loads(
         spark.read.json(f"{path}/meta").collect()[0]["meta_json"]
     )
-    m, dim = int(meta["m"]), int(meta["dim"])
     books = np.array(meta["books"], dtype=np.float64)
-    dsub = dim // m
     code_table = spark.read.parquet(f"{path}/codes")
-
     p_ids, p_mat = normalized_matrix(probes, vec_col, id_col)
-    luts = np.stack(
-        [p_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
-        axis=1,
+    cands = _adc_candidates(
+        code_table, p_ids, _pq_luts(p_mat, books), k * refine
     )
-    bc_luts = spark.sparkContext.broadcast((p_ids, luts))
-    cand_per_probe = k * refine
-
-    cand_schema = StructType(
-        [
-            StructField("query_id", LongType()),
-            StructField("neighbor_id", LongType()),
-            StructField("approx_sim", DoubleType()),
-        ]
-    )
-
-    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids, tables = bc_luts.value
-        per_s = tables.transpose(1, 2, 0)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            scores = per_s[0][codes[:, 0]]
-            for s in range(1, m):
-                scores = scores + per_s[s][codes[:, s]]
-            scores[nids[:, None] == qids[None, :]] = -np.inf
-            cc = min(cand_per_probe, scores.shape[0])
-            sel = np.argpartition(-scores, cc - 1, axis=0)[:cc]
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(qids)):
-                rows = sel[:, qi]
-                sc = scores[rows, qi]
-                keep = np.isfinite(sc)
-                out_q.extend([qids[qi]] * int(keep.sum()))
-                out_n.extend(nids[rows[keep]])
-                out_s.extend(sc[keep])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.array(out_q, dtype=np.int64),
-                    "neighbor_id": np.array(out_n, dtype=np.int64),
-                    "approx_sim": np.array(out_s, dtype=np.float64),
-                }
-            )
-
-    local_cands = code_table.mapInPandas(adc_scan, cand_schema)
-    win_a = Window.partitionBy("query_id").orderBy(
-        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
-    )
-    cands = (
-        local_cands.withColumn("__r", F.row_number().over(win_a))
-        .filter(F.col("__r") <= cand_per_probe)
-        .select("query_id", "neighbor_id")
-    )
-    cvecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    qvecs = probes.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    rescored = (
-        cvecs.join(F.broadcast(cands), on="neighbor_id")
-        .join(F.broadcast(qvecs), on="query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("__qv"), F.col("__cv")).alias(
-                "cosine_sim"
-            ),
-        )
-    )
-    win = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _exact_rerank(probes, corpus, vec_col, id_col, cands, k)
