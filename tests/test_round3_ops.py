@@ -796,3 +796,49 @@ def test_fuzzy_join_modes_empty_right(spark):
     rows = lj.collect()
     assert sorted(r["lid"] for r in rows) == [1, 2]
     assert all(r["rid"] is None for r in rows)
+
+
+def test_join_modes_partition_property(spark):
+    """For any inputs: the left join partitions into (inner rows) +
+    (anti rows with null right payload); semi/anti partition the left
+    row set."""
+    import random
+
+    from pl_fuzzy_frame_match_spark import FuzzyMapping, fuzzy_match_dfs
+
+    rng = random.Random(99)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+
+    def noisy(w):
+        if len(w) > 3 and rng.random() < 0.5:
+            i = rng.randrange(len(w))
+            return w[:i] + "x" + w[i + 1 :]
+        return w
+
+    left = spark.createDataFrame(
+        [(i, noisy(rng.choice(words))) for i in range(30)]
+        + [(97, None), (98, "qqqqqqqq")],
+        ["lid", "name"],
+    )
+    right = spark.createDataFrame(
+        [(100 + j, rng.choice(words)) for j in range(10)], ["rid", "label"]
+    )
+    maps = [FuzzyMapping("name", "label", threshold_score=80.0)]
+    inner = fuzzy_match_dfs(left, right, maps).collect()
+    lj = fuzzy_match_dfs(left, right, maps, how="left").collect()
+    semi = {r["lid"] for r in fuzzy_match_dfs(left, right, maps, how="left_semi").collect()}
+    anti = {r["lid"] for r in fuzzy_match_dfs(left, right, maps, how="left_anti").collect()}
+    all_lids = {r["lid"] for r in left.collect()}
+    assert semi | anti == all_lids and not (semi & anti)
+    assert {r["lid"] for r in inner} == semi
+    # left = inner rows + one null-right row per anti lid
+    assert len(lj) == len(inner) + len(anti)
+    null_rows = [r for r in lj if r["rid"] is None]
+    assert {r["lid"] for r in null_rows} == anti
+    matched = sorted(
+        (r["lid"], r["rid"], r["name_vs_label_levenshtein"])
+        for r in lj if r["rid"] is not None
+    )
+    assert matched == sorted(
+        (r["lid"], r["rid"], r["name_vs_label_levenshtein"]) for r in inner
+    )
