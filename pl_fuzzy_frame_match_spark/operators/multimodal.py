@@ -270,3 +270,22 @@ def resize_meta(
             "pad_y", ((F.lit(target_h) - F.col("out_h")) / 2).cast("int")
         )
     )
+
+
+def png_dimensions(payload: "F.Column"):
+    """REAL image-dimension extraction for PNG payloads in PURE
+    CATALYST — no Python, no imaging library: a PNG is an 8-byte
+    signature followed by the IHDR chunk whose big-endian width/height
+    live at byte offsets 17-20 / 21-24. ``conv(hex(substring(...)))``
+    decodes the big-endian ints inside whole-stage codegen, so header
+    scanning 10^9 stored images is a map-only scan-speed pass (the
+    pixel DECODE still needs Pillow — `decode_image` — but the
+    dimension/aspect filters a curation pipeline applies first don't).
+    Returns (width, height) columns, null for non-PNG payloads."""
+    is_png = F.hex(F.substring(payload, 1, 8)) == F.lit("89504E470D0A1A0A")
+    w = F.conv(F.hex(F.substring(payload, 17, 4)), 16, 10).cast("int")
+    h = F.conv(F.hex(F.substring(payload, 21, 4)), 16, 10).cast("int")
+    return (
+        F.when(is_png, w).alias("png_width"),
+        F.when(is_png, h).alias("png_height"),
+    )

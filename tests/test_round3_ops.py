@@ -842,3 +842,37 @@ def test_join_modes_partition_property(spark):
     assert matched == sorted(
         (r["lid"], r["rid"], r["name_vs_label_levenshtein"]) for r in inner
     )
+
+
+def test_png_dimensions_pure_catalyst(spark):
+    import struct
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        png_dimensions,
+    )
+    from pl_fuzzy_frame_match_spark.plans.audit import audit
+
+    def png_header(w, h):
+        sig = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+        ihdr = struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, h)
+        return sig + ihdr + bytes(5)  # bit depth etc. irrelevant here
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png_header(640, 480))),
+            (2, bytearray(png_header(1, 1))),
+            (3, bytearray(b"GIF89a not a png")),
+            (4, None),
+        ],
+        "id long, payload binary",
+    )
+    out = df.select("id", *png_dimensions(F.col("payload")))
+    rows = {r["id"]: (r["png_width"], r["png_height"]) for r in out.collect()}
+    assert rows[1] == (640, 480)
+    assert rows[2] == (1, 1)
+    assert rows[3] == (None, None)
+    assert rows[4] == (None, None)
+    # pure Catalyst: no Exchange, no Python stage
+    a = audit(out)
+    assert a.exchanges == 0, a.plan
+    assert "Python" not in a.plan and "ArrowEval" not in a.plan
