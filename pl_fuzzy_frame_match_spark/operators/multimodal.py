@@ -289,3 +289,60 @@ def png_dimensions(payload: "F.Column"):
         F.when(is_png, w).alias("png_width"),
         F.when(is_png, h).alias("png_height"),
     )
+
+
+def jpeg_dimensions(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL JPEG dimension extraction via marker-walk (SOFn segments
+    carry big-endian height/width at offsets 5/7 of their payload).
+    JPEG's variable-length segment structure needs an actual scanner,
+    so this is an Arrow-batched ``mapInPandas`` over the payload —
+    still a map-only pass (no shuffle), reading only the first few KB
+    of each blob in practice. Non-JPEG / truncated payloads yield
+    nulls. Complements :func:`png_dimensions` (pure Catalyst)."""
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("jpeg_width", IntegerType()),
+            StructField("jpeg_height", IntegerType()),
+        ]
+    )
+
+    _SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+    def dims(payload) -> tuple:
+        if payload is None:
+            return (None, None)
+        b = bytes(payload)
+        if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:  # SOI
+            return (None, None)
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return (None, None)
+            marker = b[i + 1]
+            if marker in _SOF:
+                h = (b[i + 5] << 8) | b[i + 6]
+                w = (b[i + 7] << 8) | b[i + 8]
+                return (w, h)
+            if marker == 0xD9:  # EOI before any SOF
+                return (None, None)
+            seg_len = (b[i + 2] << 8) | b[i + 3]
+            if seg_len < 2:
+                return (None, None)
+            i += 2 + seg_len
+        return (None, None)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs = [], []
+            for payload in pdf[payload_col]:
+                w, h = dims(payload)
+                ws.append(w)
+                hs.append(h)
+            pdf = pdf.copy()
+            pdf["jpeg_width"] = pd.array(ws, dtype="Int32")
+            pdf["jpeg_height"] = pd.array(hs, dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(scan, schema)

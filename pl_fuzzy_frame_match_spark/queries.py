@@ -3005,3 +3005,44 @@ def fuzzy_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="left",
     )
     return _round6(out, "c_name_vs_s_name_levenshtein")
+
+
+@register(
+    "lang_id_confusion",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|is)\\b')) AS h_en,
+        len(regexp_extract_all(lower(text), '\\b(der|die|und|das)\\b')) AS h_de,
+        len(regexp_extract_all(lower(text), '\\b(le|la|et|les)\\b')) AS h_fr,
+        len(regexp_extract_all(lower(text), '\\b(el|los|las|y)\\b')) AS h_es
+      FROM documents
+    ),
+    p AS (
+      SELECT lang,
+        CASE
+          WHEN h_en > 0 AND h_en >= greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+          WHEN h_de > 0 AND h_de >= greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+          WHEN h_fr > 0 AND h_fr >= greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+          WHEN h_es > 0 AND h_es >= greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+          ELSE 'unknown'
+        END AS predicted_lang
+      FROM h
+    )
+    SELECT lang, predicted_lang, count(*) AS n_docs
+    FROM p GROUP BY lang, predicted_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (labeled lang x predicted lang
+    counts) — the accuracy audit a pipeline runs before trusting the
+    classifier for filtering decisions. Map-only scoring + one small
+    aggregate."""
+    from .functions.text import predicted_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", predicted_lang(F.col("text")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

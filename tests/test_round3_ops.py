@@ -876,3 +876,41 @@ def test_png_dimensions_pure_catalyst(spark):
     a = audit(out)
     assert a.exchanges == 0, a.plan
     assert "Python" not in a.plan and "ArrowEval" not in a.plan
+
+
+def test_jpeg_dimensions_marker_walk(spark):
+    import struct
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        jpeg_dimensions,
+    )
+
+    def jpeg_bytes(w, h):
+        soi = b"\xff\xd8"
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 11)
+            + b"\x08"
+            + struct.pack(">HH", h, w)
+            + b"\x01" + bytes(3)
+        )
+        return soi + app0 + sof0 + b"\xff\xd9"
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(jpeg_bytes(800, 600))),
+            (2, bytearray(jpeg_bytes(32, 16))),
+            (3, bytearray(b"\x89PNG not jpeg")),
+            (4, None),
+        ],
+        "id long, payload binary",
+    )
+    rows = {
+        r["id"]: (r["jpeg_width"], r["jpeg_height"])
+        for r in jpeg_dimensions(df).collect()
+    }
+    assert rows[1] == (800, 600)
+    assert rows[2] == (32, 16)
+    assert rows[3] == (None, None)
+    assert rows[4] == (None, None)
