@@ -3046,3 +3046,44 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "events_interarrival",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS gap_us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT user_id, count(*) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           round(avg(gap_us) / 1000000.0, 6) AS avg_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event arrival statistics via window LAG over the
+    microsecond epoch (integer-exact ordering with event_id
+    tie-break, so equal timestamps cannot reorder cross-engine). One
+    shuffle on user_id shared by the window and the aggregate."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    g = events.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.round(F.avg("gap_us") / 1_000_000.0, 6).alias("avg_gap_s"),
+    )

@@ -914,3 +914,18 @@ def test_jpeg_dimensions_marker_walk(spark):
     assert rows[2] == (32, 16)
     assert rows[3] == (None, None)
     assert rows[4] == (None, None)
+
+
+def test_widen_narrow_scan_is_noop_on_wide_input(spark):
+    from pl_fuzzy_frame_match_spark.functions.text import widen_narrow_scan
+
+    narrow = spark.range(0, 1000).coalesce(1)
+    wide = spark.range(0, 1000).repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    assert (
+        widen_narrow_scan(narrow).rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+    # already-parallel input: returned UNCHANGED (no added shuffle)
+    assert widen_narrow_scan(wide) is wide
