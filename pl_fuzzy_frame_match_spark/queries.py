@@ -3087,3 +3087,80 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").cast("long").alias("max_gap_us"),
         F.round(F.avg("gap_us") / 1_000_000.0, 6).alias("avg_gap_s"),
     )
+
+
+@register(
+    "docs_embedding_join",
+    """
+    SELECT d.lang, e.label,
+           count(*) AS n_docs,
+           round(avg(d.n_chars), 6) AS avg_chars,
+           round(sum(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE)))), 6) AS sum_components
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, e.label
+    """,
+)
+def docs_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-side x vector-side bridge: documents joined to their
+    embeddings (doc_id = vec_id), rolled up per (lang, label) with a
+    component-sum digest so the join is value-checked through the
+    vector payload. One co-keyed shuffle; at ingest scale this is the
+    join you bucket both tables on (`write_bucketed`)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double"),
+    )
+    return (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.sum(comp_sum), 6).alias("sum_components"),
+        )
+    )
+
+
+@register(
+    "docs_length_deciles",
+    """
+    WITH d AS (
+      SELECT lang, doc_id, n_chars,
+             ntile(10) OVER (PARTITION BY lang
+                             ORDER BY n_chars ASC, doc_id ASC) AS decile
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    )
+    SELECT lang, decile, count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM d GROUP BY lang, decile
+    """,
+)
+def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length deciles (ntile with doc_id
+    tie-break, so equal lengths land in the same decile cross-engine):
+    the histogram a curation pipeline uses to set length cutoffs. One
+    window shuffle keyed on the stratum."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
