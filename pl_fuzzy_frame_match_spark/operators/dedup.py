@@ -547,8 +547,12 @@ def containment_pairs(
     )
     out = (
         inter.join(
-            F.broadcast(sizes.select(F.col("__doc").alias("doc_a"),
-                                     F.col("__sz").alias("__sza"))),
+            # no broadcast HINT: sizes has one row per document, which
+            # is corpus-proportional — AQE broadcasts it at runtime
+            # while it is small and falls back to a shuffled hash join
+            # past that, instead of OOMing on a forced broadcast
+            sizes.select(F.col("__doc").alias("doc_a"),
+                         F.col("__sz").alias("__sza")),
             on="doc_a",
         )
         .filter(

@@ -2645,9 +2645,11 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = bc.agg(F.sum("c").cast("double").alias("nb"))
     totu = uc.agg(F.sum("c").cast("double").alias("nu"))
+    # unigram counts are vocabulary-proportional — no broadcast HINT
+    # (AQE broadcasts while small); the two 1-row totals stay hinted
     joined = (
-        bc.join(F.broadcast(uc.selectExpr("t AS t1", "c AS c1")), on="t1")
-        .join(F.broadcast(uc.selectExpr("t AS t2", "c AS c2")), on="t2")
+        bc.join(uc.selectExpr("t AS t1", "c AS c1"), on="t1")
+        .join(uc.selectExpr("t AS t2", "c AS c2"), on="t2")
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(totu))
     )
@@ -2704,10 +2706,13 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__sq") > 200)
         .select("l_orderkey")
     )
-    li_f = li.join(F.broadcast(big), on="l_orderkey", how="left_semi")
+    # big is HAVING-selected and data-dependent (SF-proportional in
+    # the worst case): no broadcast hint — AQE converts the semi-joins
+    # to broadcast at runtime while the key set is small
+    li_f = li.join(big, on="l_orderkey", how="left_semi")
     return (
         orders.join(
-            F.broadcast(big.withColumnRenamed("l_orderkey", "o_orderkey")),
+            big.withColumnRenamed("l_orderkey", "o_orderkey"),
             on="o_orderkey",
             how="left_semi",
         )
@@ -2754,7 +2759,8 @@ def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(avgq), on="l_partkey")
+        # per-part averages are part-count-proportional: no hint, AQE
+        .join(avgq, on="l_partkey")
         .filter(F.col("l_quantity") < F.col("__half_avg"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
@@ -2874,25 +2880,28 @@ def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("FRANCE", "GERMANY")
     ).select("n_nationkey", "n_name")
-    supp = F.broadcast(
+    # broadcast HINT only on nation (fixed 25 rows at every SF);
+    # supplier/customer are SF-proportional — AQE picks broadcast vs
+    # shuffle for them at runtime
+    supp = (
         load_table(spark, sf_dir, "supplier")
         .select("s_suppkey", "s_nationkey")
         .join(
-            nation.select(
+            F.broadcast(nation.select(
                 F.col("n_nationkey").alias("s_nationkey"),
                 F.col("n_name").alias("supp_nation"),
-            ),
+            )),
             on="s_nationkey",
         )
     )
-    cust = F.broadcast(
+    cust = (
         load_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_nationkey")
         .join(
-            nation.select(
+            F.broadcast(nation.select(
                 F.col("n_nationkey").alias("c_nationkey"),
                 F.col("n_name").alias("cust_nation"),
-            ),
+            )),
             on="c_nationkey",
         )
     )
