@@ -2857,8 +2857,8 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer ON c_custkey = o_custkey
     JOIN nation n1 ON s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+        OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9'))
       AND l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
@@ -2866,8 +2866,9 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping between two nations): the
-    nation pair predicate broadcasts through supplier AND customer
-    sides; the orderkey join is the one real shuffle. Year extraction
+    nation pair predicate (testdata uses synthetic NATION_* names)
+    broadcasts through supplier AND customer sides; the orderkey join
+    is the one real shuffle. Year extraction
     groups an integer, not a date — engine-portable."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -2878,7 +2879,7 @@ def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey"
     )
     nation = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin("FRANCE", "GERMANY")
+        F.col("n_name").isin("NATION_9", "NATION_11")
     ).select("n_nationkey", "n_name")
     # broadcast HINT only on nation (fixed 25 rows at every SF);
     # supplier/customer are SF-proportional — AQE picks broadcast vs
