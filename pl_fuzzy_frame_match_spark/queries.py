@@ -1691,7 +1691,8 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # customer is SF-proportional: no broadcast HINT, AQE decides
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -1763,7 +1764,7 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .rollup("n_name", "o_orderpriority")
         .agg(
@@ -2360,7 +2361,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name") == "ASIA"
     ).select("r_regionkey")
     nr = F.broadcast(n.join(r, n["n_regionkey"] == r["r_regionkey"]))
-    sn = F.broadcast(s.join(nr, s["s_nationkey"] == nr["n_nationkey"]))
+    # supplier is SF-proportional: only the bounded nation-region frame
+    # carries a hint; AQE broadcasts the supplier join while it fits
+    sn = s.join(nr, s["s_nationkey"] == nr["n_nationkey"])
     return (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
