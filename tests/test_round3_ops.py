@@ -929,3 +929,34 @@ def test_widen_narrow_scan_is_noop_on_wide_input(spark):
     )
     # already-parallel input: returned UNCHANGED (no added shuffle)
     assert widen_narrow_scan(wide) is wide
+
+
+def test_span_and_containment_handle_unicode(spark):
+    """CJK / emoji / combining-char tokens flow through the gram
+    hashing and shingling paths without mangling: identical docs still
+    pair at containment 1.0 and duplicate spans are detected."""
+    text = "数据 处理 引擎 🚀 très bien näive 数据 处理 引擎 🚀 extra"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "different words entirely here ok")],
+        ["doc_id", "text"],
+    )
+    from pl_fuzzy_frame_match_spark.functions.text import (
+        duplicate_span_stats,
+    )
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        prefix_filter_containment_pairs,
+    )
+
+    stats = {
+        r["doc_id"]: r["dup_frac"]
+        for r in duplicate_span_stats(df, "text", "doc_id", k=3).collect()
+    }
+    assert stats[1] == 1.0 and stats[2] == 1.0  # full cross-doc dup
+    assert stats[3] == 0.0
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in prefix_filter_containment_pairs(
+            df, "text", "doc_id", threshold=0.9, n=3
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1.0, (2, 1): 1.0}
