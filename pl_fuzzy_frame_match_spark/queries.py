@@ -3177,3 +3177,58 @@ def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
+
+
+@register(
+    "fuzzy_join_semi",
+    """
+    SELECT c.*
+    FROM customer c
+    WHERE c.c_name IS NOT NULL AND EXISTS (
+      SELECT 1 FROM supplier s
+      WHERE s.s_name IS NOT NULL
+        AND levenshtein(lower(c.c_name), lower(s.s_name))
+            / greatest(length(c.c_name), length(s.s_name), 1) <= 0.30
+    )
+    """,
+)
+def fuzzy_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy LEFT SEMI join: customers with at least one supplier name
+    within the threshold — left columns only, each row at most once
+    (SQL EXISTS semantics). Shares the inner join's candidate plan."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return fuzzy_match_dfs(
+        cust,
+        supp,
+        [FuzzyMapping("c_name", "s_name", threshold_score=70.0)],
+        how="left_semi",
+    )
+
+
+@register(
+    "fuzzy_join_anti",
+    """
+    SELECT c.*
+    FROM customer c
+    WHERE c.c_name IS NULL OR NOT EXISTS (
+      SELECT 1 FROM supplier s
+      WHERE s.s_name IS NOT NULL
+        AND levenshtein(lower(c.c_name), lower(s.s_name))
+            / greatest(length(c.c_name), length(s.s_name), 1) <= 0.30
+    )
+    """,
+)
+def fuzzy_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy LEFT ANTI join: the entity-resolution "new entities"
+    query — customers with NO supplier name within the threshold
+    (null-named customers can never match, so they are anti rows,
+    matching the SQL NOT EXISTS contract)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return fuzzy_match_dfs(
+        cust,
+        supp,
+        [FuzzyMapping("c_name", "s_name", threshold_score=70.0)],
+        how="left_anti",
+    )
