@@ -960,3 +960,57 @@ def test_span_and_containment_handle_unicode(spark):
         ).collect()
     }
     assert pairs == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_scratch_roundtrip_special_chars_and_many_columns(spark, tmp_path):
+    """Parity with the reference's cache-layer edge tests
+    (reference tests/test_utils.py:283-308): special characters
+    (emoji, accents, embedded newlines/tabs) and 100-column frames
+    survive the scratch persistence round trip byte-exact."""
+    from pl_fuzzy_frame_match_spark.sources.sinks import cache_to_scratch
+
+    special = spark.createDataFrame(
+        [
+            ("Hello 🌍", 1),
+            ("Ñoño", 2),
+            ("Café", 3),
+            ("Test\nNewline", 4),
+            ("Tab\tSeparated", 5),
+        ],
+        ["text", "numbers"],
+    )
+    back = cache_to_scratch(special, str(tmp_path / "scratch1"))
+    assert sorted((r["text"], r["numbers"]) for r in back.collect()) == sorted(
+        (r["text"], r["numbers"]) for r in special.collect()
+    )
+
+    wide = spark.range(5).select(
+        *[(F.col("id") * 0 + i).alias(f"column_{i}") for i in range(100)]
+    )
+    back2 = cache_to_scratch(wide, str(tmp_path / "scratch2"))
+    assert len(back2.columns) == 100
+    assert back2.count() == 5
+
+
+def test_fuzzy_match_special_character_keys(spark):
+    """Fuzzy joins over unicode keys (accents, emoji) score and match
+    like any other strings — parity with the reference's
+    special-characters pipeline coverage."""
+    from pl_fuzzy_frame_match_spark import FuzzyMapping, fuzzy_match_dfs
+
+    left = spark.createDataFrame(
+        [(1, "Café"), (2, "Ñoño"), (3, "Hello 🌍")], ["lid", "name"]
+    )
+    right = spark.createDataFrame(
+        [(10, "Cafe"), (11, "Ñono"), (12, "Hello 🌎")], ["rid", "label"]
+    )
+    out = fuzzy_match_dfs(
+        left, right, [FuzzyMapping("name", "label", threshold_score=70.0)]
+    ).collect()
+    got = {(r["lid"], r["rid"]) for r in out}
+    assert {(1, 10), (2, 11), (3, 12)} <= got
+    # score for Café~Cafe: 1 substitution over 4 chars = 0.75
+    score = {
+        (r["lid"], r["rid"]): r["name_vs_label_levenshtein"] for r in out
+    }
+    assert abs(score[(1, 10)] - 0.75) < 1e-9
