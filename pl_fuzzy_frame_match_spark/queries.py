@@ -3232,3 +3232,88 @@ def fuzzy_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         [FuzzyMapping("c_name", "s_name", threshold_score=70.0)],
         how="left_anti",
     )
+
+
+@register(
+    "events_active_users",
+    """
+    WITH d AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT days.day,
+           (SELECT count(*) FROM d WHERE d.day = days.day) AS dau,
+           (SELECT count(DISTINCT user_id) FROM d
+            WHERE d.day BETWEEN days.day - 6 AND days.day) AS wau
+    FROM days
+    """,
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU per integer epoch-day. The WAU rolling
+    distinct is a (day, user) range join against the distinct day list
+    — day counts are tiny (one row per calendar day), so the range
+    join broadcasts the day frame and the heavy side stays the
+    deduplicated (user, day) pairs, aggregated once. Engine-portable
+    integer day buckets."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    d = events.select("user_id", day.alias("day")).distinct()
+    days = d.select("day").distinct()
+    dau = d.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        d.alias("d")
+        .join(
+            F.broadcast(days.alias("w")),
+            (F.col("d.day") >= F.col("w.day") - 6)
+            & (F.col("d.day") <= F.col("w.day")),
+        )
+        .groupBy(F.col("w.day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, on="day")
+
+
+@register(
+    "vocab_freq_spectrum",
+    r"""
+    WITH toks AS (SELECT regexp_extract_all(lower(text), '\S+') AS w
+                  FROM documents WHERE text IS NOT NULL),
+    t AS (SELECT unnest(w) AS term FROM toks),
+    tc AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+    b AS (SELECT CAST(floor(ln(c) / ln(2)) AS BIGINT) AS freq_bucket,
+                 c FROM tc)
+    SELECT freq_bucket,
+           count(*) AS n_terms,
+           CAST(sum(c) AS BIGINT) AS total_occurrences
+    FROM b GROUP BY freq_bucket
+    """,
+)
+def vocab_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency spectrum (Zipf audit): terms bucketed by
+    floor(log2(count)) with term and occurrence totals per bucket —
+    the sanity check a tokenizer-training pipeline runs on corpus
+    composition. Two aggregates, both map-side combined; integer
+    buckets so no float can move a term across a bucket boundary
+    (log2 of an integer count is exact well past any real count)."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bucket = F.floor(F.log(2.0, F.col("c"))).cast("long")
+    return (
+        tc.select(bucket.alias("freq_bucket"), "c")
+        .groupBy("freq_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("c").cast("long").alias("total_occurrences"),
+        )
+    )
