@@ -3317,3 +3317,62 @@ def vocab_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("long").alias("total_occurrences"),
         )
     )
+
+
+@register(
+    "docs_quality_length_corr",
+    """
+    WITH f AS (
+      SELECT source,
+             CAST(length(text) AS DOUBLE) AS x,
+             least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+               + 0.3 * (1.0 - least((CAST(length(regexp_replace(text,
+                     '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text))
+                     * 5.0, 1.0))
+               + 0.3 * least((CAST(len(list_filter(
+                     regexp_extract_all(lower(text), '\\S+'),
+                     t -> list_contains(['the','a','and','of','to','in',
+                                         'is','it'], t))) AS DOUBLE)
+                     / len(regexp_extract_all(lower(text), '\\S+')))
+                     * 8.0, 1.0) AS y
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT source, count(*) AS n,
+           round(sum(x), 6) AS sum_x, round(sum(y), 6) AS sum_y,
+           round(sum(x * y), 6) AS sum_xy,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))
+                      * (count(*) * sum(y * y) - sum(y) * sum(y))), 6)
+               AS pearson_r
+    FROM f GROUP BY source
+    """,
+)
+def docs_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson correlation between document length and the
+    heuristic quality score — the curation diagnostic for "is my
+    quality signal just measuring length?". Computed from explicit
+    moment sums (n, Σx, Σy, Σxy, Σx², Σy²) with the same closed form
+    on both engines, all map-side combined in ONE aggregate pass."""
+    from .functions.text import punct_ratio, stopword_ratio
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    x = F.length("text").cast("double")
+    y = (
+        F.least(x / 400.0, F.lit(1.0)) * 0.4
+        + 0.3 * (1.0 - F.least(punct_ratio(F.col("text")) * 5.0, F.lit(1.0)))
+        + 0.3 * F.least(stopword_ratio(F.col("text")) * 8.0, F.lit(1.0))
+    )
+    f = docs.select("source", x.alias("x"), y.alias("y"))
+    n = F.count(F.lit(1))
+    r_num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    r_den = F.sqrt(
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        * (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+    )
+    return f.groupBy("source").agg(
+        n.alias("n"),
+        F.round(F.sum("x"), 6).alias("sum_x"),
+        F.round(F.sum("y"), 6).alias("sum_y"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sum_xy"),
+        F.round(r_num / r_den, 6).alias("pearson_r"),
+    )
