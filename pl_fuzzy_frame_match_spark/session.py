@@ -39,3 +39,56 @@ def get_spark(app_name: str = "pl-fuzzy-frame-match-spark", shuffle_partitions: 
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 8,
+    target_partition_mb: int = 256,
+    input_tb: float = 100.0,
+) -> dict:
+    """Recommended Spark conf for the REAL deployment target (a
+    1000-executor cluster over ~100 TB) as a plain dict — pass to
+    ``SparkSession.builder.config(map=...)`` or a spark-submit conf
+    file. Local testing uses :func:`get_spark`; this documents how the
+    same engine is sized when the cluster is real.
+
+    Rationale per knob:
+    - ``shuffle.partitions``: ~2 tasks per core at full fan-out keeps
+      every core busy through stragglers while AQE coalesces small
+      stages back down; the 100 TB shuffle stays under the 2 GB
+      per-partition limit because input_tb/partitions ~= target MB.
+    - ``files.maxPartitionBytes``: scan splits sized to the shuffle
+      target so the map side neither explodes the task count nor
+      builds multi-GB partitions that spill.
+    - AQE + skewJoin: runtime re-planning is the first line of defense
+      for skewed keys (banding buckets, hot shingles) before the
+      explicit salting operators (`operators/skew.py`) are needed.
+    - ``autoBroadcastJoinThreshold`` stays DEFAULT (10 MB-class):
+      operator code broadcasts bounded frames explicitly and leaves
+      SF-proportional sides to AQE's runtime size check.
+    - ``sql.parquet.aggregatePushdown``: count/min/max satisfied from
+      parquet footers where possible — free for validation audits.
+    """
+    cores = executors * cores_per_executor
+    fanout_partitions = max(cores * 2,
+                            int(input_tb * 1024 * 1024 / target_partition_mb / 64))
+    return {
+        "spark.sql.shuffle.partitions": str(cores * 2),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            target_partition_mb * 1024 * 1024
+        ),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.shuffle.file.buffer": "1m",
+        "spark.reducer.maxSizeInFlight": "96m",
+        # headroom note, not a conf: fanout stages may want up to
+        # {fanout_partitions} partitions via explicit repartition
+        "_advisory.fanout_partitions": str(fanout_partitions),
+    }
