@@ -164,3 +164,16 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def read_evolved(spark: SparkSession, *paths: str):
+    """Read a parquet table whose schema EVOLVED across ingest batches
+    (columns added over time): ``mergeSchema`` unions the per-file
+    schemas and back-fills missing columns with nulls — the standard
+    contract for a long-lived corpus directory written by successive
+    pipeline versions. Schema merging reads footers only (no data
+    pass); predicate/column pushdown still applies to the merged
+    scan."""
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*paths)
+    )

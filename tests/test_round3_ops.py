@@ -1014,3 +1014,20 @@ def test_fuzzy_match_special_character_keys(spark):
         (r["lid"], r["rid"]): r["name_vs_label_levenshtein"] for r in out
     }
     assert abs(score[(1, 10)] - 0.75) < 1e-9
+
+
+def test_read_evolved_merges_schemas(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.sources.sinks import read_evolved
+
+    v1 = spark.createDataFrame([(1, "a")], ["id", "text"])
+    v2 = spark.createDataFrame(
+        [(2, "b", "en", 0.9)], ["id", "text", "lang", "quality"]
+    )
+    p1, p2 = str(tmp_path / "batch1"), str(tmp_path / "batch2")
+    v1.write.parquet(p1)
+    v2.write.parquet(p2)
+    merged = read_evolved(spark, p1, p2)
+    assert set(merged.columns) == {"id", "text", "lang", "quality"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["lang"] is None and rows[1]["quality"] is None
+    assert rows[2]["lang"] == "en" and abs(rows[2]["quality"] - 0.9) < 1e-12
