@@ -1031,3 +1031,33 @@ def test_read_evolved_merges_schemas(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["lang"] is None and rows[1]["quality"] is None
     assert rows[2]["lang"] == "en" and abs(rows[2]["quality"] - 0.9) < 1e-12
+
+
+# Queries where a nested-loop/cartesian operator is the INTENDED plan:
+# - fuzzy_join_* / kernel_*: broadcast cross join IS the exact
+#   candidate generator (bounded by the planner's crossover)
+# - text_bigram_pmi: crossJoin of two literal 1-row totals
+# - events_active_users: day-range join against the broadcast
+#   (one-row-per-calendar-day) frame
+# - events_funnel: shrinking-frontier inequality joins over bounded
+#   per-user frontiers
+_NL_ALLOWED_PREFIXES = ("fuzzy_join_", "kernel_")
+_NL_ALLOWED = {"text_bigram_pmi", "events_active_users", "events_funnel"}
+
+
+def test_registry_wide_no_unintended_nested_loops(spark):
+    """Sweep EVERY registered query's physical plan: a nested-loop or
+    cartesian operator outside the documented allow-list fails — the
+    guard that keeps future registry additions from silently planning
+    quadratic joins."""
+    from pl_fuzzy_frame_match_spark.plans.audit import physical_plan
+    from pl_fuzzy_frame_match_spark.queries import queries
+
+    offenders = []
+    for name, fn in sorted(queries().items()):
+        if name.startswith(_NL_ALLOWED_PREFIXES) or name in _NL_ALLOWED:
+            continue
+        plan = physical_plan(fn(spark, "/root/testdata/sf0.001"))
+        if "NestedLoop" in plan or "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"unintended nested-loop plans: {offenders}"
