@@ -3376,3 +3376,117 @@ def docs_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sum_xy"),
         F.round(r_num / r_den, 6).alias("pearson_r"),
     )
+
+
+@register(
+    "emb_norm_stats",
+    """
+    WITH n AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           round(avg(nrm), 6) AS avg_norm
+    FROM n GROUP BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution of the embedding corpus — the
+    pre-normalization sanity audit (zero/degenerate vectors, scale
+    drift between labels). Map-only norm + one aggregate; norms
+    compute identically on both engines (same fold order over the
+    array)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+@register(
+    "docs_novelty_curve",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+                  FROM documents
+                  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    g AS (SELECT DISTINCT doc_id,
+                 md5(concat(w[i], ' ', w[i + 1])) AS gram
+          FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                FROM toks WHERE len(w) >= 2)),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty_frac
+    FROM g JOIN firsts USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def docs_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per document (in doc_id ingest order),
+    the fraction of its DISTINCT bigrams never seen in any
+    earlier-id document — the diminishing-returns signal for "is more
+    of this source still adding new content?". Same min-per-gram
+    aggregation shape as the dup-span ops: int-hashed grams, map-side
+    min, join back, per-doc rollup."""
+    from .functions.text import tokens, widen_narrow_scan
+
+    docs = widen_narrow_scan(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+    toks = tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.xxhash64(
+                F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(grams)).alias("__g"),
+    )
+    firsts = g.groupBy("__g").agg(F.min("doc_id").alias("__first"))
+    novel = F.when(F.col("__first") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        g.join(firsts, on="__g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias(
+                "novelty_frac"
+            ),
+        )
+    )
