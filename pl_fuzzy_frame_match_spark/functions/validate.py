@@ -41,8 +41,11 @@ def constraint_violation_counts(
     out = [
         (c, int(row[f"__v_{i}"] or 0), n) for i, c in enumerate(names)
     ]
+    # explicit schema: with an empty constraints dict `out` is an empty
+    # list, and schema inference would raise — an empty audit frame is
+    # the correct result (ADVICE r3)
     res = spark.createDataFrame(
-        out, ["constraint", "n_violations", "n_rows"]
+        out, "constraint string, n_violations long, n_rows long"
     )
     return res.select(
         "constraint",

@@ -606,7 +606,14 @@ def prefix_filter_containment_pairs(
     clean = df.filter(
         F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
     )
-    hashed = _hashed_shingles(clean, text_col, id_col, n).persist()
+    # localCheckpoint, not persist(): the returned frame is lazy so this
+    # function can never unpersist, and cacheManager-pinned storage
+    # would accumulate across calls in a long session (ADVICE r3).
+    # Checkpoint blocks are released by the ContextCleaner as soon as
+    # the result frame is garbage-collected.
+    hashed = _hashed_shingles(clean, text_col, id_col, n).localCheckpoint(
+        eager=True
+    )
     tok = hashed.select(
         F.col(id_col),
         F.size("__shh").alias("__n"),

@@ -504,9 +504,20 @@ def fuzzy_match_dfs(
         [(m.left_col, m.right_col, m.fuzzy_type) for m in maps],
     )
     if should_deduplicate_inputs(maps, left_count, right_count):  # O3
-        logger.info("low uniqueness: deduplicating inputs on join keys")
-        left = left.dropDuplicates([m.left_col for m in maps])
-        right = right.dropDuplicates([m.right_col for m in maps])
+        # The input-dedup rewrite is only sound where row multiplicity is
+        # not part of the output contract. inner: reference semantics
+        # dedups both sides (reference process.py O3). left: SQL LEFT
+        # JOIN must preserve BOTH sides' multiplicity — skip entirely.
+        # left_semi/left_anti: EXISTS/NOT EXISTS care only whether a
+        # match exists, so the right side may be deduped but every left
+        # row (including key-duplicates) must survive.
+        if how == "inner":
+            logger.info("low uniqueness: deduplicating inputs on join keys")
+            left = left.dropDuplicates([m.left_col for m in maps])
+            right = right.dropDuplicates([m.right_col for m in maps])
+        elif how in ("left_semi", "left_anti"):
+            logger.info("low uniqueness: deduplicating right input only")
+            right = right.dropDuplicates([m.right_col for m in maps])
     maps = set_output_column_names(maps)
     output_cols = (
         list(left.columns)

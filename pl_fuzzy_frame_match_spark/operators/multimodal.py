@@ -320,7 +320,16 @@ def jpeg_dimensions(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         while i + 9 < len(b):
             if b[i] != 0xFF:
                 return (None, None)
+            # skip 0xFF fill-byte padding between segments (ADVICE r3:
+            # the spec allows any number of fill 0xFFs before a marker)
+            while i + 9 < len(b) and b[i + 1] == 0xFF:
+                i += 1
             marker = b[i + 1]
+            # standalone markers carry no length field: TEM (0x01) and
+            # RST0-7 (0xD0-0xD7) — advance past the 2 marker bytes
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
             if marker in _SOF:
                 h = (b[i + 5] << 8) | b[i + 6]
                 w = (b[i + 7] << 8) | b[i + 8]

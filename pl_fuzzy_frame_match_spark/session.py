@@ -54,10 +54,14 @@ def cluster_conf(
     same engine is sized when the cluster is real.
 
     Rationale per knob:
-    - ``shuffle.partitions``: ~2 tasks per core at full fan-out keeps
-      every core busy through stragglers while AQE coalesces small
-      stages back down; the 100 TB shuffle stays under the 2 GB
-      per-partition limit because input_tb/partitions ~= target MB.
+    - ``shuffle.partitions``: the larger of (~2 tasks per core, so
+      stragglers overlap and AQE can coalesce back down) and
+      (total input / target partition size, so a full-input shuffle
+      lands at ~target_partition_mb per partition — far below the
+      2 GB per-partition block limit). At the 100 TB default the
+      data term dominates: 100 TB / 256 MB ~= 409600 partitions;
+      cores*2 alone (16000) would mean ~6.4 GB per shuffle
+      partition, over the block limit.
     - ``files.maxPartitionBytes``: scan splits sized to the shuffle
       target so the map side neither explodes the task count nor
       builds multi-GB partitions that spill.
@@ -71,10 +75,13 @@ def cluster_conf(
       parquet footers where possible — free for validation audits.
     """
     cores = executors * cores_per_executor
-    fanout_partitions = max(cores * 2,
-                            int(input_tb * 1024 * 1024 / target_partition_mb / 64))
+    # partitions needed so a full-input shuffle hits ~target MB each:
+    # 100 TB / 256 MB -> ~409600 (ADVICE r3: the old formula had a
+    # stray /64 and used cores*2 unconditionally -> 6.4 GB partitions)
+    data_partitions = int(input_tb * 1024 * 1024 / target_partition_mb)
+    shuffle_partitions = max(cores * 2, data_partitions)
     return {
-        "spark.sql.shuffle.partitions": str(cores * 2),
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -89,6 +96,6 @@ def cluster_conf(
         "spark.shuffle.file.buffer": "1m",
         "spark.reducer.maxSizeInFlight": "96m",
         # headroom note, not a conf: fanout stages may want up to
-        # {fanout_partitions} partitions via explicit repartition
-        "_advisory.fanout_partitions": str(fanout_partitions),
+        # {data_partitions} partitions via explicit repartition
+        "_advisory.fanout_partitions": str(shuffle_partitions),
     }

@@ -1,0 +1,122 @@
+"""Round-4 regression tests: O3 input-dedup vs join-mode contracts,
+stream_fuzzy_enrich size guard, cluster_conf sizing, validate/multimodal
+edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_o3_dedup_preserves_left_multiplicity_non_inner(spark):
+    """ADVICE r3 (matcher.py:508): when the O3 low-uniqueness rewrite
+    fires (uniqueness < 1.2, cartesian > 1e6), left/semi/anti must still
+    honour SQL multiplicity: every left row survives, including rows
+    that share a join key. Before the fix the left-side dropDuplicates
+    collapsed 500 copies of each key to one."""
+    from pl_fuzzy_frame_match_spark import FuzzyMapping, fuzzy_match_dfs
+    from pl_fuzzy_frame_match_spark.plans.planner import (
+        should_deduplicate_inputs,
+    )
+
+    names = ["alpha", "beta", "gamma", "delta"]
+    left = spark.createDataFrame(
+        [(i, names[i % 4]) for i in range(2000)], ["lid", "name"]
+    )
+    labels = ["alpha", "beta", "zzzzz"]
+    right = spark.createDataFrame(
+        [(100000 + j, labels[j % 3]) for j in range(600)], ["rid", "label"]
+    )
+    maps = [FuzzyMapping("name", "label", threshold_score=90.0)]
+
+    # sanity: this shape actually fires the O3 trigger
+    probe = [maps[0].copy_with(perc_unique=(4 / 2000 + 3 / 600))]
+    assert should_deduplicate_inputs(probe, 2000, 600)
+
+    semi = fuzzy_match_dfs(left, right, maps, how="left_semi")
+    assert semi.count() == 1000  # 500 alphas + 500 betas, all preserved
+    anti = fuzzy_match_dfs(left, right, maps, how="left_anti")
+    assert anti.count() == 1000  # 500 gammas + 500 deltas
+    # left join: matched rows fan out over the 200 matching right rows
+    # each, unmatched rows appear exactly once with null right payload
+    lj = fuzzy_match_dfs(left, right, maps, how="left")
+    agg = lj.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("rid").isNull()).alias("nulls"),
+        F.countDistinct("lid").alias("lids"),
+    ).collect()[0]
+    assert agg["n"] == 1000 * 200 + 1000
+    assert agg["nulls"] == 1000
+    assert agg["lids"] == 2000
+
+    # inner keeps the reference's O3 contract: inputs deduped on keys
+    inner = fuzzy_match_dfs(left, right, maps).collect()
+    assert len(inner) == 2
+    assert {(r["name"], r["label"]) for r in inner} == {
+        ("alpha", "alpha"),
+        ("beta", "beta"),
+    }
+
+
+def test_cluster_conf_shuffle_partitions_respect_block_limit():
+    """ADVICE r3 (session.py): at the stated 100 TB / 8000-core target,
+    shuffle partitions must be sized by the data term (input/target),
+    not cores*2, or shuffle partitions blow past the 2 GB block limit."""
+    from pl_fuzzy_frame_match_spark.session import cluster_conf
+
+    conf = cluster_conf()  # 1000 executors x 8 cores, 100 TB, 256 MB
+    parts = int(conf["spark.sql.shuffle.partitions"])
+    per_partition_mb = 100.0 * 1024 * 1024 / parts
+    assert per_partition_mb <= 256 + 1
+    assert parts == max(16000, 409600)
+    # small-input cluster: cores term dominates
+    small = cluster_conf(executors=10, cores_per_executor=4, input_tb=0.01)
+    assert int(small["spark.sql.shuffle.partitions"]) == 80
+
+
+def test_jpeg_dimensions_fill_bytes_and_standalone_markers(spark):
+    """ADVICE r3 (multimodal.py): valid JPEGs may pad 0xFF fill bytes
+    between segments and emit length-less standalone markers (TEM 0x01,
+    RST0-7); the marker walk must skip both, not misparse them as
+    segments with bogus lengths."""
+    import struct
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        jpeg_dimensions,
+    )
+
+    soi = b"\xff\xd8"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", 600, 800)
+        + b"\x01" + bytes(3)
+    )
+    eoi = b"\xff\xd9"
+    padded = soi + app0 + b"\xff\xff\xff" + sof0 + eoi  # fill bytes
+    standalone = soi + b"\xff\x01" + b"\xff\xd0" + app0 + sof0 + eoi
+    df = spark.createDataFrame(
+        [(1, bytearray(padded)), (2, bytearray(standalone))],
+        "id long, payload binary",
+    )
+    rows = {
+        r["id"]: (r["jpeg_width"], r["jpeg_height"])
+        for r in jpeg_dimensions(df).collect()
+    }
+    assert rows[1] == (800, 600)
+    assert rows[2] == (800, 600)
+
+
+def test_constraint_violation_counts_empty_constraints(spark):
+    """ADVICE r3 (validate.py): empty constraints dict returns an empty
+    audit frame instead of raising at schema inference."""
+    from pl_fuzzy_frame_match_spark.functions.validate import (
+        constraint_violation_counts,
+    )
+
+    df = spark.range(5)
+    out = constraint_violation_counts(df, {})
+    assert out.count() == 0
+    assert out.columns == [
+        "constraint", "n_violations", "n_rows", "violation_frac"
+    ]
