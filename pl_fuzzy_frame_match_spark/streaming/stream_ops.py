@@ -273,9 +273,31 @@ def stream_fuzzy_enrich(
     match_col = f"{rcol}_matched"
     score_col = mapping.output_column_name
 
-    rkeys = sorted(
-        {r[0] for r in right_df.select(rcol).collect() if r[0]}
+    # Bound the static side BEFORE anything reaches the driver
+    # (VERDICT r3 #2): dedup executor-side, count, and refuse to build
+    # an unbounded broadcast sketch. Mirrors the batch ANN guard
+    # (candidates.BROADCAST_KEY_LIMIT) — past the limit the right
+    # answer is a stream-static equi-join on a blocking key (banding),
+    # not a driver collect that OOMs at 100x.
+    from ..operators.candidates import BROADCAST_KEY_LIMIT
+
+    rkeys_df = (
+        right_df.select(rcol)
+        .where(F.col(rcol).isNotNull() & (F.col(rcol) != ""))
+        .distinct()
     )
+    n_rkeys = rkeys_df.count()
+    if n_rkeys > BROADCAST_KEY_LIMIT:
+        raise ValueError(
+            f"stream_fuzzy_enrich static side has {n_rkeys} distinct"
+            f" keys (> BROADCAST_KEY_LIMIT={BROADCAST_KEY_LIMIT});"
+            " a broadcast sketch would not fit. Use a stream-static"
+            " join against a banded/minhash index instead"
+            " (operators.dedup.build_minhash_index +"
+            " incremental_near_dup_pairs, stream-maintained via"
+            " stream_maintain_minhash_index)."
+        )
+    rkeys = sorted(r[0] for r in rkeys_df.collect())
     rsk = simhash_sketch_np(rkeys)
     spark = right_df.sparkSession
     bc = spark.sparkContext.broadcast((rkeys, rsk))

@@ -120,3 +120,24 @@ def test_constraint_violation_counts_empty_constraints(spark):
     assert out.columns == [
         "constraint", "n_violations", "n_rows", "violation_frac"
     ]
+
+
+def test_stream_fuzzy_enrich_static_side_guard(spark, monkeypatch):
+    """VERDICT r3 #2: a static side past BROADCAST_KEY_LIMIT must raise
+    with a pointer to the index-probe fallback, never silently collect
+    to the driver."""
+    from pl_fuzzy_frame_match_spark import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.streaming import stream_ops
+
+    monkeypatch.setattr(
+        "pl_fuzzy_frame_match_spark.operators.candidates"
+        ".BROADCAST_KEY_LIMIT",
+        10,
+    )
+    left = spark.createDataFrame([(1, "alpha")], ["id", "name"])
+    right = spark.createDataFrame(
+        [(i, f"key_{i}") for i in range(50)], ["rid", "label"]
+    )
+    mapping = FuzzyMapping("name", "label", threshold_score=70.0)
+    with pytest.raises(ValueError, match="BROADCAST_KEY_LIMIT"):
+        stream_ops.stream_fuzzy_enrich(left, right, mapping)
