@@ -217,7 +217,74 @@ def fuzzy_join_auto_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "c_name_vs_c_name_right_levenshtein")
 
 
-@register("fuzzy_join_xl_4b", None)  # ANN at sf0.1 is lossy -> rows-only
+@register(
+    "fuzzy_join_xl_4b",
+    # The naive oracle (40.5M-pair levenshtein cross join) takes ~70 s
+    # in DuckDB — instead the oracle uses the same deletion-neighborhood
+    # math as the engine's O9 rewrite, provably lossless for this data:
+    # every left name is "customer#<9 digits> <rep>" and every right
+    # "supplier#<9 digits> <rep>", so the char-multiset lower bound
+    # lev(x,y) >= one_sided_count_diff gives a fixed 4 from the letters
+    # {c,t,o,m} vs {p,p,l,i} alone; with max length 21 (18-char base +
+    # 2-digit rep) the predicate needs lev <= floor(0.25*21) = 5, which
+    # forces the DIGIT multisets to differ by at most one each way.
+    # Bags within one deletion of each other share a variant in
+    # {sorted_digit_bag} UNION {every one-digit deletion of it}, so an
+    # equi-join on deduped variants generates a complete candidate set
+    # (~0.8 s) and the exact predicate then filters it — verified
+    # row-identical to the naive cross-join oracle at sf0.01.
+    """
+    WITH lraw AS (
+      SELECT c_custkey, concat_ws(' ', c_name, CAST(r AS VARCHAR)) AS c_name
+      FROM customer, range(27) t(r)
+    ),
+    rraw AS (
+      SELECT s_suppkey, concat_ws(' ', s_name, CAST(r AS VARCHAR)) AS s_name
+      FROM supplier, range(10) t(r)
+    ),
+    lb AS (
+      SELECT *, array_to_string(list_sort(string_split_regex(
+                regexp_replace(c_name, '[^0-9]', '', 'g'), '')), '') AS bag
+      FROM lraw
+    ),
+    rb AS (
+      SELECT *, array_to_string(list_sort(string_split_regex(
+                regexp_replace(s_name, '[^0-9]', '', 'g'), '')), '') AS bag
+      FROM rraw
+    ),
+    lv AS (
+      SELECT DISTINCT c_custkey, c_name, v FROM (
+        SELECT c_custkey, c_name, bag AS v FROM lb
+        UNION ALL
+        SELECT c_custkey, c_name,
+               substr(bag, 1, r) || substr(bag, r + 2) AS v
+        FROM (SELECT *, CAST(unnest(range(0, length(bag))) AS INT) AS r
+              FROM lb)
+      )
+    ),
+    rv AS (
+      SELECT DISTINCT s_suppkey, s_name, v FROM (
+        SELECT s_suppkey, s_name, bag AS v FROM rb
+        UNION ALL
+        SELECT s_suppkey, s_name,
+               substr(bag, 1, r) || substr(bag, r + 2) AS v
+        FROM (SELECT *, CAST(unnest(range(0, length(bag))) AS INT) AS r
+              FROM rb)
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT c_custkey, c_name, s_suppkey, s_name
+      FROM lv JOIN rv ON lv.v = rv.v
+    )
+    SELECT c_custkey, c_name, s_suppkey, s_name,
+           round(1.0 - levenshtein(lower(c_name), lower(s_name))
+                 / greatest(length(c_name), length(s_name), 1), 6)
+               AS c_name_vs_s_name_levenshtein
+    FROM cand
+    WHERE levenshtein(lower(c_name), lower(s_name))
+          / greatest(length(c_name), length(s_name), 1) <= 0.25
+    """,
+)
 def fuzzy_join_xl_4b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline 400K x 10K row (BASELINE.md: 34.52 s on
     M3, exact path skipped as infeasible): customer replicated 27x with
@@ -225,9 +292,9 @@ def fuzzy_join_xl_4b(spark: SparkSession, sf_dir: str) -> DataFrame:
     405K x 10K = 4.05B cartesian pairs, far past the 1e8 crossover, so
     the planner takes the SimHash sketch-scan ANN path. At the driver's
     sf0.01 gate the same query is 40.5K x 1K = 40.5M pairs and runs the
-    lossless exact path (rows-only check; the DuckDB-side 40M-pair
-    levenshtein cross join would be slower than every other oracle
-    combined)."""
+    lossless exact path, hash-checked against a deletion-neighborhood
+    oracle (see the SQL comment: a provably complete candidate join
+    replaces DuckDB's 70 s naive cross join at 0.8 s)."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     reps = spark.range(27).select(F.col("id").alias("__rep"))
@@ -3490,3 +3557,70 @@ def docs_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering (VERDICT r3 #1)
+# ---------------------------------------------------------------------------
+# The driver's CORRECTNESS gate verifies the FIRST 50 registry slots
+# (key order == registration order; observed r2 48/71, r3 50/100). The
+# decorator order above reflects the build history, so without curation
+# the newest — and often most load-bearing — oracled queries fall past
+# the window while rows-only entries burn verified slots. Rebuild the
+# registry dict so slots 1-50 hold the highest-value ORACLED queries
+# (the SURVEY §2 fuzzy-join/kernel surface, every TPC-H shape, the
+# round-3 dedup/quality/retention additions), remaining oracled queries
+# follow, and the lossy/probabilistic no-oracle entries come last
+# (pytest still replays every entry at sf0.001).
+
+_PRIORITY = [
+    # SURVEY §2 flagship fuzzy joins + modes (all oracled)
+    "fuzzy_join_lev", "fuzzy_join_multi", "fuzzy_join_jw_part",
+    "fuzzy_join_exact_xl", "fuzzy_join_auto_xl", "fuzzy_join_xl_4b",
+    "fuzzy_join_dl", "fuzzy_join_jaro", "fuzzy_join_ann",
+    "fuzzy_join_left", "fuzzy_join_semi", "fuzzy_join_anti",
+    # metric kernels
+    "kernel_levenshtein", "kernel_jaro", "kernel_jaro_winkler",
+    "kernel_damerau_levenshtein", "kernel_hamming", "kernel_indel",
+    "kernel_hamming_full",
+    # TPC-H shapes
+    "tpch_q1", "tpch_q3_shape", "tpch_q5", "tpch_q6", "tpch_q7_shape",
+    "tpch_q10_shape", "tpch_q17_shape", "tpch_q18",
+    # LLM-pipeline dedup family
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding",
+    "dedup_clusters", "dedup_corpus_canonical", "dedup_containment",
+    "dedup_incremental", "docs_dup_spans", "docs_dup_span_removal",
+    # quality / text analytics
+    "docs_quality_logreg", "text_bigram_pmi", "pipeline_pretrain_corpus",
+    # events family
+    "events_retention", "events_sessionize", "events_funnel",
+    "events_asof_purchase", "events_error_windows",
+    # similarity / sampling / sketches
+    "ann_topk", "bloom_semi_orders", "docs_stratified_sample",
+    "docs_pack_contexts", "docs_token_budget_mix", "emb_quantize",
+]
+
+
+def _reorder_registry() -> None:
+    assert len(_PRIORITY) == 50, len(_PRIORITY)
+    missing = [n for n in _PRIORITY if n not in _REGISTRY]
+    assert not missing, f"priority names not registered: {missing}"
+    unoracled = [n for n in _PRIORITY if _REGISTRY[n][1] is None]
+    assert not unoracled, f"priority slots must be oracled: {unoracled}"
+    rest_oracled = [
+        n for n, (_, sql) in _REGISTRY.items()
+        if n not in _PRIORITY and sql is not None
+    ]
+    rest_plain = [
+        n for n, (_, sql) in _REGISTRY.items()
+        if n not in _PRIORITY and sql is None
+    ]
+    ordered = {
+        n: _REGISTRY[n] for n in (*_PRIORITY, *rest_oracled, *rest_plain)
+    }
+    assert len(ordered) == len(_REGISTRY)
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
+
+
+_reorder_registry()
