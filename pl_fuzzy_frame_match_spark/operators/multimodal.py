@@ -355,3 +355,168 @@ def jpeg_dimensions(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(scan, schema)
+
+
+def _le16(payload, pos: int):
+    """Little-endian uint16 at 1-indexed byte position, as a Catalyst
+    int Column (two single-byte hex converts — stays in codegen)."""
+    lo = F.conv(F.hex(F.substring(payload, pos, 1)), 16, 10).cast("int")
+    hi = F.conv(F.hex(F.substring(payload, pos + 1, 1)), 16, 10).cast("int")
+    return lo + hi * 256
+
+
+def _le24(payload, pos: int):
+    """Little-endian uint24 at 1-indexed byte position (Catalyst)."""
+    return _le16(payload, pos) + F.conv(
+        F.hex(F.substring(payload, pos + 2, 1)), 16, 10
+    ).cast("int") * 65536
+
+
+def gif_dimensions(payload):
+    """PURE-CATALYST GIF logical-screen dimensions: signature
+    ``GIF87a``/``GIF89a`` then width/height as little-endian uint16 at
+    byte offsets 6/8 (GIF89a spec §18). Returns two Column expressions
+    (null for non-GIF payloads) — header scanning 10^9 stored images
+    stays a map-only whole-stage-codegen pass, like
+    :func:`png_dimensions`."""
+    sig = F.substring(payload, 1, 6).cast("string")
+    is_gif = sig.isin("GIF87a", "GIF89a")
+    return (
+        F.when(is_gif, _le16(payload, 7)).alias("gif_width"),
+        F.when(is_gif, _le16(payload, 9)).alias("gif_height"),
+    )
+
+
+def webp_dimensions(payload):
+    """PURE-CATALYST WebP dimensions for all three container layouts
+    (RIFF....WEBP, then):
+
+    - ``VP8X`` (extended): canvas width-1 / height-1 as uint24 LE at
+      chunk-payload offsets 4/7 (bytes 24/27 of the file);
+    - ``VP8 `` (lossy): 14-bit width/height at frame-header offsets
+      6/8 behind the 0x9D012A start code (bytes 26/28), masked 0x3FFF;
+    - ``VP8L`` (lossless): signature byte 0x2F then width-1 as 14 bits
+      from byte 21 LSB-first, height-1 as the following 14 bits.
+
+    Returns (webp_width, webp_height) Columns, null for non-WebP
+    payloads. All bit math is integer arithmetic on single-byte
+    ``conv(hex(...))`` extractions — map-only, codegen-friendly."""
+    def byte(pos):
+        return F.conv(F.hex(F.substring(payload, pos, 1)), 16, 10).cast("int")
+
+    is_riff_webp = (
+        (F.substring(payload, 1, 4).cast("string") == "RIFF")
+        & (F.substring(payload, 9, 4).cast("string") == "WEBP")
+    )
+    fourcc = F.substring(payload, 13, 4).cast("string")
+
+    # VP8X: canvas size = stored uint24 + 1
+    vp8x_w = _le24(payload, 25) + 1
+    vp8x_h = _le24(payload, 28) + 1
+
+    # VP8 (lossy): validate the 9D 01 2A start code at bytes 24-26
+    vp8_sync = (
+        (byte(24) == 0x9D) & (byte(25) == 0x01) & (byte(26) == 0x2A)
+    )
+    vp8_w = _le16(payload, 27).bitwiseAND(F.lit(0x3FFF))
+    vp8_h = _le16(payload, 29).bitwiseAND(F.lit(0x3FFF))
+
+    # VP8L: signature byte 0x2F at byte 21, then two 14-bit fields
+    vp8l_sig = byte(21) == 0x2F
+    b1, b2, b3, b4 = byte(22), byte(23), byte(24), byte(25)
+    vp8l_w = b1 + (b2.bitwiseAND(F.lit(0x3F)) * 256) + 1
+    vp8l_h = (
+        F.shiftright(b2, 6)
+        + (b3 * 4)
+        + (b4.bitwiseAND(F.lit(0x0F)) * 1024)
+        + 1
+    )
+
+    w = (
+        F.when(fourcc == "VP8X", vp8x_w)
+        .when((fourcc == "VP8 ") & vp8_sync, vp8_w)
+        .when((fourcc == "VP8L") & vp8l_sig, vp8l_w)
+    )
+    h = (
+        F.when(fourcc == "VP8X", vp8x_h)
+        .when((fourcc == "VP8 ") & vp8_sync, vp8_h)
+        .when((fourcc == "VP8L") & vp8l_sig, vp8l_h)
+    )
+    return (
+        F.when(is_riff_webp, w).alias("webp_width"),
+        F.when(is_riff_webp, h).alias("webp_height"),
+    )
+
+
+def jpeg_exif_orientation(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """EXIF orientation (tag 0x0112, values 1-8) from the JPEG APP1
+    segment: marker-walk to ``Exif\\x00\\x00``, honor the TIFF byte
+    order (``II``/``MM``), scan IFD0's 12-byte entries. Arrow-batched
+    ``mapInPandas`` like :func:`jpeg_dimensions` — map-only, reads only
+    the header region. Null where no valid APP1/EXIF/orientation
+    exists."""
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("exif_orientation", IntegerType())]
+    )
+
+    def orientation(payload) -> "int | None":
+        if payload is None:
+            return None
+        b = bytes(payload)
+        if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+            return None
+        i = 2
+        while i + 4 < len(b):
+            if b[i] != 0xFF:
+                return None
+            while i + 4 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / image data: no APP1
+                return None
+            seg_len = (b[i + 2] << 8) | b[i + 3]
+            if seg_len < 2:
+                return None
+            if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+                t = i + 10  # TIFF header start
+                if t + 8 > len(b):
+                    return None
+                order = b[t : t + 2]
+                if order == b"II":
+                    dec = lambda lo, n: int.from_bytes(
+                        b[lo : lo + n], "little"
+                    )
+                elif order == b"MM":
+                    dec = lambda lo, n: int.from_bytes(b[lo : lo + n], "big")
+                else:
+                    return None
+                if dec(t + 2, 2) != 42:
+                    return None
+                ifd = t + dec(t + 4, 4)
+                if ifd + 2 > len(b):
+                    return None
+                n_entries = dec(ifd, 2)
+                for e in range(n_entries):
+                    lo = ifd + 2 + 12 * e
+                    if lo + 12 > len(b):
+                        return None
+                    if dec(lo, 2) == 0x0112:  # orientation, SHORT
+                        val = dec(lo + 8, 2)
+                        return val if 1 <= val <= 8 else None
+                return None
+            i += 2 + seg_len
+        return None
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["exif_orientation"] = pd.array(
+                [orientation(p) for p in pdf[payload_col]], dtype="Int32"
+            )
+            yield pdf
+
+    return df.mapInPandas(scan, schema)

@@ -3559,6 +3559,130 @@ def docs_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_formats",
+    # Oracle recomputes the EXPECTED dimensions arithmetically from
+    # doc_id; the Spark side builds real GIF/WebP(VP8X/VP8/VP8L)/PNG
+    # header bytes and parses them back with the pure-Catalyst header
+    # parsers — a full construct->parse round trip checked per row.
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN 'gif' WHEN 1 THEN 'webp_x'
+             WHEN 2 THEN 'webp_vp8' WHEN 3 THEN 'webp_vp8l'
+             ELSE 'png' END AS fmt,
+           CAST(64 + doc_id % 4000 AS INT) AS width,
+           CAST(64 + (doc_id * 7) % 3000 AS INT) AS height
+    FROM documents
+    WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-format dimension extraction at corpus scale: synthesize a
+    deterministic binary header per document (format cycles through
+    GIF / WebP-VP8X / WebP-VP8 / WebP-VP8L / PNG; dimensions derived
+    from doc_id), then recover (width, height) with the pure-Catalyst
+    header parsers (`operators/multimodal.py` gif_dimensions /
+    webp_dimensions / png_dimensions). Header construction is an
+    Arrow-batched mapInPandas (stand-in for reading real payloads off
+    the lakehouse); parsing is whole-stage codegen — the same map-only
+    scan shape that headers 10^9 stored images."""
+    import pandas as pd
+
+    from .operators.multimodal import (
+        gif_dimensions,
+        png_dimensions,
+        webp_dimensions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id").isNotNull()
+    )
+
+    def build(batches):
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 64 + did % 4000
+                h = 64 + (did * 7) % 3000
+                kind = did % 5
+                if kind == 0:
+                    p = (
+                        b"GIF89a"
+                        + w.to_bytes(2, "little")
+                        + h.to_bytes(2, "little")
+                        + bytes(6)
+                    )
+                elif kind == 1:
+                    chunk = b"VP8X" + (10).to_bytes(4, "little") + bytes(4)
+                    chunk += (w - 1).to_bytes(3, "little")
+                    chunk += (h - 1).to_bytes(3, "little")
+                    p = (
+                        b"RIFF"
+                        + (4 + len(chunk)).to_bytes(4, "little")
+                        + b"WEBP"
+                        + chunk
+                    )
+                elif kind == 2:
+                    frame = bytes(3) + b"\x9d\x01\x2a"
+                    frame += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                    chunk = b"VP8 " + len(frame).to_bytes(4, "little") + frame
+                    p = (
+                        b"RIFF"
+                        + (4 + len(chunk)).to_bytes(4, "little")
+                        + b"WEBP"
+                        + chunk
+                    )
+                elif kind == 3:
+                    bits = (w - 1) | ((h - 1) << 14)
+                    stream = b"\x2f" + bits.to_bytes(4, "little")
+                    chunk = b"VP8L" + len(stream).to_bytes(4, "little") + stream
+                    p = (
+                        b"RIFF"
+                        + (4 + len(chunk)).to_bytes(4, "little")
+                        + b"WEBP"
+                        + chunk
+                    )
+                else:
+                    p = (
+                        b"\x89PNG\r\n\x1a\x0a"
+                        + (13).to_bytes(4, "big")
+                        + b"IHDR"
+                        + struct.pack(">II", w, h)
+                        + bytes(5)
+                    )
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(build, "doc_id long, payload binary")
+    parsed = with_payload.select(
+        "doc_id",
+        *gif_dimensions(F.col("payload")),
+        *webp_dimensions(F.col("payload")),
+        *png_dimensions(F.col("payload")),
+    )
+    fmt = (
+        F.when(F.col("doc_id") % 5 == 0, "gif")
+        .when(F.col("doc_id") % 5 == 1, "webp_x")
+        .when(F.col("doc_id") % 5 == 2, "webp_vp8")
+        .when(F.col("doc_id") % 5 == 3, "webp_vp8l")
+        .otherwise("png")
+    )
+    return parsed.select(
+        "doc_id",
+        fmt.alias("fmt"),
+        F.coalesce("gif_width", "webp_width", "png_width").alias("width"),
+        F.coalesce("gif_height", "webp_height", "png_height").alias(
+            "height"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

@@ -141,3 +141,116 @@ def test_stream_fuzzy_enrich_static_side_guard(spark, monkeypatch):
     mapping = FuzzyMapping("name", "label", threshold_score=70.0)
     with pytest.raises(ValueError, match="BROADCAST_KEY_LIMIT"):
         stream_ops.stream_fuzzy_enrich(left, right, mapping)
+
+
+def _webp_vp8x(w, h):
+    chunk = b"VP8X" + (10).to_bytes(4, "little") + bytes(4)
+    chunk += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _webp_vp8(w, h):
+    frame = bytes(3) + b"\x9d\x01\x2a"
+    frame += (w & 0x3FFF).to_bytes(2, "little")
+    frame += (h & 0x3FFF).to_bytes(2, "little")
+    chunk = b"VP8 " + len(frame).to_bytes(4, "little") + frame
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _webp_vp8l(w, h):
+    bits = (w - 1) | ((h - 1) << 14)
+    stream = b"\x2f" + bits.to_bytes(4, "little")
+    chunk = b"VP8L" + len(stream).to_bytes(4, "little") + stream
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def test_gif_webp_dimensions_catalyst(spark):
+    """Handcrafted-byte goldens for the pure-Catalyst GIF and WebP
+    (VP8X / lossy VP8 / lossless VP8L) header parsers."""
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        gif_dimensions,
+        webp_dimensions,
+    )
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + bytes(10)
+    gif87 = b"GIF87a" + (12).to_bytes(2, "little") + (8).to_bytes(2, "little") + bytes(4)
+    rows = [
+        (1, bytearray(gif)),
+        (2, bytearray(gif87)),
+        (3, bytearray(_webp_vp8x(1920, 1080))),
+        (4, bytearray(_webp_vp8(640, 480))),
+        (5, bytearray(_webp_vp8l(16383, 300))),
+        (6, bytearray(b"RIFF\x00\x00\x00\x00WAVEdata")),  # RIFF, not WebP
+        (7, bytearray(b"\x89PNG\r\n\x1a\n" + bytes(20))),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {
+        r["id"]: (
+            r["gif_width"], r["gif_height"],
+            r["webp_width"], r["webp_height"],
+        )
+        for r in df.select(
+            "id",
+            *gif_dimensions(F.col("payload")),
+            *webp_dimensions(F.col("payload")),
+        ).collect()
+    }
+    assert out[1] == (320, 200, None, None)
+    assert out[2] == (12, 8, None, None)
+    assert out[3] == (None, None, 1920, 1080)
+    assert out[4] == (None, None, 640, 480)
+    assert out[5] == (None, None, 16383, 300)
+    assert out[6] == (None, None, None, None)
+    assert out[7] == (None, None, None, None)
+    assert out[8] == (None, None, None, None)
+
+
+def _jpeg_with_exif(orientation, big_endian=False, extra_ffs=b""):
+    import struct
+
+    if big_endian:
+        tiff = b"MM" + struct.pack(">HI", 42, 8)
+        ifd = struct.pack(">H", 2)
+        ifd += struct.pack(">HHIHH", 0x011A, 3, 1, 72, 0)  # XResolution-ish
+        ifd += struct.pack(">HHIHH", 0x0112, 3, 1, orientation, 0)
+        ifd += struct.pack(">I", 0)
+    else:
+        tiff = b"II" + struct.pack("<HI", 42, 8)
+        ifd = struct.pack("<H", 2)
+        ifd += struct.pack("<HHIHH", 0x011A, 3, 1, 72, 0)
+        ifd += struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+        ifd += struct.pack("<I", 0)
+    exif = b"Exif\x00\x00" + tiff + ifd
+    app1 = b"\xff\xe1" + (len(exif) + 2).to_bytes(2, "big") + exif
+    sof0 = b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08" + bytes(6)
+    return b"\xff\xd8" + extra_ffs + app1 + sof0 + b"\xff\xd9"
+
+
+def test_jpeg_exif_orientation(spark):
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        jpeg_exif_orientation,
+    )
+
+    rows = [
+        (1, bytearray(_jpeg_with_exif(6))),                      # II
+        (2, bytearray(_jpeg_with_exif(8, big_endian=True))),     # MM
+        (3, bytearray(_jpeg_with_exif(3, extra_ffs=b"\xff\xff"))),  # fill bytes... invalid here, skip
+        (4, bytearray(b"\xff\xd8\xff\xc0\x00\x0b\x08" + bytes(6) + b"\xff\xd9")),  # no APP1
+        (5, bytearray(b"not a jpeg")),
+        (6, None),
+    ]
+    # row 3: fill bytes directly after SOI are not preceded by a marker
+    # segment; the walker treats leading 0xFFs as padding before the
+    # next marker, so the APP1 must still be found
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {
+        r["id"]: r["exif_orientation"]
+        for r in jpeg_exif_orientation(df).collect()
+    }
+    assert out[1] == 6
+    assert out[2] == 8
+    assert out[3] == 3
+    assert out[4] is None
+    assert out[5] is None
+    assert out[6] is None
