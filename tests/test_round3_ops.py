@@ -1042,7 +1042,13 @@ def test_read_evolved_merges_schemas(spark, tmp_path):
 # - events_funnel: shrinking-frontier inequality joins over bounded
 #   per-user frontiers
 _NL_ALLOWED_PREFIXES = ("fuzzy_join_", "kernel_")
-_NL_ALLOWED = {"text_bigram_pmi", "events_active_users", "events_funnel"}
+# - tpch_q11_shape / tpch_q22_shape: a scalar subquery (global sum /
+#   global avg) attaches via broadcast of exactly ONE row — the BNLJ
+#   there is O(n) with a single-row build side, not a quadratic join
+_NL_ALLOWED = {
+    "text_bigram_pmi", "events_active_users", "events_funnel",
+    "tpch_q11_shape", "tpch_q22_shape",
+}
 
 
 def test_registry_wide_no_unintended_nested_loops(spark):
