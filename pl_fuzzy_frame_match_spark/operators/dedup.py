@@ -779,3 +779,150 @@ def incremental_near_dup_pairs(
         )
         .filter(F.col("jaccard_dist") <= F.lit(jaccard_distance))
     )
+
+
+def semantic_cluster_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 8,
+) -> DataFrame:
+    """Assign every vector to its most-similar centroid (cosine), with
+    centroids taken DETERMINISTICALLY as the first ``n_clusters`` rows
+    by id — a bounded ``orderBy(id).limit(k)`` exactly like the IVF
+    sampler, so the assignment is reproducible and SQL-replayable (no
+    random k-means init). Ties break to the smaller centroid id.
+
+    Physical shape: the k x dim centroid matrix broadcasts (k is a
+    parameter, never SF-proportional); assignment is one Arrow-batched
+    GEMM per partition — map-only, no shuffle, the corpus never
+    collects."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    cent = (
+        df.select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(n_clusters)
+        .collect()
+    )
+    cids = np.array([r[0] for r in cent], dtype=np.int64)
+    cmat = np.array([list(map(float, r[1])) for r in cent], dtype=np.float64)
+    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn[cn == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast((cids, cmat / cn))
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField("cluster", LongType())]
+    )
+
+    def assign(batches):
+        ids, cm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0.0] = 1.0
+            sims = (q / qn) @ cm.T
+            # argmax returns the FIRST max; centroid rows are ordered
+            # by ascending id, so ties resolve to the smaller id
+            pdf = pdf.copy()
+            pdf["cluster"] = ids[np.argmax(sims, axis=1)]
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_clusters: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus by nearest centroid, then
+    search for cosine >= threshold pairs ONLY within each cluster —
+    the pair volume drops from n^2 to ~n^2/k while catching the
+    overwhelming share of semantic duplicates (near-dups co-locate by
+    construction: two vectors at cosine ~1 have near-identical
+    centroid similarities; misses are only pairs straddling a centroid
+    boundary, the documented SemDeDup trade).
+
+    Plan: map-only assignment (:func:`semantic_cluster_assign`), then
+    a self EQUI-join on the cluster id (hash join, never a cartesian)
+    with the exact cosine computed in Catalyst (``zip_with`` +
+    ``aggregate`` — sequential fold, engine-reproducible) and an
+    ``id < id`` orientation. At 100 TB the equi-join shuffles each
+    cluster to one reducer set; skewed clusters are bounded by k
+    being a planner choice (raise k to shrink clusters)."""
+    assigned = semantic_cluster_assign(
+        df, vec_col, id_col, n_clusters
+    ).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "__e"
+        ),
+        "cluster",
+    )
+    a = assigned.select(
+        F.col(id_col).alias("left_id"),
+        F.col("__e").alias("__ea"),
+        "cluster",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("right_id"),
+        F.col("__e").alias("__eb"),
+        "cluster",
+    )
+    dot = F.aggregate(
+        F.zip_with("__ea", "__eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.col(c), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    cos = dot / (F.sqrt(sq("__ea")) * F.sqrt(sq("__eb")))
+    return (
+        a.join(b, on="cluster")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("cosine_sim", cos)
+        .filter(F.col("cosine_sim") >= F.lit(threshold))
+        .select(
+            "cluster",
+            "left_id",
+            "right_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_clusters: int = 8,
+) -> DataFrame:
+    """The SemDeDup KEEP set: connected components over the
+    within-cluster near-dup pairs, keeping the minimum id of each
+    duplicate group (singletons keep themselves). Returns
+    (id, component) for every row plus a ``kept`` flag — the
+    downstream filter for a deduplicated training corpus."""
+    from .graph import connected_components
+
+    pairs = semantic_dedup_pairs(
+        df, vec_col, id_col, threshold, n_clusters
+    ).select(F.col("left_id"), F.col("right_id"))
+    cc = connected_components(pairs)  # (node, component) for dup nodes
+    ids = df.select(F.col(id_col).alias("node"))
+    labeled = ids.join(cc, on="node", how="left").select(
+        F.col("node").alias(id_col),
+        F.coalesce("component", "node").alias("component"),
+    )
+    return labeled.withColumn(
+        "kept", (F.col(id_col) == F.col("component")).cast("int")
+    )

@@ -4388,6 +4388,100 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_CTES = """
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id IS NOT NULL
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+    scored AS (
+      SELECT v.vec_id, v.e, c.cid,
+             list_cosine_similarity(v.e, c.ce) AS sim
+      FROM v CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, e, cid AS cluster FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT a.cluster, a.vec_id AS left_id, b.vec_id AS right_id,
+             list_cosine_similarity(a.e, b.e) AS cosine_sim
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    )
+"""
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH {_SEMANTIC_CTES}
+    SELECT cluster, left_id, right_id, round(cosine_sim, 6) AS cosine_sim
+    FROM dup
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-pruned semantic near-dup
+    pairs — nearest-centroid assignment (deterministic first-k
+    centroids, broadcast GEMM, map-only) then an equi-join on the
+    cluster id with exact Catalyst cosine. Pair volume ~n^2/k instead
+    of n^2; the oracle replays assignment + pairing in SQL, so the
+    cluster routing itself is value-checked, not just the output
+    pairs."""
+    from .operators.dedup import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull()
+    )
+    return semantic_dedup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, n_clusters=8
+    )
+
+
+@register(
+    "dedup_semantic_keep",
+    f"""
+    WITH RECURSIVE {_SEMANTIC_CTES},
+    sym AS (
+      SELECT left_id AS u, right_id AS v FROM dup
+      UNION SELECT right_id, left_id FROM dup
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    lab AS (
+      SELECT u AS node, least(u, min(v)) AS component
+      FROM reach GROUP BY u
+    )
+    SELECT v.vec_id,
+           coalesce(lab.component, v.vec_id) AS component,
+           CAST(CASE WHEN v.vec_id = coalesce(lab.component, v.vec_id)
+                     THEN 1 ELSE 0 END AS INT) AS kept
+    FROM v LEFT JOIN lab ON v.vec_id = lab.node
+    """,
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup keep set: distributed connected components over the
+    within-cluster dup pairs, min-id representative kept per duplicate
+    group, singletons kept. The oracle replays the closure with a
+    recursive CTE — the component labels themselves are
+    value-checked."""
+    from .operators.dedup import semantic_dedup_keep
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull()
+    )
+    return semantic_dedup_keep(
+        emb, "embedding", "vec_id", threshold=0.4, n_clusters=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

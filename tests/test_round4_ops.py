@@ -295,3 +295,60 @@ def test_o9_probe_plan_shape(spark):
     # single-digit reps at exactly one substitution)
     n = out.count()
     assert n > 0
+
+
+def test_semantic_dedup_operators(spark):
+    """SemDeDup: assignment routes to the max-cosine centroid
+    (deterministic first-k centroids, ties to smaller id); pairs are
+    exactly the brute-force cosine pairs RESTRICTED to co-clustered
+    rows (subset + within-cluster completeness); the keep set labels
+    min-id representatives."""
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        embedding_dedup_pairs,
+        semantic_cluster_assign,
+        semantic_dedup_keep,
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),     # centroid A
+        (2, [0.0, 1.0, 0.0]),     # centroid B
+        (3, [0.99, 0.1, 0.0]),    # near A
+        (4, [0.1, 0.99, 0.0]),    # near B
+        (5, [0.98, 0.12, 0.0]),   # near A (dup of 3)
+        (6, [0.0, 0.0, 1.0]),     # orthogonal -> ties A/B at 0 -> A
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in semantic_cluster_assign(
+            df, "embedding", "vec_id", n_clusters=2
+        ).collect()
+    }
+    assert assigned == {1: 1, 2: 2, 3: 1, 4: 2, 5: 1, 6: 1}
+
+    pairs = semantic_dedup_pairs(
+        df, "embedding", "vec_id", threshold=0.9, n_clusters=2
+    ).collect()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    brute = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_dedup_pairs(
+            df, "embedding", "vec_id", threshold=0.9, n_blocks=1
+        ).collect()
+    }
+    assert got <= brute
+    co = {(a, b) for a, b in brute if assigned[a] == assigned[b]}
+    assert got == co
+    assert (1, 3) in got and (3, 5) in got and (2, 4) in got
+
+    keep = {
+        r["vec_id"]: (r["component"], r["kept"])
+        for r in semantic_dedup_keep(
+            df, "embedding", "vec_id", threshold=0.9, n_clusters=2
+        ).collect()
+    }
+    # {1,3,5} collapse to representative 1; {2,4} to 2; 6 is singleton
+    assert keep[1] == (1, 1) and keep[3] == (1, 0) and keep[5] == (1, 0)
+    assert keep[2] == (2, 1) and keep[4] == (2, 0)
+    assert keep[6] == (6, 1)
