@@ -58,6 +58,12 @@ def main() -> None:
         "events_retention",
         "ann_ivfpq",
         "text_bigram_pmi",
+        "tpch_q8_shape",
+        "tpch_q13_shape",
+        "tpch_q21_shape",
+        "dedup_semantic",
+        "dedup_semantic_keep",
+        "multimodal_formats",
     ):
         if extra in registry:
             names.append(extra)

@@ -394,3 +394,37 @@ def pack_contexts(
             (F.col("__off") % context_tokens).cast("long").alias("pack_offset"),
         )
     )
+
+
+def weighted_rate_predicate(key: Column, rate: Column) -> Column:
+    """Boolean: keep ``key`` with PER-ROW probability ``rate`` (a
+    Column in [0, 1]), deterministic by md5 prefix — the importance /
+    quality-weighted sampling primitive ("keep high-quality documents
+    at 90%, boilerplate at 10%"). Same portability contract as
+    :func:`rate_predicate`: the decision is a pure function of
+    (key, rate), reproducible across engines, partitionings and runs.
+
+    Quantization: the md5's first 8 hex chars are a uniform 32-bit
+    draw; the row keeps iff draw < floor(rate * 2^32), compared as
+    fixed-width lowercase hex (lexicographic == numeric). rate >= 1
+    always keeps (the 2^32 threshold has no 8-char representation)."""
+    u = F.substring(F.md5(key.cast("string")), 1, 8)
+    thr = F.floor(
+        F.least(rate, F.lit(1.0)) * F.lit(4294967296.0)
+    ).cast("bigint")
+    thr_hex = F.lower(F.lpad(F.hex(thr), 8, "0"))
+    return (thr >= F.lit(4294967296)) | (u < thr_hex)
+
+
+def weighted_rate_sql_predicate(key_sql: str, rate_sql: str) -> str:
+    """The DuckDB-portable twin of :func:`weighted_rate_predicate` —
+    byte-identical decisions, for oracles and engine-external
+    repartition-proof audits."""
+    thr = (
+        f"CAST(floor(least({rate_sql}, 1.0) * 4294967296.0) AS BIGINT)"
+    )
+    return (
+        f"(({thr} >= 4294967296) OR "
+        f"substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8) < "
+        f"lower(lpad(to_hex({thr}), 8, '0')))"
+    )

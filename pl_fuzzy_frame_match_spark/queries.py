@@ -4482,6 +4482,48 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_weighted_sample",
+    """
+    SELECT doc_id, n_chars,
+           round(least(greatest(n_chars / 2000.0, 0.1), 0.9), 6) AS rate
+    FROM documents
+    WHERE doc_id IS NOT NULL
+      AND ((CAST(floor(least(least(greatest(n_chars / 2000.0, 0.1), 0.9),
+                             1.0) * 4294967296.0) AS BIGINT) >= 4294967296)
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              lower(lpad(to_hex(CAST(floor(
+                  least(least(greatest(n_chars / 2000.0, 0.1), 0.9), 1.0)
+                  * 4294967296.0) AS BIGINT)), 8, '0')))
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each document keeps
+    with probability proportional to its length-derived quality rate
+    (clamped [0.1, 0.9]) — the importance-sampling primitive for
+    "upsample good data" corpus mixing. The decision is a pure
+    function of (doc_id, rate) via an md5 32-bit draw
+    (`functions/sampling.py::weighted_rate_predicate`), so the sample
+    is reproducible across engines, runs and partitionings — the
+    oracle replays the EXACT same predicate in SQL and must select
+    the identical row set. Map-only scan at any scale; the filter is
+    pushed into the same stage as the projection."""
+    from .functions.sampling import weighted_rate_predicate
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    rate = F.least(
+        F.greatest(F.col("n_chars") / 2000.0, F.lit(0.1)), F.lit(0.9)
+    )
+    return (
+        docs.where(weighted_rate_predicate(F.col("doc_id"), rate))
+        .select(
+            "doc_id", "n_chars", F.round(rate, 6).alias("rate")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------
