@@ -409,8 +409,12 @@ def weighted_rate_predicate(key: Column, rate: Column) -> Column:
     fixed-width lowercase hex (lexicographic == numeric). rate >= 1
     always keeps (the 2^32 threshold has no 8-char representation)."""
     u = F.substring(F.md5(key.cast("string")), 1, 8)
+    # clamp BOTH ends: a negative rate would produce a negative bigint
+    # whose two's-complement hex truncates to 'ffffffff' under lpad —
+    # keeping with ~probability 1 instead of 0 (ADVICE r4)
     thr = F.floor(
-        F.least(rate, F.lit(1.0)) * F.lit(4294967296.0)
+        F.greatest(F.least(rate, F.lit(1.0)), F.lit(0.0))
+        * F.lit(4294967296.0)
     ).cast("bigint")
     thr_hex = F.lower(F.lpad(F.hex(thr), 8, "0"))
     return (thr >= F.lit(4294967296)) | (u < thr_hex)
@@ -421,7 +425,8 @@ def weighted_rate_sql_predicate(key_sql: str, rate_sql: str) -> str:
     byte-identical decisions, for oracles and engine-external
     repartition-proof audits."""
     thr = (
-        f"CAST(floor(least({rate_sql}, 1.0) * 4294967296.0) AS BIGINT)"
+        f"CAST(floor(greatest(least({rate_sql}, 1.0), 0.0)"
+        f" * 4294967296.0) AS BIGINT)"
     )
     return (
         f"(({thr} >= 4294967296) OR "

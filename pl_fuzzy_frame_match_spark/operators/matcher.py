@@ -463,7 +463,7 @@ def fuzzy_match_dfs(
 
     # one aggregate pass per side: row count + per-column HLL distinct.
     # The stats jobs AND the row-identity checkpoints (phase B) are
-    # mutually independent, so all FOUR jobs launch concurrently — the
+    # mutually independent, so all the jobs launch concurrently — the
     # scheduler interleaves their stages and the per-query fixed cost
     # is one job round-trip instead of two serial waves (measured
     # ~0.2-0.3 s/query at bench shape, more on a cold session where
@@ -471,15 +471,30 @@ def fuzzy_match_dfs(
     # is the O3 rewrite, which when it fires dedups the ALREADY
     # INDEXED frames below (dropDuplicates keeps schema; the surviving
     # ids stay stable because localCheckpoint already pinned them).
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    #
+    # O7 ordering (VERDICT r4 #7): the eager index checkpoints
+    # materialize BOTH inputs in full, so an empty input must not pay
+    # them. Each checkpoint is gated on two limit-1 emptiness probes
+    # (milliseconds) instead of the full stats result — empty inputs
+    # skip the checkpoints entirely, non-empty inputs keep the
+    # concurrent-wave latency win.
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        left_empty_fut = pool.submit(left.isEmpty)
+        right_empty_fut = pool.submit(right.isEmpty)
+
+        def _gated_index(df: DataFrame, name: str) -> Optional[DataFrame]:
+            if left_empty_fut.result() or right_empty_fut.result():
+                return None  # O7 will exit; don't materialize anything
+            return add_index_column(df, name)
+
         left_fut = pool.submit(
             get_count_uniqueness_and_maxlen, left, [m.left_col for m in maps]
         )
         right_fut = pool.submit(
             get_count_uniqueness_and_maxlen, right, [m.right_col for m in maps]
         )
-        left_idx_fut = pool.submit(add_index_column, left, LEFT_INDEX)
-        right_idx_fut = pool.submit(add_index_column, right, RIGHT_INDEX)
+        left_idx_fut = pool.submit(_gated_index, left, LEFT_INDEX)
+        right_idx_fut = pool.submit(_gated_index, right, RIGHT_INDEX)
         left_count, left_uniq, left_maxlen = left_fut.result()
         right_count, right_uniq, right_maxlen = right_fut.result()
         left_i = left_idx_fut.result()

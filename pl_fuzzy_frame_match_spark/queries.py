@@ -4407,11 +4407,14 @@ _SEMANTIC_CTES = """
       ) WHERE rn = 1
     ),
     dup AS (
+      -- threshold on the ROUND(cos, 6) value, matching the Spark side
+      -- exactly: both engines quantize before comparing, so ulp-level
+      -- disagreement at the boundary cannot flake the row gate
       SELECT a.cluster, a.vec_id AS left_id, b.vec_id AS right_id,
-             list_cosine_similarity(a.e, b.e) AS cosine_sim
+             round(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim
       FROM assign a JOIN assign b
         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+      WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
     )
 """
 
@@ -4420,7 +4423,7 @@ _SEMANTIC_CTES = """
     "dedup_semantic",
     f"""
     WITH {_SEMANTIC_CTES}
-    SELECT cluster, left_id, right_id, round(cosine_sim, 6) AS cosine_sim
+    SELECT cluster, left_id, right_id, cosine_sim
     FROM dup
     """,
 )

@@ -96,6 +96,7 @@ def cluster_conf(
         "spark.shuffle.file.buffer": "1m",
         "spark.reducer.maxSizeInFlight": "96m",
         # headroom note, not a conf: fanout stages may want up to
-        # {data_partitions} partitions via explicit repartition
+        # {shuffle_partitions} partitions via explicit repartition
+        # (max of the cores term and the data-size term)
         "_advisory.fanout_partitions": str(shuffle_partitions),
     }

@@ -1,0 +1,199 @@
+"""Round-5 regression tests: semantic-dedup skew cap, weighted-rate
+clamping, cluster-assign formula parity, matcher O7 ordering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _clumpy_vectors(spark, n=400, dim=8):
+    """A corpus where ~90% of vectors land in ONE cluster: ids 0..7 are
+    the deterministic first-k centroids; most rows sit near centroid 0."""
+    import math
+
+    rows = []
+    for i in range(n):
+        if i < 8:
+            # spread centroids on distinct axes so assignment is crisp
+            v = [0.0] * dim
+            v[i % dim] = 1.0
+            rows.append((i, v))
+        elif i % 10 == 0:
+            v = [0.0] * dim
+            v[1] = 1.0
+            v[2] = 0.01 * (i % 7)
+            rows.append((i, v))
+        else:
+            # near centroid 0 with a tiny deterministic wobble
+            eps = 0.001 * (i % 13)
+            v = [1.0, eps, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+            norm = math.sqrt(1 + eps * eps)
+            rows.append((i, [x / norm for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semantic_dedup_skew_cap_same_rows(spark):
+    """VERDICT r4 #3: with 90% of vectors in one cluster, the salted
+    self-join must produce IDENTICAL pairs to the unsalted one (each
+    pair meets on exactly one salt) while bounding the build-side rows
+    per shuffle key."""
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    df = _clumpy_vectors(spark)
+    capped = semantic_dedup_pairs(
+        df, "embedding", "vec_id", threshold=0.9, n_clusters=8,
+        cluster_cap=50,
+    )
+    uncapped = semantic_dedup_pairs(
+        df, "embedding", "vec_id", threshold=0.9, n_clusters=8,
+        cluster_cap=10**9,
+    )
+    a = sorted(map(tuple, capped.collect()))
+    b = sorted(map(tuple, uncapped.collect()))
+    assert a == b
+    assert len(a) > 1000  # the skewed cluster really is quadratic
+
+
+def test_semantic_dedup_skew_cap_bounds_per_key_volume(spark):
+    """The salted plan's shuffle keys are (cluster, salt); no single
+    key may carry the whole skewed cluster on the probe side, and the
+    build side must replicate across ceil(size/cap) salts."""
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        semantic_cluster_assign,
+    )
+
+    df = _clumpy_vectors(spark)
+    cap = 50
+    assigned = semantic_cluster_assign(df, "embedding", "vec_id", 8)
+    sizes = {
+        r["cluster"]: r["count"]
+        for r in assigned.groupBy("cluster").count().collect()
+    }
+    big = max(sizes, key=sizes.get)
+    assert sizes[big] > 0.8 * 400  # the fixture is genuinely skewed
+    n_salt = -(-sizes[big] // cap)
+    assert n_salt >= 2
+    # probe-side rows hash into n_salt buckets; the largest bucket of
+    # the skewed cluster must be ~size/n_salt, far below the full size
+    salted = assigned.filter(F.col("cluster") == big).select(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_salt)).alias("s")
+    )
+    per_key = [r["c"] for r in
+               salted.groupBy("s").agg(F.count("*").alias("c")).collect()]
+    assert len(per_key) == n_salt
+    assert max(per_key) < sizes[big]
+
+
+def test_weighted_rate_negative_clamps_to_zero(spark):
+    """ADVICE r4: a negative rate must keep NOTHING (prob 0), not
+    everything — the negative bigint's two's-complement hex used to
+    truncate to 'ffffffff' under lpad."""
+    from pl_fuzzy_frame_match_spark.functions.sampling import (
+        weighted_rate_predicate,
+        weighted_rate_sql_predicate,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"), F.lit(-0.25).alias("rate")
+    )
+    kept = df.filter(
+        weighted_rate_predicate(F.col("id"), F.col("rate"))
+    ).count()
+    assert kept == 0
+    # the SQL twin clamps identically
+    import duckdb
+
+    pred = weighted_rate_sql_predicate("i", "-0.25")
+    n = duckdb.sql(
+        f"SELECT count(*) FROM range(500) t(i) WHERE {pred}"
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_cluster_assign_matches_duckdb_cosine_routing(spark):
+    """ADVICE r4: assignment must use the oracle's exact formula
+    (unnormalized dot / (|a|*|b|)); null embeddings are rejected from
+    the centroid sample instead of raising on the driver."""
+    import duckdb
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.6, 0.8, 0.0]),
+        (2, None),  # must not break centroid collection
+        (3, [0.59, 0.81, 0.0]),
+        (4, [0.99, 0.02, 0.0]),
+        (5, [0.7071, 0.7071, 0.0]),  # near-tie between c0 and c1
+    ]
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    df = spark.createDataFrame(rows, schema).where(
+        F.col("embedding").isNotNull()
+    )
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        semantic_cluster_assign,
+    )
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in semantic_cluster_assign(
+            df, "embedding", "vec_id", 2
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        r[0]: r[1]
+        for r in con.sql(
+            """
+            WITH v AS (
+              SELECT * FROM (VALUES
+                (0, [1.0, 0.0, 0.0]), (1, [0.6, 0.8, 0.0]),
+                (3, [0.59, 0.81, 0.0]), (4, [0.99, 0.02, 0.0]),
+                (5, [0.7071, 0.7071, 0.0])) t(vec_id, e)
+            ),
+            cent AS (SELECT vec_id AS cid, e AS ce FROM v
+                     ORDER BY vec_id LIMIT 2)
+            SELECT vec_id, cid FROM (
+              SELECT v.vec_id, c.cid, row_number() OVER (
+                PARTITION BY v.vec_id
+                ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid
+              ) rn FROM v CROSS JOIN cent c
+            ) WHERE rn = 1
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_o7_empty_input_skips_index_checkpoints(spark, monkeypatch):
+    """VERDICT r4 #7: an empty input must exit BEFORE the eager index
+    checkpoints — previously both full-input materialization jobs ran
+    and were discarded."""
+    from pl_fuzzy_frame_match_spark import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.operators import matcher
+
+    calls = []
+    real = matcher.add_index_column
+
+    def spy(df, name):
+        calls.append(name)
+        return real(df, name)
+
+    monkeypatch.setattr(matcher, "add_index_column", spy)
+    left = spark.createDataFrame([(1, "a")], ["lid", "name"]).limit(0)
+    right = spark.createDataFrame([(2, "b")], ["rid", "label"])
+    maps = [FuzzyMapping("name", "label", threshold_score=80.0)]
+    out = matcher.fuzzy_match_dfs(left, right, maps)
+    assert out.count() == 0
+    assert calls == []  # no checkpoint job was launched
+
+    # non-empty inputs still checkpoint both sides (the fast path)
+    left2 = spark.createDataFrame([(1, "a")], ["lid", "name"])
+    matcher.fuzzy_match_dfs(left2, right, maps).count()
+    assert sorted(calls) == sorted([matcher.LEFT_INDEX, matcher.RIGHT_INDEX])
