@@ -84,25 +84,27 @@ def main() -> None:
             pass
 
     import gc
+    import statistics
 
+    TRIALS = 3
     timings = {}
+    mins = {}
     errors = {}
     for name in names:
         # time plan construction + materialization: fuzzy_match_dfs runs
         # eager planner actions (counts, approx-distinct, checkpoints)
         # during construction, which belong to the query's wall clock.
-        # Best of two runs: steady-state throughput is the quantity of
-        # interest and single samples on a shared host swing ~2x.
+        # MEDIAN of 3 runs (VERDICT r4 #1): single samples on a shared
+        # 32-core host swing 50-150% on sub-2s queries, so best-of-N
+        # and single-trial numbers made round-over-round comparisons
+        # noise-dominated; the median is robust to one transient (GC
+        # pause, JIT deopt, co-tenant burst) in either direction. The
+        # min is reported alongside as the contention-free floor.
         # Per-query isolation: one failing query must never erase the
         # other timings — record its error and keep going.
         samples = []
         failed = False
-        while len(samples) < 2 or (
-            # a transient (GC pause, JIT deopt) can poison BOTH base
-            # runs; when they disagree by >1.5x take one tiebreaker
-            len(samples) == 2
-            and max(samples) > 1.5 * min(samples)
-        ):
+        for _ in range(TRIALS):
             t0 = time.perf_counter()
             try:
                 df = registry[name](spark, sf_dir)
@@ -119,7 +121,8 @@ def main() -> None:
             del df
             gc.collect()
         if samples and not failed:
-            timings[name] = round(min(samples), 3)
+            timings[name] = round(statistics.median(samples), 3)
+            mins[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -128,6 +131,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "trials": TRIALS,
+        "queries_min": mins,
     }
     if errors:
         record["errors"] = errors

@@ -36,6 +36,30 @@ from ..functions.text import (
 BROADCAST_DOC_LIMIT = 1_000_000
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Ensure at least 2x defaultParallelism partitions before a
+    compute-heavy projection (shingling, simhash). Two problems on
+    small/single-file scans, both measured at bench scale:
+
+    1. The scan itself arrives in 1 partition (file < 128 MB), so a
+       fused ``scan -> project`` stage runs the heavy expressions on
+       one core.
+    2. ``repartition(n).select(heavy)`` does NOT fix it: Catalyst
+       collapses the projection BELOW the round-robin exchange, so the
+       heavy expressions still evaluate in the single-partition scan
+       stage (measured 1.0-2.9 s vs 0.15 s for 5K docs). The eager
+       localCheckpoint here is a PLAN BARRIER that pins the exchange
+       output before any downstream projection can sink through it.
+
+    At real scale the scan already has >= 2x cores partitions and this
+    is a no-op — no shuffle, no checkpoint, no cost."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism * 2
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n).localCheckpoint(eager=True)
+
+
 def _hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, sorted array<long> of hashed word-n-gram shingles). Exact
     Jaccard over the hashed sets equals Jaccard over the string sets
@@ -168,9 +192,9 @@ def prefix_filter_jaccard_pairs(
     # localCheckpoint, not persist(): the returned frame is lazy so
     # this function can never unpersist; checkpoint blocks release via
     # the ContextCleaner when the frame is collected (VERDICT r4 #6)
-    hashed = _hashed_shingles(df, text_col, id_col, n).localCheckpoint(
-        eager=True
-    )
+    hashed = _hashed_shingles(
+        _fanout(df), text_col, id_col, n
+    ).localCheckpoint(eager=True)
     n_docs = hashed.count()
     tok = hashed.select(
         F.col(id_col),
@@ -230,13 +254,14 @@ def minhash_dedup_pairs(
     (left_id, right_id, jaccard_dist), i < j, deduplicated."""
     from ..functions.minhash import banded_buckets
 
-    n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
     # localCheckpoint (eager), not persist(): lazy returns mean no
     # unpersist point exists; checkpoint blocks release with the frame
     # (VERDICT r4 #6). shingled feeds BOTH hashed and banded; hashed
-    # feeds both sides of the verification join.
+    # feeds both sides of the verification join. _fanout (not a fused
+    # repartition) so the shingling can't sink below the exchange into
+    # the single-partition scan stage.
     shingled = (
-        df.repartition(n_parts)
+        _fanout(df)
         .select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh"))
         .filter(F.size("__sh") > 0)
         .localCheckpoint(eager=True)
@@ -297,7 +322,7 @@ def simhash_dedup_pairs(
     # eager localCheckpoint: both the banded explode and the exact
     # bit_count verify read this frame; persist() here leaked cache
     # storage across calls (VERDICT r4 #6)
-    sh = df.select(
+    sh = _fanout(df).select(
         F.col(id_col), simhash64(F.col(text_col)).alias("__simhash")
     ).localCheckpoint(eager=True)
     band_width = 64 // bands
@@ -623,14 +648,19 @@ def prefix_filter_containment_pairs(
     # would accumulate across calls in a long session (ADVICE r3).
     # Checkpoint blocks are released by the ContextCleaner as soon as
     # the result frame is garbage-collected.
-    hashed = _hashed_shingles(clean, text_col, id_col, n).localCheckpoint(
-        eager=True
-    )
+    hashed = _hashed_shingles(
+        _fanout(clean), text_col, id_col, n
+    ).localCheckpoint(eager=True)
+    n_docs = hashed.count()  # metadata-cheap over checkpoint blocks
     tok = hashed.select(
         F.col(id_col),
         F.size("__shh").alias("__n"),
         F.explode("__shh").alias("__tok"),
     )
+    # no broadcast HINT on dfreq: the distinct-shingle count is
+    # corpus-vocabulary-proportional, so AQE broadcasts it at runtime
+    # while it is small and falls back to a shuffled hash join past
+    # the advisory threshold instead of OOMing on a forced broadcast
     dfreq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("__df").asc(), F.col("__tok").asc()
@@ -643,11 +673,19 @@ def prefix_filter_containment_pairs(
         .select(F.col(id_col).alias("doc_a"), "__tok")
     )
     full = tok.select(F.col(id_col).alias("doc_b"), "__tok")
+    # NO distinct() on candidates (VERDICT r4 #2): the verify filter is
+    # idempotent per pair, so duplicate candidates (a pair sharing >1
+    # prefix shingle) just re-verify — far cheaper than shuffling the
+    # full candidate volume for a ~5% dedup; the tiny post-threshold
+    # output dedups at the end instead. The explicit repartition undoes
+    # AQE's coalescing of the token-join output (measured 4 partitions
+    # at bench scale — the per-pair array_intersect verify needs the
+    # cores, not 4 tasks of 250K pairs each).
     cand = (
         prefix.join(full, on="__tok")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     ha = hashed.select(
         F.col(id_col).alias("doc_a"),
@@ -657,6 +695,9 @@ def prefix_filter_containment_pairs(
     hb = hashed.select(
         F.col(id_col).alias("doc_b"), F.col("__shh").alias("__shb")
     )
+    if n_docs <= BROADCAST_DOC_LIMIT:
+        # candidate side is the big one: verification becomes map-only
+        ha, hb = F.broadcast(ha), F.broadcast(hb)
     inter = F.size(F.array_intersect("__sha", "__shb"))
     return (
         cand.join(ha, on="doc_a")
@@ -670,6 +711,7 @@ def prefix_filter_containment_pairs(
                 "containment"
             ),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
