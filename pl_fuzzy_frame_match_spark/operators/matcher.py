@@ -330,40 +330,54 @@ def refine_matches(
     shrink (pinned by the reference's monotonicity tests).
 
     ``existing`` is materialized first (the Spark analogue of the
-    reference's per-round spill, matcher.py:492): the plan below
-    references it on two branches (distinct-pair scoring and the
-    row-level probe), and without truncation the whole previous round
-    would be recomputed once per branch."""
-    existing = existing.localCheckpoint(eager=True)
-    vals = (
-        existing.join(
-            _maybe_broadcast(left.select(LEFT_INDEX, mapping.left_col), n_left),
-            on=LEFT_INDEX,
-            how="inner",
+    reference's per-round spill, matcher.py:492) — but ONLY on the
+    general path, whose plan references it on two branches
+    (distinct-pair scoring and the row-level probe); without truncation
+    the whole previous round would be recomputed once per branch. The
+    exact-match shortcut below references ``existing`` exactly once,
+    so it skips the checkpoint and the round stays a single lazy plan
+    end-to-end — the prior round's scoring work executes once, in the
+    final job, instead of once into a checkpoint and again out of it
+    (VERDICT r4 #4: this was the fuzzy_join_multi fixed-cost gap; the
+    reference's O8 skipped per-round recounts the same way)."""
+
+    def _vals(frame: DataFrame) -> DataFrame:
+        return (
+            frame.join(
+                _maybe_broadcast(
+                    left.select(LEFT_INDEX, mapping.left_col), n_left
+                ),
+                on=LEFT_INDEX,
+                how="inner",
+            )
+            .join(
+                _maybe_broadcast(
+                    right.select(RIGHT_INDEX, mapping.right_col), n_right
+                ),
+                on=RIGHT_INDEX,
+                how="inner",
+            )
+            .filter(
+                F.col(mapping.left_col).isNotNull()
+                & F.col(mapping.right_col).isNotNull()
+            )
         )
-        .join(
-            _maybe_broadcast(
-                right.select(RIGHT_INDEX, mapping.right_col), n_right
-            ),
-            on=RIGHT_INDEX,
-            how="inner",
-        )
-        .filter(
-            F.col(mapping.left_col).isNotNull()
-            & F.col(mapping.right_col).isNotNull()
-        )
-    )
+
     if mapping.reversed_threshold_score == 0.0:
         # exact-match shortcut (threshold 100): no distinct-pair frame,
-        # no scoring, no join-back — just the equality filter
+        # no scoring, no join-back — just the equality filter; single
+        # reference to `existing`, so no checkpoint either
         return (
-            vals.filter(
+            _vals(existing)
+            .filter(
                 F.lower(F.col(mapping.left_col))
                 == F.lower(F.col(mapping.right_col))
             )
             .withColumn(mapping.output_column_name, F.lit(1.0))
             .drop(mapping.left_col, mapping.right_col)
         )
+    existing = existing.localCheckpoint(eager=True)
+    vals = _vals(existing)
     distinct_pairs = vals.select(mapping.left_col, mapping.right_col).distinct()
     # alias the lowercased pair in a projection: an inline lower() is
     # re-evaluated at every reference in the distance expression tree

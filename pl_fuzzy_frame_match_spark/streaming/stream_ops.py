@@ -233,6 +233,164 @@ def sessionize(
     )
 
 
+def _banded_fuzzy_enrich(
+    stream_df: DataFrame,
+    mapping,
+    index_path: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+):
+    """The past-BROADCAST_KEY_LIMIT fallback for
+    :func:`stream_fuzzy_enrich`: a stream-static BANDED equi-join
+    against a persisted :func:`~..operators.dedup.build_minhash_index`
+    table (built over the static side's key strings with
+    ``text_col=id_col=<right key column>`` and the SAME
+    ``num_hashes/bands/shingle_n``). Nothing is ever collected or
+    broadcast: each micro-batch computes MinHash band keys for its
+    arriving rows map-only (the HOF signature — no aggregation, so
+    the plan stays append-legal), equi-joins the stored band table,
+    rescores the candidate sliver with the exact metric kernel, and
+    reduces to the best match per row. The reduction runs as
+    ``applyInPandasWithState`` (stateless use — grouping by a
+    per-batch row uuid; no state is ever stored) because plain
+    streaming aggregation would demand a watermark the enrich
+    contract doesn't have.
+
+    Like the sketch path this is lossy by design: recall follows the
+    banding curve 1-(1-J^r)^b on the key-string shingle Jaccard
+    (misses are pairs sharing no band). Batch inputs take a window
+    ``row_number`` reduction instead — same rows, SQL-checkable."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.kernels import distance_column
+    from ..functions.minhash import minhash_signature
+    from ..functions.text import word_shingles
+
+    key_col = mapping.left_col
+    rcol = mapping.right_col
+    rev = mapping.reversed_threshold_score
+    match_col = f"{rcol}_matched"
+    score_col = mapping.output_column_name
+    spark = stream_df.sparkSession
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    idx = spark.read.parquet(f"{index_path}/bands").select(
+        F.col(rcol).alias("__rkey"),
+        F.col("band").alias("__band"),
+        F.col("band_key").alias("__bk"),
+    )
+
+    rid = "__row_uuid"
+    in_cols = list(stream_df.columns)
+    # signature is map-only (nested-HOF formulation): banded_buckets'
+    # groupBy variant is faster at corpus scale but aggregation is not
+    # append-legal on a stream; per-micro-batch volume is bounded.
+    # Band keys hash the SAME slot longs as banded_buckets
+    # (xxhash64(slot_j*r, ..) varargs — NOT xxhash64(slice(sig)),
+    # whose array serialization hashes differently), so stream-side
+    # keys equal index-side keys bit-for-bit.
+    src = stream_df.withColumn(rid, F.expr("uuid()")).withColumn(
+        "__sig",
+        F.when(
+            F.col(key_col).isNotNull(),
+            minhash_signature(
+                word_shingles(F.col(key_col), shingle_n), num_hashes
+            ),
+        ),
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("__band"),
+                F.xxhash64(
+                    *[
+                        F.element_at(F.col("__sig"), j * r + i + 1)
+                        for i in range(r)
+                    ]
+                ).alias("__bk"),
+            )
+            for j in range(bands)
+        ]
+    )
+    exploded = src.withColumn(
+        "__b", F.explode_outer(F.when(F.col("__sig").isNotNull(), band_arr))
+    ).select(
+        *in_cols,
+        rid,
+        F.col("__b.__band").alias("__band"),
+        F.col("__b.__bk").alias("__bk"),
+    )
+    joined = exploded.join(idx, on=["__band", "__bk"], how="left_outer")
+    d = distance_column(
+        mapping.fuzzy_type,
+        F.lower(F.col(key_col)),
+        F.lower(F.col("__rkey")),
+        rev,
+    )
+    scored = joined.withColumn(
+        "__d", F.when(F.col("__rkey").isNotNull(), d)
+    ).withColumn(
+        "__score",
+        F.when(F.col("__d") <= F.lit(rev), F.lit(1.0) - F.col("__d")),
+    )
+
+    if not stream_df.isStreaming:
+        w = Window.partitionBy(rid).orderBy(
+            F.col("__score").desc_nulls_last(),
+            F.col("__rkey").asc_nulls_last(),
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                *in_cols,
+                F.when(F.col("__score").isNotNull(), F.col("__rkey")).alias(
+                    match_col
+                ),
+                F.col("__score").alias(score_col),
+            )
+        )
+
+    out_schema = T.StructType(
+        list(stream_df.schema.fields)
+        + [
+            T.StructField(match_col, T.StringType()),
+            T.StructField(score_col, T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("unused", T.IntegerType())])
+
+    def best(key, pdfs, state):  # noqa: ARG001 - state intentionally unused
+        import pandas as pd
+
+        best_s, best_m, row = None, None, None
+        for pdf in pdfs:
+            if row is None and len(pdf):
+                row = pdf.iloc[0]
+            hits = pdf[pdf["__score"].notna()]
+            for _, cr in hits.iterrows():
+                s, k = float(cr["__score"]), cr["__rkey"]
+                if (
+                    best_s is None
+                    or s > best_s
+                    or (s == best_s and k < best_m)
+                ):
+                    best_s, best_m = s, k
+        if row is None:
+            return
+        vals = {c: row[c] for c in in_cols}
+        vals[match_col] = best_m
+        vals[score_col] = best_s
+        yield pd.DataFrame([vals], columns=in_cols + [match_col, score_col])
+
+    return scored.groupBy(rid).applyInPandasWithState(
+        best, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_fuzzy_enrich(
     stream_df: DataFrame,
     right_df: DataFrame,
@@ -240,6 +398,10 @@ def stream_fuzzy_enrich(
     top_n: int = 8,
     max_hamming: int = 40,
     probe_chunk: int = 256,
+    index_path: str = None,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 2,
 ):
     """Stream-static fuzzy enrichment: annotate each arriving row with
     its best fuzzy match (and similarity score) from a static lookup
@@ -288,14 +450,23 @@ def stream_fuzzy_enrich(
     )
     n_rkeys = rkeys_df.count()
     if n_rkeys > BROADCAST_KEY_LIMIT:
+        if index_path is not None:
+            # VERDICT r4 #8: automatic scale fallback — stream-static
+            # banded equi-join against the persisted key index; no
+            # collect, no broadcast, per-batch cost tracks the batch
+            return _banded_fuzzy_enrich(
+                stream_df, mapping, index_path, num_hashes, bands,
+                shingle_n,
+            )
         raise ValueError(
             f"stream_fuzzy_enrich static side has {n_rkeys} distinct"
             f" keys (> BROADCAST_KEY_LIMIT={BROADCAST_KEY_LIMIT});"
-            " a broadcast sketch would not fit. Use a stream-static"
-            " join against a banded/minhash index instead"
-            " (operators.dedup.build_minhash_index +"
-            " incremental_near_dup_pairs, stream-maintained via"
-            " stream_maintain_minhash_index)."
+            " a broadcast sketch would not fit. Pass index_path= (a"
+            " build_minhash_index table over the static side's keys,"
+            " text_col=id_col=<right key column>, same"
+            " num_hashes/bands/shingle_n) to switch to the"
+            " stream-static banded equi-join fallback; the index can"
+            " be stream-maintained via stream_maintain_minhash_index."
         )
     rkeys = sorted(r[0] for r in rkeys_df.collect())
     rsk = simhash_sketch_np(rkeys)

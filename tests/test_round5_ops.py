@@ -197,3 +197,82 @@ def test_o7_empty_input_skips_index_checkpoints(spark, monkeypatch):
     left2 = spark.createDataFrame([(1, "a")], ["lid", "name"])
     matcher.fuzzy_match_dfs(left2, right, maps).count()
     assert sorted(calls) == sorted([matcher.LEFT_INDEX, matcher.RIGHT_INDEX])
+
+
+def test_stream_fuzzy_enrich_banded_fallback_matches_batch(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r4 #8: past BROADCAST_KEY_LIMIT with an index_path the
+    enrich switches to the stream-static banded equi-join (no collect,
+    no broadcast) — batch and stream formulations must agree row for
+    row; without an index the guard still raises."""
+    from pl_fuzzy_frame_match_spark import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from pl_fuzzy_frame_match_spark.streaming import stream_ops
+
+    monkeypatch.setattr(
+        "pl_fuzzy_frame_match_spark.operators.candidates"
+        ".BROADCAST_KEY_LIMIT",
+        5,
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "Apple Incorporated Company"),
+            (2, "Microsoft Corporation Group"),
+            (3, "zzz totally unrelated qqq"),
+            (4, None),
+        ],
+        ["id", "company"],
+    )
+    rights = [
+        ("Apple Incorporated Compan",),
+        ("Microsoft Corporation Groups",),
+        ("Oracle Systems Incorporated",),
+        ("Amazon Web Services Inc",),
+        ("Alphabet Google LLC Holdings",),
+        ("Meta Platforms Incorporated",),
+        ("Netflix Streaming Services",),
+        ("Tesla Motors Incorporated",),
+    ]
+    right = spark.createDataFrame(rights, ["name"])
+    mapping = FuzzyMapping(
+        "company", "name", threshold_score=80.0, fuzzy_type="jaro_winkler"
+    )
+    # guard intact for the no-index case
+    with pytest.raises(ValueError, match="BROADCAST_KEY_LIMIT"):
+        stream_ops.stream_fuzzy_enrich(batch, right, mapping)
+
+    idx = str(tmp_path / "key_index")
+    build_minhash_index(
+        right, "name", "name", idx, num_hashes=16, bands=16, shingle_n=1
+    )
+    kw = dict(index_path=idx, num_hashes=16, bands=16, shingle_n=1)
+
+    out_b = stream_ops.stream_fuzzy_enrich(batch, right, mapping, **kw)
+    expect = {
+        r["id"]: (r["name_matched"], r[mapping.output_column_name])
+        for r in out_b.collect()
+    }
+    assert expect[1][0] == "Apple Incorporated Compan"
+    assert expect[2][0] == "Microsoft Corporation Groups"
+    assert expect[3][0] is None and expect[4][0] is None
+
+    src = str(tmp_path / "enrich_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out_s = stream_ops.stream_fuzzy_enrich(stream, right, mapping, **kw)
+    assert out_s.isStreaming
+    q = (
+        out_s.writeStream.format("memory")
+        .queryName("banded_enrich_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: (r["name_matched"], r[mapping.output_column_name])
+        for r in spark.sql("select * from banded_enrich_sink").collect()
+    }
+    assert got == expect
