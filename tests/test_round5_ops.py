@@ -276,3 +276,55 @@ def test_stream_fuzzy_enrich_banded_fallback_matches_batch(
         for r in spark.sql("select * from banded_enrich_sink").collect()
     }
     assert got == expect
+
+
+def test_banded_tier_plan_shape(spark, monkeypatch):
+    """VERDICT r4 #9 (stretch): the O9-INELIGIBLE scale path — edit
+    cap >= 2, pair volume past SKETCH_SCAN_CAP — must route to the
+    MinHash banded bucket join: hash equi-joins only (no cartesian, no
+    nested loop), per-key output bounded by top_n. Caps are
+    monkeypatched down so a test-size shape exercises the REAL tier
+    selection in approx_scored_pairs."""
+    from pl_fuzzy_frame_match_spark import FuzzyMapping, fuzzy_match_dfs
+    from pl_fuzzy_frame_match_spark.operators import candidates
+    from pl_fuzzy_frame_match_spark.plans.audit import audit
+
+    monkeypatch.setattr(candidates, "ANN_CATALYST_CAP", 1e4)
+    monkeypatch.setattr(candidates, "SKETCH_SCAN_CAP", 1e5)
+
+    cust = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).select("c_custkey", "c_name")
+    reps = spark.range(7).select(F.col("id").alias("__r"))
+    left = cust.crossJoin(F.broadcast(reps)).select(
+        "c_custkey",
+        F.concat_ws(" ", "c_name", F.col("__r").cast("string")).alias(
+            "name"
+        ),
+    )
+    right = cust.select(
+        F.col("c_custkey").alias("r_key"),
+        F.concat_ws(" ", "c_name", F.lit("3")).alias("rname"),
+    )
+    # threshold 80 on ~20-char keys -> edit cap ~4: O9-ineligible
+    out = fuzzy_match_dfs(
+        left,
+        right,
+        [FuzzyMapping("name", "rname", threshold_score=80.0)],
+        use_appr_nearest_neighbor=True,
+    )
+    a = audit(out)
+    assert a.cartesian_products == 0, a.plan
+    assert a.nested_loop_joins == 0, a.plan
+    # the band-bucket join is a hash join
+    assert a.broadcast_hash_joins + a.sort_merge_joins >= 1, a.plan
+    n = out.count()
+    assert n > 0
+    # per-left-key candidate budget honored (top_n default)
+    per_key = (
+        out.groupBy("name").count().agg(F.max("count")).collect()[0][0]
+    )
+    from pl_fuzzy_frame_match_spark.operators.candidates import (
+        DEFAULT_TOP_N,
+    )
+    assert per_key <= DEFAULT_TOP_N
