@@ -94,6 +94,15 @@ def _verify_exact_jaccard(
     )
     if 0 < n_docs <= BROADCAST_DOC_LIMIT:
         lsh, rsh = F.broadcast(lsh), F.broadcast(rsh)
+        # with both sides broadcast the verify is map-only over cand —
+        # but AQE coalesces the candidate join output to a handful of
+        # partitions (measured 1 at bench scale), serializing the
+        # per-pair array_intersect. Candidates are 2-long rows, so the
+        # redistribution is far cheaper than the compute it unlocks
+        # (0.96 s -> 0.31 s on 106K pairs).
+        cand = cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism
+        )
     inter = F.size(F.array_intersect(F.col("__lsh"), F.col("__rsh")))
     union = F.size("__lsh") + F.size("__rsh") - inter
     return (
@@ -266,13 +275,16 @@ def minhash_dedup_pairs(
         .filter(F.size("__sh") > 0)
         .localCheckpoint(eager=True)
     )
+    # hashed is a cheap map over the CHECKPOINTED shingled frame — no
+    # checkpoint of its own (each verify-side broadcast build re-maps
+    # from blocks); row count equals shingled's (1:1 projection)
     hashed = shingled.select(
         F.col(id_col),
         F.array_sort(
             F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
         ).alias("__shh"),
-    ).localCheckpoint(eager=True)
-    n_docs = hashed.count()
+    )
+    n_docs = shingled.count()
     banded = (
         banded_buckets(shingled, [id_col], F.col("__sh"), num_hashes, bands)
         .select(id_col, "band", "band_key")
@@ -945,6 +957,9 @@ def semantic_dedup_pairs(
     on — so a pair landing within float ulps of the threshold cannot
     be admitted by one engine and rejected by the other (ADVICE r4).
     """
+    _sq = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, x: acc + x * x
+    )
     assigned = semantic_cluster_assign(
         df, vec_col, id_col, n_clusters
     ).select(
@@ -953,6 +968,14 @@ def semantic_dedup_pairs(
             "__e"
         ),
         "cluster",
+    ).withColumn(
+        # norm per ROW, before the join: the HOF folds evaluate
+        # interpreted (outside codegen), so folding sqrt(sum sq) once
+        # per row instead of twice per PAIR cuts the join-side work to
+        # the single dot fold — identical float ops/values, the pair
+        # expression still divides dot by (na * nb)
+        "__norm",
+        F.sqrt(_sq(F.col("__e"))),
     )
     # both join sides AND the size count read this frame: checkpoint
     # once (eager) instead of recomputing the GEMM assignment 3x; the
@@ -969,10 +992,7 @@ def semantic_dedup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.col(c), F.lit(0.0), lambda acc, x: acc + x * x
-    )
-    cos = dot / (F.sqrt(sq("__ea")) * F.sqrt(sq("__eb")))
+    cos = dot / (F.col("__na") * F.col("__nb"))
     if splits:
         smap = F.create_map(
             *[F.lit(x) for kv in splits.items() for x in kv]
@@ -981,6 +1001,7 @@ def semantic_dedup_pairs(
         a = assigned.select(
             F.col(id_col).alias("left_id"),
             F.col("__e").alias("__ea"),
+            F.col("__norm").alias("__na"),
             "cluster",
             F.pmod(F.xxhash64(F.col(id_col)), n_salt).cast("int").alias(
                 "__salt"
@@ -989,6 +1010,7 @@ def semantic_dedup_pairs(
         b = assigned.select(
             F.col(id_col).alias("right_id"),
             F.col("__e").alias("__eb"),
+            F.col("__norm").alias("__nb"),
             "cluster",
             F.explode(
                 F.sequence(F.lit(0), n_salt.cast("int") - F.lit(1))
@@ -999,11 +1021,13 @@ def semantic_dedup_pairs(
         a = assigned.select(
             F.col(id_col).alias("left_id"),
             F.col("__e").alias("__ea"),
+            F.col("__norm").alias("__na"),
             "cluster",
         )
         b = assigned.select(
             F.col(id_col).alias("right_id"),
             F.col("__e").alias("__eb"),
+            F.col("__norm").alias("__nb"),
             "cluster",
         )
         joined = a.join(b, on="cluster")
