@@ -64,6 +64,8 @@ def main() -> None:
         "dedup_semantic",
         "dedup_semantic_keep",
         "multimodal_formats",
+        "docs_lm_perplexity",
+        "docs_source_mixture",
     ):
         if extra in registry:
             names.append(extra)
