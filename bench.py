@@ -66,6 +66,7 @@ def main() -> None:
         "multimodal_formats",
         "docs_lm_perplexity",
         "docs_source_mixture",
+        "multimodal_png_pixels",
     ):
         if extra in registry:
             names.append(extra)

@@ -2,14 +2,16 @@
 metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schema, partitioning, UDF signature, batch
-shape) is real and tested. Media decoding probes for its optional
-dependency at execution time: ``decode_image`` uses Pillow when
-importable (null-metadata rows for undecodable payloads — a corrupt
-image must never kill a 100 TB stage) and otherwise raises
-``NotImplementedError`` unless ``fake=True``, in which case it derives
-deterministic pseudo-metadata from the bytes so the pipeline shape can
-be exercised end-to-end without the library. ffmpeg-backed frame
-sampling and model-backed feature extraction remain honest stubs.
+shape) is real and tested. PNG pixel decoding is REAL and
+dependency-free (:func:`png_decode_pixels` — stdlib zlib inflate +
+per-scanline unfiltering in numpy); ``decode_image`` uses it natively
+and falls back to Pillow for other formats when importable
+(null-metadata rows for undecodable payloads — a corrupt image must
+never kill a 100 TB stage), raising ``NotImplementedError`` only for
+non-PNG payloads without the library (``fake=True`` substitutes
+deterministic pseudo-metadata so the pipeline shape can be exercised
+regardless). ffmpeg-backed frame sampling and model-backed feature
+extraction remain honest stubs.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
@@ -83,12 +86,14 @@ def decode_image(
     (Arrow batches, one Python worker per partition — the production
     shape for CPU-bound media decode on a Spark cluster).
 
-    Real path: when Pillow is importable (:func:`pil_available`),
-    ``fake=False`` decodes each payload with ``PIL.Image.open`` and
-    emits (width, height, channels); payloads Pillow cannot parse emit
-    NULL dimensions instead of failing the job — at 100 TB a corrupt
-    image must never kill a stage. When Pillow is absent, ``fake=False``
-    raises ``NotImplementedError`` at execution time (honest stub) and
+    Real path: PNG payloads decode NATIVELY via
+    :func:`png_decode_pixels` (stdlib zlib + numpy, full pixel
+    reconstruction) regardless of Pillow. Other formats use
+    ``PIL.Image.open`` when importable (:func:`pil_available`);
+    payloads Pillow cannot parse emit NULL dimensions instead of
+    failing the job — at 100 TB a corrupt image must never kill a
+    stage. A non-PNG payload with Pillow absent raises
+    ``NotImplementedError`` at execution time (honest failure);
     ``fake=True`` substitutes :func:`_fake_decode` so tests exercise
     the full Spark plumbing either way.
     """
@@ -103,11 +108,6 @@ def decode_image(
             except Exception:
                 pass
         for pdf in batches:
-            if not fake and not use_pil:
-                raise NotImplementedError(
-                    "image decoding requires PIL/libvips — not available in "
-                    "this environment; pass fake=True for the deterministic stub"
-                )
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
@@ -115,6 +115,23 @@ def decode_image(
                     w, h, c = _fake_decode(data)
                     rows.append((rid, len(data), w, h, c))
                     continue
+                # PNG decodes NATIVELY (stdlib zlib + numpy, real pixel
+                # reconstruction) — no Pillow needed for the format the
+                # synth corpus and golden tests use; other formats fall
+                # through to Pillow below
+                dec = png_decode_pixels(data)
+                if dec is not None:
+                    ph, pw, pc, _ = dec
+                    rows.append((rid, len(data), pw, ph, pc))
+                    continue
+                if not use_pil:
+                    # non-PNG without Pillow: the decoder genuinely
+                    # cannot run — honest failure, not silent nulls
+                    raise NotImplementedError(
+                        "non-PNG image decoding requires PIL/libvips —"
+                        " not available in this environment; PNG decodes"
+                        " natively, or pass fake=True for the stub"
+                    )
                 try:
                     import io
 
@@ -270,6 +287,299 @@ def resize_meta(
             "pad_y", ((F.lit(target_h) - F.col("out_h")) / 2).cast("int")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python PNG pixel codec (stdlib zlib + numpy — no Pillow).
+# Closes the "pixel decode is environment-limited" gap: REAL pixel
+# reconstruction (zlib inflate + per-scanline unfiltering, filters
+# 0-4, color types 0/2/3/4/6 at bit depth 8) with nothing beyond the
+# standard library. Cites: PNG spec (RFC 2083 / ISO 15948) filter
+# algorithms; reference repo has no media surface (multimodal ops are
+# this engine's training-pipeline extension).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode_pixels(data: bytes):
+    """Decode a (non-interlaced, bit-depth-8) PNG into
+    ``(height, width, channels, uint8 ndarray[h, w, channels])`` using
+    only stdlib zlib + numpy. Palette images (color type 3) expand
+    through their PLTE to RGB. Returns None for anything that is not a
+    PNG this codec covers (a corrupt image must never kill a stage —
+    callers emit null metadata instead)."""
+    import zlib
+
+    import numpy as np
+
+    if not isinstance(data, (bytes, bytearray)) or not bytes(
+        data[:8]
+    ) == _PNG_SIG:
+        return None
+    data = bytes(data)
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bitdepth, colortype, comp, filt, interlace = ihdr[8:13]
+    nch = _PNG_CHANNELS.get(colortype)
+    if (
+        bitdepth != 8
+        or nch is None
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or w <= 0
+        or h <= 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    at = 0
+    for y in range(h):
+        f = raw[at]
+        at += 1
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=at
+        ).copy()
+        at += stride
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up (vectorized; uint8 wraps mod 256 by design)
+            cur = line + prev
+        elif f == 1:  # Sub (sequential in x)
+            cur = line
+            for x in range(nch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - nch])) & 0xFF
+        elif f == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - nch]) if x >= nch else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                cur[x] = (int(line[x]) + _paeth(a, b, c)) & 0xFF
+        else:
+            return None
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if colortype == 3:
+        if plte is None or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(px.max()) >= pal.shape[0]:
+            return None
+        px = pal[px[:, :, 0]]
+        nch = 3
+    return h, w, nch, px
+
+
+def png_encode_pixels(px, colortype: int, row_filters=None) -> bytes:
+    """Encode a uint8 ndarray[h, w, channels] as a PNG (bit depth 8,
+    no interlace), applying the given PNG filter type per scanline
+    (default 0). The encode-side filter is the exact inverse of
+    :func:`png_decode_pixels`'s unfilter, so round-trips are
+    bit-exact — used by the synth corpus and the golden tests to prove
+    the decoder handles every filter type."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, nch = px.shape
+    assert _PNG_CHANNELS.get(colortype) == nch and colortype != 3
+    flat = px.reshape(h, w * nch).astype(np.int32)
+    stride = w * nch
+    lines = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(row_filters[y]) if row_filters is not None else 0
+        cur = flat[y]
+        left = np.concatenate([np.zeros(nch, dtype=np.int32), cur[:-nch]])
+        upleft = np.concatenate([np.zeros(nch, dtype=np.int32), prev[:-nch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif f == 4:
+            pred = np.array(
+                [
+                    _paeth(int(left[x]), int(prev[x]), int(upleft[x]))
+                    for x in range(stride)
+                ],
+                dtype=np.int32,
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad filter {f}")
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+PNG_PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("sum_px", LongType()),
+        StructField("min_px", IntegerType()),
+        StructField("max_px", IntegerType()),
+    ]
+)
+
+
+def png_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL pixel-level statistics over PNG payloads — full zlib
+    inflate + unfilter per image, no imaging library. Arrow-batched
+    mapInPandas, one worker per partition (the production shape for
+    CPU-bound media decode); undecodable payloads emit null stats and
+    the row survives. The worker emits INTEGERS only (exact sum, min,
+    max — no float accumulation); the mean rounds in Catalyst, whose
+    HALF_UP matches the SQL oracle (Python's round() is banker's and
+    would flip exact .5e-7 ties like s/128)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = png_decode_pixels(bytes(payload))
+                if dec is None:
+                    rows.append(
+                        (rid, None, None, None, None, None, None, None)
+                    )
+                    continue
+                h, w, nch, px = dec
+                n = int(px.size)
+                s = int(px.astype("int64").sum())
+                rows.append(
+                    (rid, w, h, nch, n, s, int(px.min()), int(px.max()))
+                )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in PNG_PIXEL_STATS_SCHEMA.fields]
+        )
+
+    raw = df.select(id_col, payload_col).mapInPandas(
+        stats, schema=PNG_PIXEL_STATS_SCHEMA
+    )
+    return raw.select(
+        id_col,
+        "width",
+        "height",
+        "channels",
+        "n_px",
+        "sum_px",
+        F.round(F.col("sum_px") / F.col("n_px"), 6).alias("mean_px"),
+        "min_px",
+        "max_px",
+    )
+
+
+def synthesize_png_corpus(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Attach a deterministic real-PNG payload per row: geometry,
+    color type, per-scanline filter and every pixel value are pure
+    functions of the id (pixel (y, x, c) = (id*7 + y*13 + x*3 + c*29)
+    mod 256; filter (id + y) mod 5 — every PNG filter type appears in
+    the corpus). Because the pattern is closed-form, a SQL oracle can
+    recompute the exact pixel statistics WITHOUT decoding — the
+    encode -> inflate -> unfilter -> stats path is value-checked end
+    to end."""
+    import numpy as np
+
+    out_fields = list(df.schema.fields) + [
+        StructField(payload_col, BinaryType())
+    ]
+    out_schema = StructType(out_fields)
+    cols = [f.name for f in df.schema.fields]
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                d = int(rid)
+                w, h = 4 + d % 5, 3 + d % 4
+                colortype = (0, 2, 6)[d % 3]
+                nch = _PNG_CHANNELS[colortype]
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(nch), indexing="ij"
+                )
+                px = ((d * 7 + y * 13 + x * 3 + c * 29) % 256).astype(
+                    "uint8"
+                )
+                filters = [(d + yy) % 5 for yy in range(h)]
+                payloads.append(
+                    png_encode_pixels(px, colortype, filters)
+                )
+            out = pdf.copy()
+            out[payload_col] = payloads
+            yield out
+
+    return df.mapInPandas(synth, out_schema)
 
 
 def png_dimensions(payload: "F.Column"):

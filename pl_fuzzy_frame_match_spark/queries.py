@@ -4648,6 +4648,53 @@ def docs_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_png_pixels",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 4 + 3 AS h,
+                      CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                           ELSE 4 END AS nch
+               FROM documents WHERE doc_id IS NOT NULL),
+    px AS (SELECT doc_id, w, h, nch,
+             flatten(flatten(
+               list_transform(range(0, h), y ->
+                 list_transform(range(0, w), x ->
+                   list_transform(range(0, nch), c ->
+                     (doc_id * 7 + y * 13 + x * 3 + c * 29) % 256)))))
+               AS vals
+           FROM d)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(nch AS INT) AS channels,
+           CAST(len(vals) AS BIGINT) AS n_px,
+           CAST(list_sum(vals) AS BIGINT) AS sum_px,
+           round(CAST(list_sum(vals) AS DOUBLE) / len(vals), 6) AS mean_px,
+           CAST(list_min(vals) AS INT) AS min_px,
+           CAST(list_max(vals) AS INT) AS max_px
+    FROM px
+    """,
+)
+def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, value-checked end to end WITHOUT an imaging
+    library: every document gets a deterministic synthesized PNG
+    (geometry, color type, per-scanline FILTER TYPE and every pixel
+    value are closed-form functions of doc_id — all five PNG filters
+    appear), the engine zlib-inflates and unfilters it back to pixels
+    (`operators/multimodal.py::png_decode_pixels`), and the emitted
+    integer pixel statistics must equal what the SQL oracle computes
+    straight from the closed form — any byte the codec mis-decodes
+    flips an exact integer sum. Arrow-batched mapInPandas both ways
+    (encode, decode), no shuffle, parallelism = input partitions."""
+    from .operators.multimodal import (
+        png_pixel_stats,
+        synthesize_png_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    ).select("doc_id")
+    return png_pixel_stats(synthesize_png_corpus(docs))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

@@ -328,3 +328,99 @@ def test_banded_tier_plan_shape(spark, monkeypatch):
         DEFAULT_TOP_N,
     )
     assert per_key <= DEFAULT_TOP_N
+
+
+def test_png_codec_roundtrip_all_filters_and_types():
+    """Pure-Python PNG codec goldens: encode with every filter type
+    and color type, decode back to bit-exact pixels — no Pillow."""
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        png_decode_pixels,
+        png_encode_pixels,
+    )
+
+    rng = [(5, 4, 3, 2), (7, 6, 1, 0), (3, 2, 4, 6), (1, 1, 1, 0),
+           (2, 9, 3, 2)]
+    for h, w, nch, ct in rng:
+        px = (
+            (np.arange(h * w * nch, dtype=np.int64) * 37 + 11) % 256
+        ).astype(np.uint8).reshape(h, w, nch)
+        for filters in (None, [0] * h, [1] * h, [2] * h, [3] * h,
+                        [4] * h, [(i * 3 + 1) % 5 for i in range(h)]):
+            data = png_encode_pixels(px, ct, filters)
+            dec = png_decode_pixels(data)
+            assert dec is not None, (h, w, nch, ct, filters)
+            dh, dw, dc, out = dec
+            assert (dh, dw, dc) == (h, w, nch)
+            assert (out == px).all(), (ct, filters)
+
+
+def test_png_decode_palette_and_garbage():
+    """Palette (color type 3) expands through PLTE to RGB; corrupt or
+    non-PNG payloads return None (row survives with null stats)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        _PNG_SIG,
+        png_decode_pixels,
+    )
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    # 2x2 palette image: indices [[0,1],[1,0]], 2-entry palette
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    raw = bytes([0, 0, 1, 0, 1, 0])  # filter 0 + indices per row
+    data = (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    h, w, c, px = png_decode_pixels(data)
+    assert (h, w, c) == (2, 2, 3)
+    assert (px == np.array(
+        [[[255, 0, 0], [0, 0, 255]], [[0, 0, 255], [255, 0, 0]]],
+        dtype=np.uint8,
+    )).all()
+
+    assert png_decode_pixels(b"") is None
+    assert png_decode_pixels(b"GIF89a\x01\x00") is None
+    assert png_decode_pixels(data[:40]) is None  # truncated
+    # interlaced flag -> unsupported -> None, never an exception
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 1)
+    bad = (
+        _PNG_SIG + chunk(b"IHDR", bad_ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert png_decode_pixels(bad) is None
+
+
+def test_decode_image_png_native_without_pil(spark):
+    """decode_image handles PNG payloads with NO imaging library —
+    the r4 'pixel decode is environment-limited' gap is closed for
+    the one format the engine can fully own with the stdlib."""
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        decode_image,
+        png_encode_pixels,
+    )
+
+    px = (np.arange(6 * 5 * 3) % 256).astype(np.uint8).reshape(6, 5, 3)
+    rows = [
+        (1, bytearray(png_encode_pixels(px, 2, [0, 1, 2, 3, 4, 0]))),
+        (2, bytearray(png_encode_pixels(px[:2, :, :1], 0, None))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["channels"])
+        for r in decode_image(df, fake=False).collect()
+    }
+    assert got == {1: (5, 6, 3), 2: (5, 2, 1)}
