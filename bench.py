@@ -67,6 +67,7 @@ def main() -> None:
         "docs_lm_perplexity",
         "docs_source_mixture",
         "multimodal_png_pixels",
+        "multimodal_wav_samples",
     ):
         if extra in registry:
             names.append(extra)

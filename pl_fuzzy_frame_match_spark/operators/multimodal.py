@@ -830,3 +830,169 @@ def jpeg_exif_orientation(df: DataFrame, payload_col: str = "payload") -> DataFr
             yield pdf
 
     return df.mapInPandas(scan, schema)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python WAV (RIFF PCM16) codec — the audio analogue of the PNG
+# codec above: real sample decoding with nothing beyond the stdlib.
+# ---------------------------------------------------------------------------
+
+
+def wav_encode_pcm16(samples, sample_rate: int) -> bytes:
+    """Encode int16 ndarray[frames, channels] as a canonical RIFF/WAVE
+    PCM16 file (little-endian interleaved)."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype="<i2")
+    n_frames, ch = samples.shape
+    data = samples.tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode_samples(data: bytes):
+    """Decode a RIFF/WAVE PCM16 payload into
+    ``(sample_rate, channels, n_frames, int16 ndarray[frames, ch])``
+    with stdlib struct + numpy. Returns None for non-WAV / compressed
+    / non-16-bit payloads (corrupt audio must never kill a stage)."""
+    import struct
+
+    import numpy as np
+
+    if (
+        not isinstance(data, (bytes, bytearray))
+        or len(data) < 12
+        or bytes(data[:4]) != b"RIFF"
+        or bytes(data[8:12]) != b"WAVE"
+    ):
+        return None
+    data = bytes(data)
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        typ = data[pos : pos + 4]
+        ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if typ == b"fmt ":
+            fmt = chunk
+        elif typ == b"data":
+            pcm = chunk
+        pos += 8 + ln + (ln & 1)  # chunks are 2-byte aligned
+    if fmt is None or pcm is None or len(fmt) < 16:
+        return None
+    audio_fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits != 16 or ch < 1:
+        return None
+    n = len(pcm) // (2 * ch)
+    if n == 0:
+        return None
+    arr = np.frombuffer(pcm, dtype="<i2", count=n * ch).reshape(n, ch)
+    return int(rate), int(ch), int(n), arr
+
+
+WAV_SAMPLE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_s", LongType()),
+        StructField("min_s", IntegerType()),
+        StructField("max_s", IntegerType()),
+    ]
+)
+
+
+def wav_sample_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL PCM sample statistics over WAV payloads (full sample
+    reconstruction, stdlib-only). Integer sum/min/max are exact; the
+    mean rounds in Catalyst (HALF_UP — matches the SQL oracle, unlike
+    Python's banker's round). Undecodable payloads emit null stats."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = wav_decode_samples(bytes(payload))
+                if dec is None:
+                    rows.append((rid, None, None, None, None, None, None))
+                    continue
+                rate, ch, n, arr = dec
+                rows.append(
+                    (
+                        rid,
+                        rate,
+                        ch,
+                        n,
+                        int(arr.astype("int64").sum()),
+                        int(arr.min()),
+                        int(arr.max()),
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in WAV_SAMPLE_STATS_SCHEMA.fields]
+        )
+
+    raw = df.select(id_col, payload_col).mapInPandas(
+        stats, schema=WAV_SAMPLE_STATS_SCHEMA
+    )
+    return raw.select(
+        id_col,
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "sum_s",
+        F.round(
+            F.col("sum_s") / (F.col("n_frames") * F.col("channels")), 6
+        ).alias("mean_s"),
+        "min_s",
+        "max_s",
+    )
+
+
+def synthesize_wav_corpus(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Attach a deterministic real-WAV payload per row: sample rate,
+    channel count, frame count and every PCM sample are closed-form in
+    the id (sample(i, c) = ((id*31 + i*17 + c*101) mod 4001) - 2000),
+    so a SQL oracle recomputes exact sample statistics without
+    decoding — value-checking the RIFF walk + PCM reconstruction end
+    to end."""
+    import numpy as np
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(payload_col, BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                d = int(rid)
+                rate = 8000 + (d % 3) * 4000
+                ch = 1 + d % 2
+                nf = 16 + d % 16
+                i, c = np.meshgrid(
+                    np.arange(nf), np.arange(ch), indexing="ij"
+                )
+                arr = ((d * 31 + i * 17 + c * 101) % 4001 - 2000).astype(
+                    "<i2"
+                )
+                payloads.append(wav_encode_pcm16(arr, rate))
+            out = pdf.copy()
+            out[payload_col] = payloads
+            yield out
+
+    return df.mapInPandas(synth, out_schema)

@@ -4695,6 +4695,49 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_pixel_stats(synthesize_png_corpus(docs))
 
 
+@register(
+    "multimodal_wav_samples",
+    """
+    WITH d AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate,
+                      1 + doc_id % 2 AS ch, 16 + doc_id % 16 AS nf
+               FROM documents WHERE doc_id IS NOT NULL),
+    s AS (SELECT doc_id, rate, ch, nf,
+            flatten(list_transform(range(0, nf), i ->
+              list_transform(range(0, ch), c ->
+                ((doc_id * 31 + i * 17 + c * 101) % 4001) - 2000))) AS v
+          FROM d)
+    SELECT doc_id, CAST(rate AS INT) AS sample_rate,
+           CAST(ch AS INT) AS channels,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(list_sum(v) AS BIGINT) AS sum_s,
+           round(CAST(list_sum(v) AS DOUBLE) / len(v), 6) AS mean_s,
+           CAST(list_min(v) AS INT) AS min_s,
+           CAST(list_max(v) AS INT) AS max_s
+    FROM s
+    """,
+)
+def multimodal_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-checked end to end without an audio
+    library: every document gets a deterministic synthesized RIFF/WAVE
+    PCM16 payload (rate, channels, frame count and every sample are
+    closed-form in doc_id), the engine walks the RIFF chunks and
+    reconstructs the interleaved int16 samples
+    (`operators/multimodal.py::wav_decode_samples`), and the emitted
+    exact integer sample statistics must equal the SQL oracle's
+    closed-form recomputation — the audio analogue of
+    `multimodal_png_pixels`. Arrow-batched mapInPandas both ways, no
+    shuffle."""
+    from .operators.multimodal import (
+        synthesize_wav_corpus,
+        wav_sample_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    ).select("doc_id")
+    return wav_sample_stats(synthesize_wav_corpus(docs))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

@@ -1048,6 +1048,9 @@ _NL_ALLOWED_PREFIXES = ("fuzzy_join_", "kernel_")
 _NL_ALLOWED = {
     "text_bigram_pmi", "events_active_users", "events_funnel",
     "tpch_q11_shape", "tpch_q22_shape",
+    # 1-row broadcast scalar-total cross joins (LM normalizer /
+    # mixture totals) — BNLJ over exactly one broadcast row, bounded
+    "docs_lm_perplexity", "docs_source_mixture",
 }
 
 

@@ -424,3 +424,44 @@ def test_decode_image_png_native_without_pil(spark):
         for r in decode_image(df, fake=False).collect()
     }
     assert got == {1: (5, 6, 3), 2: (5, 2, 1)}
+
+
+def test_wav_codec_roundtrip_and_garbage():
+    """WAV PCM16 codec goldens: bit-exact sample round-trip across
+    rates/channel counts; odd-length chunk alignment honored; non-WAV
+    and compressed payloads return None."""
+    import struct
+
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        wav_decode_samples,
+        wav_encode_pcm16,
+    )
+
+    for nf, ch, rate in [(1, 1, 8000), (20, 2, 16000), (33, 1, 44100)]:
+        arr = (
+            (np.arange(nf * ch, dtype=np.int64) * 997 + 13) % 4001 - 2000
+        ).astype("<i2").reshape(nf, ch)
+        r, c, n, out = wav_decode_samples(wav_encode_pcm16(arr, rate))
+        assert (r, c, n) == (rate, ch, nf)
+        assert (out == arr).all()
+
+    assert wav_decode_samples(b"") is None
+    assert wav_decode_samples(b"RIFFxxxxWAVE") is None
+    # a float-format (non-PCM) wav must be rejected, not misread
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    bad = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert wav_decode_samples(bad) is None
+    # an extra odd-length chunk before data must not break the walk
+    arr = np.array([[100], [-100]], dtype="<i2")
+    good = wav_encode_pcm16(arr, 8000)
+    # splice a 3-byte LIST chunk after WAVE
+    spliced = (good[:12] + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+               + good[12:])
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8) + spliced[8:]
+    r, c, n, out = wav_decode_samples(spliced)
+    assert (r, c, n) == (8000, 1, 2) and (out == arr).all()
