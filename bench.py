@@ -68,6 +68,7 @@ def main() -> None:
         "docs_source_mixture",
         "multimodal_png_pixels",
         "multimodal_wav_samples",
+        "multimodal_gif_pixels",
     ):
         if extra in registry:
             names.append(extra)

@@ -2,16 +2,17 @@
 metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schema, partitioning, UDF signature, batch
-shape) is real and tested. PNG pixel decoding is REAL and
-dependency-free (:func:`png_decode_pixels` — stdlib zlib inflate +
-per-scanline unfiltering in numpy); ``decode_image`` uses it natively
+shape) is real and tested. PNG pixel decoding (stdlib zlib inflate +
+per-scanline unfiltering), GIF frame decoding (pure-Python LZW +
+palette expansion) and WAV PCM16 sample decoding (RIFF walk) are REAL
+and dependency-free; ``decode_image`` uses the raster codecs natively
 and falls back to Pillow for other formats when importable
 (null-metadata rows for undecodable payloads — a corrupt image must
 never kill a 100 TB stage), raising ``NotImplementedError`` only for
-non-PNG payloads without the library (``fake=True`` substitutes
+other formats without the library (``fake=True`` substitutes
 deterministic pseudo-metadata so the pipeline shape can be exercised
-regardless). ffmpeg-backed frame sampling and model-backed feature
-extraction remain honest stubs.
+regardless). ffmpeg-backed video frame sampling and model-backed
+feature extraction remain honest stubs.
 """
 
 from __future__ import annotations
@@ -119,7 +120,7 @@ def decode_image(
                 # reconstruction) — no Pillow needed for the format the
                 # synth corpus and golden tests use; other formats fall
                 # through to Pillow below
-                dec = png_decode_pixels(data)
+                dec = png_decode_pixels(data) or gif_decode_pixels(data)
                 if dec is not None:
                     ph, pw, pc, _ = dec
                     rows.append((rid, len(data), pw, ph, pc))
@@ -128,9 +129,10 @@ def decode_image(
                     # non-PNG without Pillow: the decoder genuinely
                     # cannot run — honest failure, not silent nulls
                     raise NotImplementedError(
-                        "non-PNG image decoding requires PIL/libvips —"
-                        " not available in this environment; PNG decodes"
-                        " natively, or pass fake=True for the stub"
+                        "non-PNG/GIF image decoding requires PIL/libvips"
+                        " — not available in this environment; PNG and"
+                        " GIF decode natively, or pass fake=True for"
+                        " the stub"
                     )
                 try:
                     import io
@@ -493,8 +495,8 @@ PNG_PIXEL_STATS_SCHEMA = StructType(
 def png_pixel_stats(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """REAL pixel-level statistics over PNG payloads — full zlib
-    inflate + unfilter per image, no imaging library. Arrow-batched
+    """REAL pixel-level statistics over PNG or GIF payloads — full
+    zlib/LZW inflate + reconstruction per image, no imaging library. Arrow-batched
     mapInPandas, one worker per partition (the production shape for
     CPU-bound media decode); undecodable payloads emit null stats and
     the row survives. The worker emits INTEGERS only (exact sum, min,
@@ -506,7 +508,8 @@ def png_pixel_stats(
         rows = []
         for pdf in batches:
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                dec = png_decode_pixels(bytes(payload))
+                b = bytes(payload)
+                dec = png_decode_pixels(b) or gif_decode_pixels(b)
                 if dec is None:
                     rows.append(
                         (rid, None, None, None, None, None, None, None)
@@ -991,6 +994,246 @@ def synthesize_wav_corpus(
                     "<i2"
                 )
                 payloads.append(wav_encode_pcm16(arr, rate))
+            out = pdf.copy()
+            out[payload_col] = payloads
+            yield out
+
+    return df.mapInPandas(synth, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python GIF codec (LZW decode/encode, stdlib only) — the
+# palette-raster sibling of the PNG codec: real pixel reconstruction
+# for GIF87a/89a, first frame, non-interlaced.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(min_code_size: int, data: bytes):
+    """GIF-flavor LZW: variable code width starting min+1, CLEAR
+    resets the table, EOI terminates. Returns list of index bytes or
+    None on a malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table = None
+    width = min_code_size + 1
+    prev = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if table is None:
+                return None
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Real LZW encoder (dictionary growth up to 12 bits, CLEAR on
+    overflow) — exercises the decoder's table-building path."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    cur = b""
+    for b in indices:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                width = min_code_size + 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_decode_pixels(data: bytes):
+    """Decode the FIRST frame of a non-interlaced GIF into
+    ``(height, width, 3, uint8 RGB ndarray)`` with a pure-Python LZW
+    inflater — no imaging library. Returns None for non-GIF,
+    interlaced, or malformed payloads."""
+    import numpy as np
+
+    if not isinstance(data, (bytes, bytearray)) or bytes(data[:6]) not in (
+        b"GIF87a",
+        b"GIF89a",
+    ):
+        return None
+    data = bytes(data)
+    if len(data) < 13:
+        return None
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = data[pos : pos + n]
+        pos += n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            return None
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            return None
+        # image descriptor
+        if pos + 10 > len(data):
+            return None
+        w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+        ipacked = data[pos + 9]
+        pos += 10
+        if ipacked & 0x40:  # interlaced: unsupported
+            return None
+        pal = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            pal = data[pos : pos + n]
+            pos += n
+        if pal is None or w <= 0 or h <= 0 or pos >= len(data):
+            return None
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(min_code, bytes(lzw))
+        if idx is None or len(idx) < w * h:
+            return None
+        arr = np.frombuffer(idx, dtype=np.uint8, count=w * h).reshape(h, w)
+        palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        if int(arr.max()) >= palette.shape[0]:
+            return None
+        return h, w, 3, palette[arr]
+    return None
+
+
+def gif_encode_pixels(indices, palette, loop_ext: bool = False) -> bytes:
+    """Encode an index matrix + RGB palette as a GIF89a (global color
+    table, one frame, real LZW). ``palette`` rows must be a power of
+    two >= 2."""
+    import numpy as np
+
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = indices.shape
+    psize = palette.shape[0]
+    assert psize >= 2 and (psize & (psize - 1)) == 0
+    depth = psize.bit_length() - 1  # log2
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1) & 0x07, 0, 0])
+    out += palette.tobytes()
+    if loop_ext:  # a skippable application extension (tests the walk)
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    out += b"\x2c" + b"\x00\x00\x00\x00"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    min_code = max(2, depth)
+    out += bytes([min_code])
+    lzw = _lzw_encode(min_code, indices.tobytes())
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def synthesize_gif_corpus(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Attach a deterministic real-GIF payload per row: geometry,
+    palette size, every palette entry and every index are closed-form
+    in the id (palette[i][c] = (i*37 + c*11 + id) mod 256, index(y, x)
+    = (id*3 + y*5 + x*7) mod psize) — so a SQL oracle recomputes exact
+    pixel statistics without running LZW. Every payload round-trips
+    through the real LZW encoder/decoder pair."""
+    import numpy as np
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(payload_col, BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                d = int(rid)
+                psize = (4, 8, 16)[d % 3]
+                w, h = 3 + d % 6, 2 + d % 5
+                i, c = np.meshgrid(
+                    np.arange(psize), np.arange(3), indexing="ij"
+                )
+                pal = ((i * 37 + c * 11 + d) % 256).astype(np.uint8)
+                y, x = np.meshgrid(
+                    np.arange(h), np.arange(w), indexing="ij"
+                )
+                idx = ((d * 3 + y * 5 + x * 7) % psize).astype(np.uint8)
+                payloads.append(
+                    gif_encode_pixels(idx, pal, loop_ext=bool(d % 2))
+                )
             out = pdf.copy()
             out[payload_col] = payloads
             yield out

@@ -4738,6 +4738,54 @@ def multimodal_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_sample_stats(synthesize_wav_corpus(docs))
 
 
+@register(
+    "multimodal_gif_pixels",
+    """
+    WITH d AS (SELECT doc_id,
+                      CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8
+                           ELSE 16 END AS psize,
+                      3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+               FROM documents WHERE doc_id IS NOT NULL),
+    px AS (SELECT doc_id, w, h,
+             flatten(flatten(
+               list_transform(range(0, h), y ->
+                 list_transform(range(0, w), x ->
+                   list_transform(range(0, 3), c ->
+                     (((doc_id * 3 + y * 5 + x * 7) % psize) * 37
+                      + c * 11 + doc_id) % 256))))) AS vals
+           FROM d)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(len(vals) AS BIGINT) AS n_px,
+           CAST(list_sum(vals) AS BIGINT) AS sum_px,
+           round(CAST(list_sum(vals) AS DOUBLE) / len(vals), 6) AS mean_px,
+           CAST(list_min(vals) AS INT) AS min_px,
+           CAST(list_max(vals) AS INT) AS max_px
+    FROM px
+    """,
+)
+def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (pure-Python LZW) value-checked end to end:
+    every document gets a deterministic synthesized GIF89a (palette,
+    geometry and every index closed-form in doc_id; odd ids carry a
+    skippable application extension so the block walk is exercised),
+    the engine LZW-inflates the first frame and expands it through the
+    color table (`operators/multimodal.py::gif_decode_pixels`), and
+    the exact integer pixel statistics must equal the SQL oracle's
+    closed-form recomputation — any mis-decoded index flips the sum.
+    Completes the raster trio: PNG (zlib+filters), GIF (LZW+palette)
+    decode natively; JPEG/WebP parse dimensions via pure Catalyst."""
+    from .operators.multimodal import (
+        png_pixel_stats,
+        synthesize_gif_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    ).select("doc_id")
+    return png_pixel_stats(synthesize_gif_corpus(docs))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

@@ -353,3 +353,57 @@ def test_fuzzy_match_random_equivalence(spark, left_vals, right_vals, th, metric
             if d <= rev:
                 want.add((i, j, round(1.0 - d, 9)))
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 8),
+    w=st.integers(1, 8),
+    ct=st.sampled_from([0, 2, 4, 6]),
+    seed=st.integers(0, 2**31 - 1),
+    filters=st.lists(st.integers(0, 4), min_size=8, max_size=8),
+)
+def test_png_codec_roundtrip_property(h, w, ct, seed, filters):
+    """Any uint8 image, any per-row PNG filter sequence: encode then
+    decode is the identity (pixels bit-exact, geometry preserved)."""
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        png_decode_pixels,
+        png_encode_pixels,
+    )
+
+    nch = _PNG_CHANNELS[ct]
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+    data = png_encode_pixels(px, ct, filters[:h])
+    dec = png_decode_pixels(data)
+    assert dec is not None
+    dh, dw, dc, out = dec
+    assert (dh, dw, dc) == (h, w, nch)
+    assert (out == px).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    nf=st.integers(1, 64),
+    ch=st.integers(1, 4),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_codec_roundtrip_property(nf, ch, rate, seed):
+    """Any int16 sample matrix: WAV encode then decode is the
+    identity (samples bit-exact, header fields preserved)."""
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        wav_decode_samples,
+        wav_encode_pcm16,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(-32768, 32768, size=(nf, ch)).astype("<i2")
+    r, c, n, out = wav_decode_samples(wav_encode_pcm16(arr, rate))
+    assert (r, c, n) == (rate, ch, nf)
+    assert (out == arr).all()

@@ -465,3 +465,67 @@ def test_wav_codec_roundtrip_and_garbage():
         "<I", len(spliced) - 8) + spliced[8:]
     r, c, n, out = wav_decode_samples(spliced)
     assert (r, c, n) == (8000, 1, 2) and (out == arr).all()
+
+
+def test_gif_codec_roundtrip_and_walk():
+    """GIF LZW codec goldens: bit-exact index round-trip across
+    palette sizes (dictionary growth through multiple code widths),
+    extension-block skipping, garbage rejection, interlace refusal."""
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        gif_decode_pixels,
+        gif_encode_pixels,
+    )
+
+    for psize in (2, 4, 16, 64, 256):
+        pal = (
+            (np.arange(psize * 3, dtype=np.int64) * 37 + 5) % 256
+        ).astype(np.uint8).reshape(psize, 3)
+        idx = (
+            (np.arange(29 * 17, dtype=np.int64) * 7 + 3) % psize
+        ).astype(np.uint8).reshape(29, 17)
+        for loop in (False, True):
+            h, w, c, px = gif_decode_pixels(
+                gif_encode_pixels(idx, pal, loop)
+            )
+            assert (h, w, c) == (29, 17, 3)
+            assert (px == pal[idx]).all()
+
+    assert gif_decode_pixels(b"") is None
+    assert gif_decode_pixels(b"GIF89a") is None
+    assert gif_decode_pixels(b"\x89PNG\r\n\x1a\n") is None
+    # interlace flag in the image descriptor -> refused, not garbled
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    data = bytearray(gif_encode_pixels(idx, pal))
+    desc = data.index(b"\x2c")
+    data[desc + 9] |= 0x40
+    assert gif_decode_pixels(bytes(data)) is None
+
+
+@pytest.mark.parametrize("fmt", ["png", "gif"])
+def test_decode_image_native_formats(spark, fmt):
+    """decode_image handles PNG and GIF natively (no Pillow)."""
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        decode_image,
+        gif_encode_pixels,
+        png_encode_pixels,
+    )
+
+    if fmt == "png":
+        px = (np.arange(4 * 3 * 3) % 256).astype(np.uint8).reshape(4, 3, 3)
+        payload = png_encode_pixels(px, 2, [0, 1, 2, 3])
+        want = (3, 4, 3)
+    else:
+        pal = (np.arange(8 * 3) % 256).astype(np.uint8).reshape(8, 3)
+        idx = (np.arange(4 * 3) % 8).astype(np.uint8).reshape(4, 3)
+        payload = gif_encode_pixels(idx, pal)
+        want = (3, 4, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    r = decode_image(df, fake=False).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == want
