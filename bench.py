@@ -69,6 +69,7 @@ def main() -> None:
         "multimodal_png_pixels",
         "multimodal_wav_samples",
         "multimodal_gif_pixels",
+        "fuzzy_join_exact_cap2",
     ):
         if extra in registry:
             names.append(extra)

@@ -270,10 +270,11 @@ def max_key_length(keys: DataFrame, col: str) -> int:
     return int(row["__l"] or 0)
 
 
-def _deletion1_variants(col) -> "F.Column":
-    """Lowercased single-deletion neighborhood of a key, including the
-    key itself: ``{lower(k)} ∪ {lower(k) minus char i}``, deduplicated
-    and sorted (deterministic output order).
+def _deletion_variants(col, cap: int = 1) -> "F.Column":
+    """Lowercased deletion neighborhood of a key with up to ``cap``
+    deletions (FastSS U_cap, Bocek et al. 2007), including the key
+    itself, deduplicated and sorted (deterministic output order).
+    |U_1| <= L + 1; |U_2| <= 1 + L + L(L-1)/2.
 
     An Arrow-batched pandas UDF, not a Catalyst higher-order function:
     HOFs evaluate INTERPRETED (no codegen), and the
@@ -285,20 +286,26 @@ def _deletion1_variants(col) -> "F.Column":
     from pyspark.sql.types import ArrayType, StringType
 
     @F.pandas_udf(ArrayType(StringType()))
-    def del1(s: pd.Series) -> pd.Series:
+    def delk(s: pd.Series) -> pd.Series:
         def variants(k):
             k = ("" if k is None else k).lower()
             out = {k}
-            for i in range(len(k)):
-                out.add(k[:i] + k[i + 1 :])
+            frontier = {k}
+            for _ in range(cap):
+                nxt = set()
+                for v in frontier:
+                    for i in range(len(v)):
+                        nxt.add(v[:i] + v[i + 1 :])
+                frontier = nxt - out
+                out |= nxt
             return sorted(out)
 
         return s.map(variants)
 
-    return del1(F.col(col) if isinstance(col, str) else col)
+    return delk(F.col(col) if isinstance(col, str) else col)
 
 
-def neighborhood1_scored_pairs(
+def neighborhood_scored_pairs(
     left_keys: DataFrame,
     right_keys: DataFrame,
     left_col: str,
@@ -307,49 +314,55 @@ def neighborhood1_scored_pairs(
     dist_col: str = "__dist",
     n_left_keys: int = 0,
     n_right_keys: int = 0,
+    cap: int = 1,
 ) -> DataFrame:
-    """EXACT levenshtein-join rewrite for edit cap <= 1 (the FastSS /
+    """EXACT levenshtein-join rewrite for edit cap <= 2 (the FastSS /
     deletion-neighborhood technique, Bocek et al. 2007): when every
-    pair's threshold cap ``floor(bound * maxlen)`` is at most 1, a pair
-    can pass the threshold only if ``lev(a, b) <= 1``, and
-    ``lev(a, b) <= 1  =>  D1(a) ∩ D1(b) != ∅`` where D1 is the
-    single-deletion neighborhood including the string itself
-    (equal: a ∈ both; substitution at i: deleting i from both agrees;
-    insertion: deleting the inserted char from the longer side yields
-    the shorter). So candidate generation is an EQUI-JOIN on exploded
-    deletion variants — |key| + 1 rows per key instead of a cartesian —
-    followed by exact rescoring that removes the filter's false
-    positives (e.g. "ab"/"ba" share variant "b" at lev 2).
+    pair's threshold cap ``floor(bound * maxlen)`` is at most ``cap``,
+    the threshold can only admit ``lev(a, b) <= cap`` pairs, and
+    ``lev(a, b) <= k  =>  U_k(a) ∩ U_k(b) != ∅`` where U_k is the
+    deletion neighborhood with up to k deletions including the string
+    itself (take an optimal alignment: delete each substituted
+    position from both sides, each inserted char from the longer side
+    — at most k deletions per side leave equal subsequences). So
+    candidate generation is an EQUI-JOIN on exploded deletion
+    variants — |key|+1 (cap 1) or ~|key|^2/2 (cap 2) variant rows per
+    key instead of a cartesian — followed by exact rescoring that
+    removes the filter's false positives (e.g. "ab"/"ba" share
+    variant "b" at lev 2).
 
-    Lossless (the filter is complete for cap <= 1), output identical to
-    the cross-join exact path, plan a hash join: at 10K x 8K keys this
-    replaces an 80M-pair scan with a ~200K-row join, and at 100 TB it
-    is the difference between a cartesian and a shuffle join keyed on
-    short strings."""
+    Lossless (the filter is complete for k <= cap), output identical
+    to the cross-join exact path, plan a hash join: at 10K x 8K keys
+    this replaces an 80M-pair scan with a ~200K-row join, and at
+    100 TB it is the difference between a cartesian and a shuffle
+    join keyed on short strings."""
     from ..functions.kernels import distance_column
 
     lv = left_keys.select(left_col).withColumn(
-        "__var", F.explode(_deletion1_variants(left_col))
+        "__var", F.explode(_deletion_variants(left_col, cap))
     )
     rv = right_keys.select(right_col).withColumn(
-        "__var", F.explode(_deletion1_variants(right_col))
+        "__var", F.explode(_deletion_variants(right_col, cap))
     )
+    # per-key variant fan-out bound: ~L+1 at cap 1, ~1+L+L(L-1)/2 at
+    # cap 2 (L ~ 31 for realistic keys)
+    fanout = 32 if cap <= 1 else 512
     # key frames arrive AQE-coalesced to one partition (tiny aggregate
     # outputs), which would serialize the variant join + rescore chain
     # on a single task (measured: 3.7 s of a 5.6 s query on one core).
     # Spread the probe side by the candidate volume estimate — same
     # policy as the exact path's pair-volume repartition.
-    est_pairs = max(n_left_keys, 1) * 32  # ~dup-factor-bounded fanout
+    est_pairs = max(n_left_keys, 1) * fanout
     n_parts = _compute_parallelism(left_keys, est_pairs)
     if n_parts > 1:
         lv = lv.repartition(n_parts, "__var")
-    # |key|+1 variant rows per key: broadcast the smaller side while it
+    # fanout variant rows per key: broadcast the smaller side while it
     # fits so the variant join never shuffles the larger one
-    if 0 < n_right_keys <= BROADCAST_KEY_LIMIT // 32 and (
+    if 0 < n_right_keys <= BROADCAST_KEY_LIMIT // fanout and (
         n_left_keys == 0 or n_right_keys <= n_left_keys
     ):
         rv = F.broadcast(rv)
-    elif 0 < n_left_keys <= BROADCAST_KEY_LIMIT // 32:
+    elif 0 < n_left_keys <= BROADCAST_KEY_LIMIT // fanout:
         lv = F.broadcast(lv)
     cand = lv.join(rv, on="__var", how="inner").select(left_col, right_col)
     la, lb = "__lc_n1_l", "__lc_n1_r"

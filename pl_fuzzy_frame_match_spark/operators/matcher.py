@@ -63,14 +63,20 @@ from .candidates import (
     attach_index_lists,
     exact_candidates,
     max_key_length,
-    neighborhood1_scored_pairs,
+    neighborhood_scored_pairs,
 )
 
-# Attempt the deletion-neighborhood rewrite (cap <= 1) only when the
-# distance bound is small enough that SOME realistic key length
-# satisfies floor(bound * maxlen) <= 1 — avoids paying the max-length
-# probe on clearly-inapplicable thresholds.
-NEIGHBORHOOD_BOUND_GATE = 0.2
+# Attempt the deletion-neighborhood rewrite (cap <= NEIGHBORHOOD_MAX_
+# EDITS) only when the distance bound is small enough that SOME
+# realistic key length satisfies floor(bound * maxlen) <= cap —
+# avoids paying the max-length probe on clearly-inapplicable
+# thresholds.
+NEIGHBORHOOD_BOUND_GATE = 0.3
+# largest edit cap the rewrite handles exactly: U_k deletion
+# neighborhoods are complete for lev <= k; fan-out grows ~L^k/k! per
+# key, so k = 2 (~L^2/2 variants) is the practical ceiling before the
+# variant join itself dominates
+NEIGHBORHOOD_MAX_EDITS = 2
 
 LEFT_INDEX = "__left_index"
 RIGHT_INDEX = "__right_index"
@@ -203,11 +209,8 @@ def first_round_matches(
     from .candidates import SKETCH_SCAN_CAP
 
     cartesian = max(n_left_keys, 1) * max(n_right_keys, 1)
-    neighborhood_ok = (
-        use_appr_nearest_neighbor is not True  # forced ANN stays ANN
-        and mapping.fuzzy_type == "levenshtein"
-        and 0.0 < mapping.reversed_threshold_score <= NEIGHBORHOOD_BOUND_GATE
-        and int(
+    neighborhood_cap = (
+        int(
             mapping.reversed_threshold_score
             * max(
                 max_len_left
@@ -218,7 +221,17 @@ def first_round_matches(
                 else max_key_length(right_keys, mapping.right_col),
             )
         )
-        <= 1
+        if (
+            mapping.fuzzy_type == "levenshtein"
+            and 0.0
+            < mapping.reversed_threshold_score
+            <= NEIGHBORHOOD_BOUND_GATE
+        )
+        else NEIGHBORHOOD_MAX_EDITS + 1
+    )
+    neighborhood_ok = (
+        use_appr_nearest_neighbor is not True  # forced ANN stays ANN
+        and neighborhood_cap <= NEIGHBORHOOD_MAX_EDITS
     )
     if neighborhood_ok and (
         cartesian <= cross_over  # replaces the cartesian: always wins
@@ -226,21 +239,22 @@ def first_round_matches(
         or use_appr_nearest_neighbor is False  # forced exact at any volume
     ):
         # O9 (engine-original rewrite, no reference analogue): every
-        # pair's banded cap floor(bound * maxlen) is <= 1, so the
-        # threshold can only admit lev <= 1 pairs — plan candidate
+        # pair's banded cap floor(bound * maxlen) is <= 2, so the
+        # threshold can only admit lev <= cap pairs — plan candidate
         # generation as a deletion-neighborhood EQUI-join (FastSS):
-        # |key|+1 variant rows per key, hash join, exact rescore.
-        # Lossless and linear in the key count. Policy: below the
-        # crossover it replaces the cartesian outright; in the
-        # mid-volume ANN window the fused sketch scan stays (its
-        # measured constant beats the variant join's shuffles); past
-        # the sketch cap it replaces MinHash banding — an EXACT plan
-        # where the reference can only go lossy, at any volume (the
-        # 1e14 abort stops applying to these thresholds).
-        scored = neighborhood1_scored_pairs(
+        # |key|+1 (cap 1) / ~|key|^2/2 (cap 2) variant rows per key,
+        # hash join, exact rescore. Lossless and linear in the key
+        # count. Policy: below the crossover it replaces the cartesian
+        # outright; in the mid-volume ANN window the fused sketch scan
+        # stays (its measured constant beats the variant join's
+        # shuffles); past the sketch cap it replaces MinHash banding —
+        # an EXACT plan where the reference can only go lossy, at any
+        # volume (the 1e14 abort stops applying to these thresholds).
+        scored = neighborhood_scored_pairs(
             left_keys, right_keys, mapping.left_col, mapping.right_col,
             mapping.reversed_threshold_score, dist_col=_DIST,
             n_left_keys=n_left_keys, n_right_keys=n_right_keys,
+            cap=max(neighborhood_cap, 1),
         ).withColumn(_SCORE, F.lit(1.0) - F.col(_DIST))
         survivors = attach_index_lists(
             scored, left_keys, right_keys, mapping.left_col, mapping.right_col,

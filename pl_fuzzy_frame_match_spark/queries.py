@@ -4786,6 +4786,67 @@ def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_pixel_stats(synthesize_gif_corpus(docs))
 
 
+@register(
+    "fuzzy_join_exact_cap2",
+    """
+    WITH l AS (
+      SELECT c_custkey,
+             substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS name
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    r AS (
+      SELECT c_custkey AS r_key,
+             'q' || substr(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16),
+                           2, 14) || 'z' AS rname
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT l.c_custkey, l.name, r.r_key, r.rname,
+           round(1.0 - levenshtein(l.name, r.rname)
+                 / greatest(length(l.name), length(r.rname), 1), 6)
+               AS name_vs_rname_levenshtein
+    FROM l CROSS JOIN r
+    WHERE levenshtein(l.name, r.rname)
+          / greatest(length(l.name), length(r.rname), 1) <= 0.15
+    """,
+)
+def fuzzy_join_exact_cap2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cap-2 deletion-neighborhood rewrite (O9 extended, FastSS
+    k=2): threshold 85 on 16-char keys gives edit cap
+    floor(0.15*16) = 2, so the forced-exact plan joins on U_2 deletion
+    variants (~1 + L + L(L-1)/2 per key) instead of scanning the
+    cartesian — EXACT results in a regime where the reference's only
+    options are a lossy ANN pass or the full kernel scan. Keys are
+    md5-derived (DIVERSE — the regime the rewrite targets; on
+    degenerate sequential-digit families U_2 neighborhoods overlap so
+    densely that candidates approach the cartesian, measured 69% on
+    raw TPC-H names, and the sketch scan is the better plan); the
+    right side plants an exactly-2-substitution twin of every 7th key,
+    so true matches exist at the cap boundary. The sf0.01 oracle is
+    the NAIVE cross join, so completeness of the k=2 variant filter is
+    value-checked against ground truth every round."""
+    cust = load_table(spark, sf_dir, "customer")
+    left = cust.where(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.substring(
+            F.md5(F.col("c_custkey").cast("string")), 1, 16
+        ).alias("name"),
+    )
+    base = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 16)
+    right = cust.where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("r_key"),
+        F.concat(
+            F.lit("q"), F.substring(base, 2, 14), F.lit("z")
+        ).alias("rname"),
+    )
+    out = fuzzy_match_dfs(
+        left,
+        right,
+        [FuzzyMapping("name", "rname", threshold_score=85.0)],
+        use_appr_nearest_neighbor=False,
+    )
+    return _round6(out, "name_vs_rname_levenshtein")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

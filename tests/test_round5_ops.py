@@ -529,3 +529,66 @@ def test_decode_image_native_formats(spark, fmt):
     )
     r = decode_image(df, fake=False).collect()[0]
     assert (r["width"], r["height"], r["channels"]) == want
+
+
+def test_neighborhood_cap2_matches_bruteforce(spark):
+    """The cap-2 deletion-neighborhood rewrite (FastSS k=2) must be
+    LOSSLESS: forced-exact output row- and score-identical to the
+    brute-force python model over random mutated strings, with a
+    hash-join plan (no cartesian, no BNLJ)."""
+    import random
+
+    from pl_fuzzy_frame_match_spark import FuzzyMapping, fuzzy_match_dfs
+    from pl_fuzzy_frame_match_spark.functions.py_kernels import (
+        NORMALIZED_DISTANCE,
+    )
+    from pl_fuzzy_frame_match_spark.plans.audit import audit
+
+    random.seed(11)
+    alpha = "abcdef"
+    base = ["".join(random.choice(alpha) for _ in range(12))
+            for _ in range(120)]
+
+    def mutate(s, k):
+        s = list(s)
+        for _ in range(k):
+            op = random.choice("sid")
+            i = random.randrange(len(s))
+            if op == "s":
+                s[i] = random.choice(alpha)
+            elif op == "i":
+                s.insert(i, random.choice(alpha))
+            elif len(s) > 1:
+                del s[i]
+        return "".join(s)
+
+    lvals = base + [mutate(b, 1) for b in base] + [mutate(b, 2) for b in base]
+    rvals = base + [mutate(b, 2) for b in base[:60]]
+    left = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(lvals)], "lid long, lname string"
+    )
+    right = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rvals)], "rid long, rname string"
+    )
+    # maxlen ~14 -> floor(0.15 * 14) = 2: the cap-2 trigger
+    out = fuzzy_match_dfs(
+        left, right,
+        [FuzzyMapping("lname", "rname", threshold_score=85.0)],
+        use_appr_nearest_neighbor=False,
+    )
+    a = audit(out)
+    assert a.cartesian_products == 0, a.plan
+    assert a.nested_loop_joins == 0, a.plan
+    score_col = out.columns[-1]
+    got = {(r["lid"], r["rid"], round(r[score_col], 9))
+           for r in out.collect()}
+    dist = NORMALIZED_DISTANCE["levenshtein"]
+    bound = 1 - 0.85
+    want = set()
+    for i, x in enumerate(lvals):
+        for j, y in enumerate(rvals):
+            d = dist(x.lower(), y.lower())
+            if d <= bound + 1e-12:
+                want.add((i, j, round(1.0 - d, 9)))
+    assert got == want
+    assert len(got) > 300  # mutated pairs really land within cap 2
