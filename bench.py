@@ -70,6 +70,7 @@ def main() -> None:
         "multimodal_wav_samples",
         "multimodal_gif_pixels",
         "fuzzy_join_exact_cap2",
+        "multimodal_wav_features",
     ):
         if extra in registry:
             names.append(extra)

@@ -1239,3 +1239,59 @@ def synthesize_gif_corpus(
             yield out
 
     return df.mapInPandas(synth, out_schema)
+
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sum_sq", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def wav_audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio features from decoded PCM: energy (exact int64 sum
+    of squared samples; RMS derived in Catalyst) and zero-crossing
+    rate (strict sign flips per channel, summed) — the classic cheap
+    speech/noise discriminators a corpus-quality pipeline computes
+    before any model inference. Arrow-batched mapInPandas over
+    :func:`wav_decode_samples`; undecodable payloads emit nulls."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = wav_decode_samples(bytes(payload))
+                if dec is None:
+                    rows.append((rid, None, None, None, None))
+                    continue
+                _rate, ch, n, arr = dec
+                a = arr.astype("int64")
+                zc = int(((a[:-1, :] * a[1:, :]) < 0).sum()) if n > 1 else 0
+                rows.append((rid, n, ch, int((a * a).sum()), zc))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in WAV_FEATURES_SCHEMA.fields]
+        )
+
+    raw = df.select(id_col, payload_col).mapInPandas(
+        feats, schema=WAV_FEATURES_SCHEMA
+    )
+    return raw.select(
+        id_col,
+        "n_frames",
+        "channels",
+        "sum_sq",
+        F.round(
+            F.sqrt(
+                F.col("sum_sq") / (F.col("n_frames") * F.col("channels"))
+            ),
+            6,
+        ).alias("rms"),
+        "zero_crossings",
+    )
