@@ -957,12 +957,32 @@ def semantic_dedup_pairs(
     on — so a pair landing within float ulps of the threshold cannot
     be admitted by one engine and rejected by the other (ADVICE r4).
     """
+    return _within_cluster_pairs(
+        semantic_cluster_assign(df, vec_col, id_col, n_clusters),
+        vec_col,
+        id_col,
+        threshold,
+        cluster_cap,
+    )
+
+
+def _within_cluster_pairs(
+    assigned_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    cluster_cap: int,
+) -> DataFrame:
+    """Shared pair-search stage of the semantic-dedup family: given a
+    frame with a ``cluster`` column, self-equi-join within clusters
+    (salted above ``cluster_cap``), exact Catalyst cosine, threshold
+    on the round-6 value. Used by both the deterministic first-k
+    assignment (:func:`semantic_dedup_pairs`, SQL-replayable) and the
+    k-means|| assignment (:func:`semantic_dedup_pairs_kmeans`)."""
     _sq = lambda c: F.aggregate(  # noqa: E731
         c, F.lit(0.0), lambda acc, x: acc + x * x
     )
-    assigned = semantic_cluster_assign(
-        df, vec_col, id_col, n_clusters
-    ).select(
+    assigned = assigned_df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
             "__e"
@@ -978,7 +998,7 @@ def semantic_dedup_pairs(
         F.sqrt(_sq(F.col("__e"))),
     )
     # both join sides AND the size count read this frame: checkpoint
-    # once (eager) instead of recomputing the GEMM assignment 3x; the
+    # once (eager) instead of recomputing the assignment 3x; the
     # blocks release with the frame (ContextCleaner)
     assigned = assigned.localCheckpoint(eager=True)
     sizes = assigned.groupBy("cluster").count().collect()  # <= k rows
@@ -1064,4 +1084,55 @@ def semantic_dedup_keep(
     )
     return labeled.withColumn(
         "kept", (F.col(id_col) == F.col("component")).cast("int")
+    )
+
+
+def semantic_dedup_pairs_kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_clusters: int = 8,
+    seed: int = 42,
+    cluster_cap: int = SEMANTIC_CLUSTER_CAP,
+) -> DataFrame:
+    """SemDeDup with REAL k-means|| clustering (``pyspark.ml``,
+    fixed-seed — deterministic across runs but not SQL-replayable, so
+    this variant is quality-gated by tests instead of a DuckDB
+    oracle): better-balanced clusters than the first-k-rows centroids
+    of :func:`semantic_dedup_pairs`, hence fewer boundary misses on
+    clumpy corpora — the production-quality assignment the SemDeDup
+    paper assumes. Same within-cluster exact-cosine pair search,
+    same ``cluster_cap`` skew salt, identical output contract
+    (cluster, left_id, right_id, cosine_sim), always a SUBSET of the
+    brute-force cosine pairs.
+
+    Plan: k-means|| fit is Spark ML's distributed Lloyd iterations
+    (bounded rounds over the corpus, centroids driver-side — k x dim
+    only); transform is a map-only assignment; everything downstream
+    is the shared equi-join stage."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(id_col, vec_col).where(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).withColumn(
+        "__feat", array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        )
+    )
+    km = KMeans(
+        k=n_clusters,
+        seed=seed,
+        featuresCol="__feat",
+        predictionCol="cluster",
+    )
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(
+        id_col, vec_col, F.col("cluster").cast("long").alias("cluster")
+    )
+    # silence the unused import warning paths on old pyspark builds
+    _ = vector_to_array
+    return _within_cluster_pairs(
+        assigned, vec_col, id_col, threshold, cluster_cap
     )

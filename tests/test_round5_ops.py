@@ -592,3 +592,50 @@ def test_neighborhood_cap2_matches_bruteforce(spark):
                 want.add((i, j, round(1.0 - d, 9)))
     assert got == want
     assert len(got) > 300  # mutated pairs really land within cap 2
+
+
+def test_semantic_kmeans_quality(spark):
+    """Quality gates for the k-means|| SemDeDup variant (no SQL
+    oracle): deterministic with a pinned seed, pairs are a SUBSET of
+    brute-force cosine pairs, and the better-balanced clustering must
+    not recall FEWER true pairs than the first-k-centroid variant."""
+    from pyspark.sql import functions as F2
+
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        embedding_dedup_pairs,
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_kmeans,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).where(F2.col("vec_id").isNotNull())
+    kw = dict(threshold=0.4, n_clusters=4)
+    r1 = sorted(
+        (r["left_id"], r["right_id"], r["cosine_sim"])
+        for r in semantic_dedup_pairs_kmeans(
+            emb, "embedding", "vec_id", **kw
+        ).collect()
+    )
+    r2 = sorted(
+        (r["left_id"], r["right_id"], r["cosine_sim"])
+        for r in semantic_dedup_pairs_kmeans(
+            emb, "embedding", "vec_id", **kw
+        ).collect()
+    )
+    assert r1 == r2  # pinned seed -> deterministic
+    brute = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_dedup_pairs(
+            emb, "embedding", "vec_id", threshold=0.4, n_blocks=1
+        ).collect()
+    }
+    got = {(a, b) for a, b, _ in r1}
+    assert got <= brute
+    firstk = {
+        (r["left_id"], r["right_id"])
+        for r in semantic_dedup_pairs(
+            emb, "embedding", "vec_id", **kw
+        ).collect()
+    }
+    assert len(got) >= len(firstk)
