@@ -867,11 +867,14 @@ def semantic_cluster_assign(
     from pyspark.sql.types import LongType, StructField, StructType
 
     spark = df.sparkSession
+    # null embeddings can't cluster (and would raise in the executor
+    # GEMM); a null id can't be a centroid (nulls sort FIRST under
+    # orderBy, so it would land in the first-k sample). Reject both up
+    # front — rows with either null are dropped from the assignment,
+    # matching the kmeans twin's contract (ADVICE r4 + r5 review).
+    df = df.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
     cent = (
-        # null embeddings can't be centroids and would raise in the
-        # float() map below (ADVICE r4)
         df.select(id_col, vec_col)
-        .where(F.col(vec_col).isNotNull())
         .orderBy(F.col(id_col))
         .limit(n_clusters)
         .collect()
@@ -1112,7 +1115,7 @@ def semantic_dedup_pairs_kmeans(
     only); transform is a map-only assignment; everything downstream
     is the shared equi-join stage."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = df.select(id_col, vec_col).where(
         F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
@@ -1131,8 +1134,6 @@ def semantic_dedup_pairs_kmeans(
     assigned = model.transform(feat).select(
         id_col, vec_col, F.col("cluster").cast("long").alias("cluster")
     )
-    # silence the unused import warning paths on old pyspark builds
-    _ = vector_to_array
     return _within_cluster_pairs(
         assigned, vec_col, id_col, threshold, cluster_cap
     )

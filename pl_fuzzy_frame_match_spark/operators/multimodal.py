@@ -77,6 +77,54 @@ def pil_available() -> bool:
         return False
 
 
+
+def _png_header_meta(data: bytes):
+    """(width, height, channels) from the IHDR alone — no inflate, no
+    unfiltering. Channels reported AFTER palette expansion (3), the
+    same convention the full decoder uses. None if not a PNG or the
+    IHDR is malformed/unsupported."""
+    if len(data) < 33 or bytes(data[:8]) != _PNG_SIG:
+        return None
+    if data[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    bitdepth, colortype = data[24], data[25]
+    nch = _PNG_CHANNELS.get(colortype)
+    if bitdepth != 8 or nch is None or w <= 0 or h <= 0:
+        return None
+    return w, h, (3 if colortype == 3 else nch)
+
+
+def _gif_header_meta(data: bytes):
+    """(width, height, 3) from the first image descriptor (falling
+    back to the logical screen) — no LZW. None if not a GIF."""
+    if len(data) < 13 or bytes(data[:6]) not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b == 0x2C and pos + 10 <= len(data):
+            w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            if w > 0 and h > 0:
+                return w, h, 3
+            return None
+        break
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    return (w, h, 3) if w > 0 and h > 0 else None
+
+
 def decode_image(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -116,18 +164,27 @@ def decode_image(
                     w, h, c = _fake_decode(data)
                     rows.append((rid, len(data), w, h, c))
                     continue
-                # PNG decodes NATIVELY (stdlib zlib + numpy, real pixel
-                # reconstruction) — no Pillow needed for the format the
-                # synth corpus and golden tests use; other formats fall
-                # through to Pillow below
-                dec = png_decode_pixels(data) or gif_decode_pixels(data)
-                if dec is not None:
-                    ph, pw, pc, _ = dec
-                    rows.append((rid, len(data), pw, ph, pc))
+                # PNG/GIF metadata comes from the HEADER parsers —
+                # O(header bytes), not a full pixel reconstruction
+                # (pixel-level ops use png_pixel_stats/wav_audio_
+                # features, which run the real codecs). A payload whose
+                # MAGIC matches PNG/GIF but whose header is corrupt
+                # emits a null-metadata row — never a stage-killing
+                # raise ("a corrupt image must never kill a stage").
+                meta = _png_header_meta(data) or _gif_header_meta(data)
+                if meta is not None:
+                    mw, mh, mc = meta
+                    rows.append((rid, len(data), mw, mh, mc))
+                    continue
+                if bytes(data[:8]) == _PNG_SIG or bytes(data[:6]) in (
+                    b"GIF87a",
+                    b"GIF89a",
+                ):
+                    rows.append((rid, len(data), None, None, None))
                     continue
                 if not use_pil:
-                    # non-PNG without Pillow: the decoder genuinely
-                    # cannot run — honest failure, not silent nulls
+                    # other formats without Pillow: the decoder
+                    # genuinely cannot run — honest failure
                     raise NotImplementedError(
                         "non-PNG/GIF image decoding requires PIL/libvips"
                         " — not available in this environment; PNG and"
@@ -539,6 +596,11 @@ def png_pixel_stats(
         "min_px",
         "max_px",
     )
+
+
+# the stats operator accepts PNG **or** GIF payloads; this alias names
+# that contract without breaking the original import path
+raster_pixel_stats = png_pixel_stats
 
 
 def synthesize_png_corpus(

@@ -639,3 +639,71 @@ def test_semantic_kmeans_quality(spark):
         ).collect()
     }
     assert len(got) >= len(firstk)
+
+
+def test_decode_image_corrupt_raster_yields_null_row(spark):
+    """Review r5: a payload whose magic says PNG/GIF but whose body is
+    corrupt must emit a null-metadata row — never kill the stage —
+    even without Pillow; dims for valid payloads come from the header
+    parse and match the full decoders."""
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_image,
+        png_encode_pixels,
+    )
+
+    good = png_encode_pixels(
+        (np.arange(12) % 256).astype(np.uint8).reshape(2, 2, 3), 2, None
+    )
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(_PNG_SIG + b"\x00\x01garbage")),  # corrupt PNG
+        (3, bytearray(b"GIF89a\x00")),                  # truncated GIF
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["channels"])
+        for r in decode_image(df, fake=False).collect()
+    }
+    assert got[1] == (2, 2, 3)
+    assert got[2] == (None, None, None)
+    assert got[3] == (None, None, None)
+
+
+def test_cluster_assign_drops_null_embedding_rows(spark):
+    """Review r5: the executor-side GEMM must never see a null
+    embedding (it would crash the batch); null-embedding / null-id
+    rows are dropped from the assignment, and the pair search still
+    succeeds on the survivors."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        semantic_cluster_assign,
+        semantic_dedup_pairs,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    rows = [
+        (None, [1.0, 0.0]),   # null id: not a centroid, not assigned
+        (1, None),            # null embedding: dropped
+        (2, [1.0, 0.0]),
+        (3, [0.0, 1.0]),
+        (4, [0.02, 0.99]),    # co-clusters with 3, cosine ~0.9998
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in semantic_cluster_assign(df, "embedding", "vec_id", 2).collect()
+    }
+    assert set(got) == {2, 3, 4}
+    pairs = semantic_dedup_pairs(
+        df, "embedding", "vec_id", threshold=0.9, n_clusters=2
+    ).collect()
+    assert {(r["left_id"], r["right_id"]) for r in pairs} == {(3, 4)}
