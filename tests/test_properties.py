@@ -407,3 +407,32 @@ def test_wav_codec_roundtrip_property(nf, ch, rate, seed):
     r, c, n, out = wav_decode_samples(wav_encode_pcm16(arr, rate))
     assert (r, c, n) == (rate, ch, nf)
     assert (out == arr).all()
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.binary(max_size=300))
+def test_media_decoders_never_raise(data):
+    """Corrupt payloads must yield None (-> null-metadata rows), never
+    an exception — a stage must survive any byte string, including
+    adversarial ones wearing valid magic bytes."""
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        _PNG_SIG,
+        _gif_header_meta,
+        _png_header_meta,
+        gif_decode_pixels,
+        png_decode_pixels,
+        wav_decode_samples,
+    )
+
+    for payload in (
+        data,
+        _PNG_SIG + data,
+        b"GIF89a" + data,
+        b"GIF87a" + data,
+        b"RIFF" + data[:4] + b"WAVE" + data,
+    ):
+        png_decode_pixels(payload)
+        gif_decode_pixels(payload)
+        wav_decode_samples(payload)
+        _png_header_meta(payload)
+        _gif_header_meta(payload)
