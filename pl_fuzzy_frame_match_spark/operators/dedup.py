@@ -1137,3 +1137,46 @@ def semantic_dedup_pairs_kmeans(
     return _within_cluster_pairs(
         assigned, vec_col, id_col, threshold, cluster_cap
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    test_rate: float = 0.2,
+    threshold: float = 0.2,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Train/eval split where near-duplicate documents can NEVER
+    straddle the boundary — the benchmark-decontamination split a
+    pretraining pipeline needs (a test doc whose near-dup sits in
+    train is leakage the plain per-row split can't prevent).
+
+    Composition of exact building blocks: near-dup pairs via the
+    prefix-filtered exact Jaccard join, transitive closure via
+    distributed connected components, then the WHOLE component is
+    routed by one deterministic md5 draw on its min-id label
+    (`functions/sampling.rate_predicate` — reproducible across
+    engines/runs/partitionings; singletons route by their own id).
+    Adds (component, split) to every row. All stages are the
+    linear-shuffle formulations; nothing quadratic, nothing driver-
+    side past the bounded component labels."""
+    from ..functions.sampling import rate_predicate
+    from .graph import connected_components
+
+    clean = df.where(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    pairs = prefix_filter_jaccard_pairs(
+        clean, text_col, id_col, threshold, shingle_n
+    ).select("left_id", "right_id")
+    cc = connected_components(pairs).withColumnRenamed("node", id_col)
+    labeled = clean.join(cc, on=id_col, how="left").withColumn(
+        "component", F.coalesce("component", F.col(id_col))
+    )
+    return labeled.withColumn(
+        "split",
+        F.when(
+            rate_predicate(F.col("component"), test_rate), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )

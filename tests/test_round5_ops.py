@@ -707,3 +707,52 @@ def test_cluster_assign_drops_null_embedding_rows(spark):
         df, "embedding", "vec_id", threshold=0.9, n_clusters=2
     ).collect()
     assert {(r["left_id"], r["right_id"]) for r in pairs} == {(3, 4)}
+
+
+def test_leakage_safe_split_no_cross_boundary_pairs(spark):
+    """The decontamination invariant: ZERO near-dup pairs straddle the
+    train/test boundary, every doc is assigned exactly once, and the
+    routing is reproducible across calls."""
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        leakage_safe_split,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = leakage_safe_split(
+        docs, "text", "doc_id", test_rate=0.3, threshold=0.2
+    ).select("doc_id", "component", "split")
+    n_docs = docs.filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    ).count()
+    assert out.count() == n_docs
+    # both sides populated at this rate/corpus
+    splits = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(splits) == {"train", "test"}
+    # the invariant: no near-dup pair crosses the boundary
+    pairs = prefix_filter_jaccard_pairs(
+        docs.filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull()),
+        "text", "doc_id", 0.2, 2,
+    ).select("left_id", "right_id")
+    la = out.select(F.col("doc_id").alias("left_id"),
+                    F.col("split").alias("lsplit"))
+    rb = out.select(F.col("doc_id").alias("right_id"),
+                    F.col("split").alias("rsplit"))
+    crossing = (
+        pairs.join(la, on="left_id").join(rb, on="right_id")
+        .filter(F.col("lsplit") != F.col("rsplit"))
+        .count()
+    )
+    assert crossing == 0
+    # deterministic: a second call routes identically
+    again = leakage_safe_split(
+        docs, "text", "doc_id", test_rate=0.3, threshold=0.2
+    ).select("doc_id", "split")
+    diff = (
+        out.select("doc_id", "split")
+        .join(again.withColumnRenamed("split", "s2"), on="doc_id")
+        .filter(F.col("split") != F.col("s2"))
+        .count()
+    )
+    assert diff == 0
