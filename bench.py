@@ -71,6 +71,8 @@ def main() -> None:
         "multimodal_gif_pixels",
         "fuzzy_join_exact_cap2",
         "multimodal_wav_features",
+        "docs_temperature_resample",
+        "docs_train_shards",
     ):
         if extra in registry:
             names.append(extra)

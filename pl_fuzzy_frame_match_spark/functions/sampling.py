@@ -433,3 +433,97 @@ def weighted_rate_sql_predicate(key_sql: str, rate_sql: str) -> str:
         f"substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8) < "
         f"lower(lpad(to_hex({thr}), 8, '0')))"
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    lang_col: str,
+    key_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """EXECUTE a temperature-based corpus mixture (mT5/XLM-R style;
+    the *planning* half lives in the `docs_source_mixture` query):
+    per-language target share is proportional to natural_share^alpha,
+    and every overrepresented language is downsampled toward its
+    target by a deterministic per-row md5 draw; underrepresented
+    languages clamp at rate 1.0 (upsampling is epoch replication at
+    the trainer, not a filter's job). Adds ``resample_rate`` to every
+    surviving row.
+
+    Portability contract: rates are computed from exact int64 token
+    counts, quantized with round-6 (HALF_UP in both Spark and DuckDB)
+    BEFORE the draw, and the draw itself is
+    :func:`weighted_rate_predicate` — so the kept row set is a pure
+    function of the data, reproducible across engines, runs and
+    partition layouts. alpha=0.5 uses ``sqrt`` (correctly rounded in
+    IEEE-754, bit-identical across engines); other alphas use ``pow``
+    and rely on the round-6 quantization to absorb last-ulp noise.
+
+    Scale: one aggregate pass for the per-language token mass
+    (map-side combined, |langs| rows out), two 1-row broadcast
+    totals, then a broadcast join of the tiny rate table onto the
+    corpus with a map-only filter — the whole mixture application
+    costs one scan at any corpus size, no corpus-wide shuffle."""
+    from .text import token_count
+
+    docs = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(lang_col).isNotNull()
+        & F.col(text_col).isNotNull()
+    )
+    s = docs.groupBy(lang_col).agg(
+        F.sum(token_count(F.col(text_col))).alias("__ntok")
+    )
+    tot = s.agg(F.sum("__ntok").cast("double").alias("__nt"))
+    share = F.col("__ntok") / F.col("__nt")
+    raw = (
+        F.sqrt(share) if alpha == 0.5 else F.pow(share, F.lit(alpha))
+    )
+    w = s.crossJoin(F.broadcast(tot)).withColumn("__raw", raw)
+    z = w.agg(F.sum("__raw").alias("__z"))
+    rates = w.crossJoin(F.broadcast(z)).select(
+        lang_col,
+        F.round(
+            F.least(
+                (F.col("__raw") / F.col("__z"))
+                * F.col("__nt")
+                / F.col("__ntok"),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("resample_rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), on=lang_col)
+        .where(
+            weighted_rate_predicate(
+                F.col(key_col), F.col("resample_rate")
+            )
+        )
+    )
+
+
+def shard_of(key: Column, n_shards: int) -> Column:
+    """Deterministic shard index in [0, n_shards) for writing a
+    globally-shuffled training corpus as N stable shards: the md5
+    32-bit prefix of ``key`` modulo ``n_shards``, pure integer math
+    that DuckDB reproduces exactly (:func:`shard_sql`). Rows land on
+    the same shard regardless of engine, run, or partition layout —
+    the property a resumable/distributed data loader needs.
+
+    At production scale pick ``n_shards`` well above the executor
+    count (shard files are written via ``repartition(shard)`` +
+    ``sortWithinPartitions(order_key)``, one task per shard)."""
+    u32 = F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (u32 % F.lit(n_shards)).cast("int")
+
+
+def shard_sql(key_sql: str, n_shards: int) -> str:
+    """DuckDB twin of :func:`shard_of` — identical shard routing."""
+    return (
+        f"CAST(CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR)),"
+        f" 1, 8) AS BIGINT) % {n_shards} AS INT)"
+    )

@@ -1146,6 +1146,7 @@ def leakage_safe_split(
     test_rate: float = 0.2,
     threshold: float = 0.2,
     shingle_n: int = 2,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval split where near-duplicate documents can NEVER
     straddle the boundary — the benchmark-decontamination split a
@@ -1160,16 +1161,23 @@ def leakage_safe_split(
     engines/runs/partitionings; singletons route by their own id).
     Adds (component, split) to every row. All stages are the
     linear-shuffle formulations; nothing quadratic, nothing driver-
-    side past the bounded component labels."""
+    side past the bounded component labels.
+
+    ``pairs`` swaps the near-dup edge source: the default is the
+    EXACT prefix-filtered join (oracle-replayable); at 100 TB pass
+    ``minhash_dedup_pairs(...)`` — banded candidates keep every
+    stage linear and the split logic downstream is unchanged."""
     from ..functions.sampling import rate_predicate
     from .graph import connected_components
 
     clean = df.where(
         F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
     )
-    pairs = prefix_filter_jaccard_pairs(
-        clean, text_col, id_col, threshold, shingle_n
-    ).select("left_id", "right_id")
+    if pairs is None:
+        pairs = prefix_filter_jaccard_pairs(
+            clean, text_col, id_col, threshold, shingle_n
+        )
+    pairs = pairs.select("left_id", "right_id")
     cc = connected_components(pairs).withColumnRenamed("node", id_col)
     labeled = clean.join(cc, on=id_col, how="left").withColumn(
         "component", F.coalesce("component", F.col(id_col))

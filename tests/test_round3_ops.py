@@ -1051,6 +1051,7 @@ _NL_ALLOWED = {
     # 1-row broadcast scalar-total cross joins (LM normalizer /
     # mixture totals) — BNLJ over exactly one broadcast row, bounded
     "docs_lm_perplexity", "docs_source_mixture",
+    "docs_temperature_resample",
 }
 
 
