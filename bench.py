@@ -73,6 +73,7 @@ def main() -> None:
         "multimodal_wav_features",
         "docs_temperature_resample",
         "docs_train_shards",
+        "emb_decontaminate",
     ):
         if extra in registry:
             names.append(extra)

@@ -465,14 +465,26 @@ def temperature_resample(
     totals, then a broadcast join of the tiny rate table onto the
     corpus with a map-only filter — the whole mixture application
     costs one scan at any corpus size, no corpus-wide shuffle."""
-    from .text import token_count
-
     docs = df.where(
         F.col(key_col).isNotNull()
         & F.col(lang_col).isNotNull()
         & F.col(text_col).isNotNull()
     )
-    s = docs.groupBy(lang_col).agg(
+    rates = temperature_rates(docs, lang_col, text_col, alpha)
+    return apply_mixture_rates(docs, rates, lang_col, key_col)
+
+
+def temperature_rates(
+    df: DataFrame, lang_col: str, text_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """The PLAN half of :func:`temperature_resample`: the per-language
+    ``resample_rate`` table (|langs| rows), derived from exact int64
+    token mass and round-6 quantized. Computed offline on a corpus
+    snapshot; a stream applies it at ingest
+    (`streaming/stream_ops.stream_temperature_resample`)."""
+    from .text import token_count
+
+    s = df.groupBy(lang_col).agg(
         F.sum(token_count(F.col(text_col))).alias("__ntok")
     )
     tot = s.agg(F.sum("__ntok").cast("double").alias("__nt"))
@@ -482,7 +494,7 @@ def temperature_resample(
     )
     w = s.crossJoin(F.broadcast(tot)).withColumn("__raw", raw)
     z = w.agg(F.sum("__raw").alias("__z"))
-    rates = w.crossJoin(F.broadcast(z)).select(
+    return w.crossJoin(F.broadcast(z)).select(
         lang_col,
         F.round(
             F.least(
@@ -494,13 +506,17 @@ def temperature_resample(
             6,
         ).alias("resample_rate"),
     )
-    return (
-        docs.join(F.broadcast(rates), on=lang_col)
-        .where(
-            weighted_rate_predicate(
-                F.col(key_col), F.col("resample_rate")
-            )
-        )
+
+
+def apply_mixture_rates(
+    df: DataFrame, rates: DataFrame, lang_col: str, key_col: str
+) -> DataFrame:
+    """Apply a precomputed mixture-rate table (lang, resample_rate) to
+    any frame — batch or stream — as a stateless broadcast join + the
+    deterministic md5 draw. The same key gets the same decision on
+    every engine, run and replay."""
+    return df.join(F.broadcast(rates), on=lang_col).where(
+        weighted_rate_predicate(F.col(key_col), F.col("resample_rate"))
     )
 
 

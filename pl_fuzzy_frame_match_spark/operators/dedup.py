@@ -1188,3 +1188,51 @@ def leakage_safe_split(
             rate_predicate(F.col("component"), test_rate), F.lit("test")
         ).otherwise(F.lit("train")),
     )
+
+
+def embedding_contamination_hits(
+    corpus: DataFrame,
+    bench: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Corpus vectors whose NEAREST benchmark vector clears
+    ``threshold`` cosine — the embedding-space twin of the n-gram
+    contamination check (`functions/text.contamination_fractions`):
+    a paraphrased benchmark rewrite shares no 13-gram but still sits
+    next to the original in embedding space. Returns
+    ``(id_col, bench_sim)`` with the round-6 max similarity (max, not
+    argmax, so the result is engine-portable with no tie order).
+
+    Scale: reuses the similarity family's planner-chosen GEMM
+    (`operators/similarity.brute_force_topk`) — benchmark sets are
+    small by nature, so the bench matrix broadcasts and the corpus is
+    scored map-only, one Arrow batch at a time; nothing quadratic,
+    no corpus shuffle."""
+    from .similarity import brute_force_topk
+
+    hits = brute_force_topk(corpus, bench, vec_col, id_col, k=1)
+    return (
+        hits.select(
+            F.col("query_id").alias(id_col),
+            F.round(F.col("cosine_sim"), 6).alias("bench_sim"),
+        )
+        .where(F.col("bench_sim") >= F.lit(threshold))
+    )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """The corpus with every benchmark-near vector REMOVED — semantic
+    decontamination before training. Anti-join against the (small)
+    hit set; the corpus frame itself is never shuffled."""
+    hits = embedding_contamination_hits(
+        corpus, bench, vec_col, id_col, threshold
+    ).select(id_col)
+    return corpus.join(hits, on=id_col, how="left_anti")

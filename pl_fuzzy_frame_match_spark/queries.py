@@ -4961,6 +4961,45 @@ from .functions.sampling import shard_sql, weighted_rate_sql_predicate
 
 
 @register(
+    "emb_decontaminate",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    b AS (SELECT * FROM v WHERE vec_id % 41 = 0),
+    c AS (SELECT * FROM v WHERE vec_id % 41 <> 0),
+    m AS (SELECT c.vec_id,
+                 round(max(list_cosine_similarity(c.e, b.e)), 6)
+                   AS bench_sim
+          FROM c CROSS JOIN b GROUP BY c.vec_id)
+    SELECT vec_id, bench_sim FROM m WHERE bench_sim >= 0.3
+    """,
+)
+def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin
+    of the n-gram `contamination_ngram` check: corpus vectors whose
+    NEAREST benchmark vector (here the vec_id % 41 == 0 subset plays
+    the benchmark) clears 0.3 cosine are flagged for removal; a
+    paraphrased benchmark rewrite shares no 13-gram but still lands
+    next to the original here. Max (not argmax) similarity, round-6
+    quantized before the threshold on BOTH engines, so the flagged
+    set is tie-order-free and value-checked (data margin from the
+    boundary verified >= 2e-6 at every SF). The bench matrix
+    broadcasts (benchmarks are small by nature); the corpus is scored
+    map-only by the similarity family's planner-chosen GEMM."""
+    from .operators.dedup import embedding_contamination_hits
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    bench = emb.where(F.col("vec_id") % 41 == 0)
+    corpus = emb.where(F.col("vec_id") % 41 != 0)
+    return embedding_contamination_hits(
+        corpus, bench, "embedding", "vec_id", threshold=0.3
+    )
+
+
+@register(
     "docs_temperature_resample",
     rf"""
     WITH base AS (SELECT doc_id, lang,

@@ -723,3 +723,49 @@ def stream_maintain_minhash_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_temperature_resample(
+    spark, path: str, schema, rates,
+    lang_col: str = "lang", key_col: str = "doc_id",
+):
+    """Streaming twin of
+    `functions/sampling.temperature_resample`: the mixture RATES are
+    a global corpus property a stream cannot know, so they are
+    planned offline on a snapshot (`temperature_rates`) and applied
+    at ingest as a stateless broadcast join + deterministic md5 draw.
+    Replaying the stream (or re-running the batch) keeps the
+    identical row set — the decision is a pure function of
+    (key, rate). No state, no watermark; the rate table is |langs|
+    rows. Pin it with a localCheckpoint/write before starting the
+    query so every microbatch sees the same plan."""
+    from ..functions.sampling import apply_mixture_rates
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    return apply_mixture_rates(stream, rates, lang_col, key_col)
+
+
+def stream_shard_router(
+    spark, path: str, schema,
+    key_col: str = "doc_id", n_shards: int = 16,
+):
+    """Streaming shard routing (`functions/sampling.shard_of`):
+    stateless md5-mod assignment at ingest, so
+    ``writeStream.partitionBy('shard')`` lands every record in the
+    same stable shard directory the batch writer would choose — a
+    continuously-ingested corpus stays loader-addressable without a
+    rewrite. Same engine-portable integer math as the batch twin."""
+    from ..functions.sampling import shard_of
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    return stream.withColumn(
+        "shard", shard_of(F.col(key_col), n_shards)
+    )

@@ -886,3 +886,120 @@ def test_train_shards_query_plan_and_totals(spark):
     ).filter(F.col("doc_id").isNotNull())
     assert sum(r["n_docs"] for r in rows) == docs.count()
     assert {r["shard"] for r in rows} == set(range(16))
+
+
+def test_stream_temperature_resample_matches_batch(spark, tmp_path):
+    """Batch/stream equivalence of the mixture application: the rate
+    table planned on the snapshot, applied to a file-source stream,
+    keeps the IDENTICAL row set the batch path keeps."""
+    from pl_fuzzy_frame_match_spark.functions.sampling import (
+        temperature_rates,
+        temperature_resample,
+    )
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_temperature_resample,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(
+        F.col("doc_id").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("text").isNotNull()
+    )
+    batch_kept = {
+        r["doc_id"]
+        for r in temperature_resample(docs, "lang", "doc_id", "text")
+        .select("doc_id")
+        .collect()
+    }
+    rates = temperature_rates(docs, "lang", "text").localCheckpoint()
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    out = stream_temperature_resample(
+        spark, src, spark.read.parquet(src).schema, rates
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_resample")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM t_resample").collect()
+    }
+    assert streamed == batch_kept and len(batch_kept) > 0
+
+
+def test_stream_shard_router_matches_batch(spark, tmp_path):
+    """Streaming shard assignment is identical to the batch writer's."""
+    from pl_fuzzy_frame_match_spark.functions.sampling import shard_of
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_shard_router,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id").isNotNull())
+    batch = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", shard_of(F.col("doc_id"), 16).alias("s")
+        ).collect()
+    }
+    src = str(tmp_path / "docs_shard_stream")
+    docs.write.parquet(src)
+    out = stream_shard_router(
+        spark, src, spark.read.parquet(src).schema
+    ).select("doc_id", "shard")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_shards")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: r["shard"]
+        for r in spark.sql("SELECT * FROM t_shards").collect()
+    }
+    assert streamed == batch
+
+
+def test_embedding_decontaminate_removes_bench_near_dups(spark):
+    """A corpus vector identical (or near-identical) to a benchmark
+    vector must be removed; kept + flagged partitions the corpus."""
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        embedding_contamination_hits,
+        embedding_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(1000, [1.0, 0.0, 0.0, 0.0]), (1001, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),      # exact benchmark copy
+            (2, [0.95, 0.3122, 0.0, 0.0]),  # near bench 1000
+            (3, [0.0, 0.0, 1.0, 0.0]),      # orthogonal: clean
+            (4, [0.0, 0.0, 0.0, -1.0]),     # clean
+        ],
+        ["vec_id", "embedding"],
+    )
+    hits = {
+        r["vec_id"]: r["bench_sim"]
+        for r in embedding_contamination_hits(
+            corpus, bench, "embedding", "vec_id", threshold=0.9
+        ).collect()
+    }
+    assert set(hits) == {1, 2}
+    assert hits[1] == 1.0
+    kept = embedding_decontaminate(
+        corpus, bench, "embedding", "vec_id", threshold=0.9
+    )
+    assert {r["vec_id"] for r in kept.collect()} == {3, 4}
