@@ -74,6 +74,8 @@ def main() -> None:
         "docs_temperature_resample",
         "docs_train_shards",
         "emb_decontaminate",
+        "docs_leakage_split_banded",
+        "docs_lm_bigram_perplexity",
     ):
         if extra in registry:
             names.append(extra)

@@ -1052,6 +1052,9 @@ _NL_ALLOWED = {
     # mixture totals) — BNLJ over exactly one broadcast row, bounded
     "docs_lm_perplexity", "docs_source_mixture",
     "docs_temperature_resample",
+    # same 1-row-total pattern: bigram-LM normalizer; the pipeline
+    # embeds temperature_rates' two scalar totals
+    "docs_lm_bigram_perplexity", "pipeline_training_data",
 }
 
 

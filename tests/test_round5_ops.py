@@ -1003,3 +1003,59 @@ def test_embedding_decontaminate_removes_bench_near_dups(spark):
         corpus, bench, "embedding", "vec_id", threshold=0.9
     )
     assert {r["vec_id"] for r in kept.collect()} == {3, 4}
+
+
+def test_leakage_split_banded_agreement(spark):
+    """Quality gate for the banded (100 TB) decontamination split: its
+    routing must agree with the oracle-checked exact split on >= 99%
+    of documents, and both sides of the split stay populated."""
+    from pl_fuzzy_frame_match_spark.operators.dedup import (
+        leakage_safe_split,
+        minhash_dedup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = leakage_safe_split(
+        docs, "text", "doc_id", test_rate=0.2, threshold=0.2
+    ).select("doc_id", "split")
+    banded = leakage_safe_split(
+        docs, "text", "doc_id", test_rate=0.2,
+        pairs=minhash_dedup_pairs(
+            docs, "text", "doc_id", jaccard_distance=0.8
+        ),
+    ).select("doc_id", F.col("split").alias("bsplit"))
+    j = exact.join(banded, on="doc_id").localCheckpoint()
+    n = j.count()
+    agree = j.filter(F.col("split") == F.col("bsplit")).count()
+    assert n > 0 and agree / n >= 0.99, (agree, n)
+    sides = {r["bsplit"] for r in j.select("bsplit").distinct().collect()}
+    assert sides == {"train", "test"}
+
+
+def test_shard_of_matches_duckdb_on_hostile_keys(spark):
+    """Engine-portability property for shard routing: Spark and DuckDB
+    agree on every shard assignment for hostile keys (negatives, zero,
+    int64 extremes) and several shard counts."""
+    import duckdb
+
+    keys = [0, 1, -1, 7, -42, 2**62, -(2**62), 999999999999, -13]
+    from pl_fuzzy_frame_match_spark.functions.sampling import (
+        shard_of,
+        shard_sql,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    con = duckdb.connect()
+    for n in (2, 16, 64, 1000):
+        got = {
+            r["k"]: r["s"]
+            for r in df.select("k", shard_of(F.col("k"), n).alias("s"))
+            .collect()
+        }
+        expr = shard_sql("k", n)
+        want = {
+            k: con.sql(f"SELECT {expr} FROM (SELECT {k} AS k)").fetchone()[0]
+            for k in keys
+        }
+        assert got == want, (n, got, want)
+        assert all(0 <= s < n for s in got.values())
