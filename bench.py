@@ -76,6 +76,8 @@ def main() -> None:
         "emb_decontaminate",
         "docs_leakage_split_banded",
         "docs_lm_bigram_perplexity",
+        "pipeline_training_data",
+        "pipeline_pretrain_corpus",
     ):
         if extra in registry:
             names.append(extra)
@@ -137,19 +139,37 @@ def main() -> None:
             mins[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Driver contract (VERDICT r5 #1): the compact headline record must be
+    # the LAST stdout line and stay small enough for the driver's tail
+    # capture — BENCH_r05.json came back "parsed": null because the line
+    # grew past it once queries_min was inlined. Per-query mins, trial
+    # count, and errors go to a sidecar file instead of stdout.
+    detail = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "trials": TRIALS,
+        "queries_median": timings,
+        "queries_min": mins,
+        "errors": errors,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+
     record = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "trials": TRIALS,
-        "queries_min": mins,
+        "sf": sf_val,
     }
-    if errors:
-        record["errors"] = errors
-    print(json.dumps(record))
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(record))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -1139,6 +1139,20 @@ def semantic_dedup_pairs_kmeans(
     )
 
 
+# Crossover for leakage_safe_split's default near-dup edge source
+# (VERDICT r5 #2, O4-style planner bound). Prefix filtering keeps
+# ~(1-t)*|set|+1 tokens per doc in the join index — at the split's
+# default t=0.2 that indexes ~80% of every doc's shingles, so the
+# exact candidate join degenerates toward all-pairs-with-shared-vocab
+# exactly on large corpora. Measured at sf0.1 (5,000 docs): exact
+# 33.2 s vs banded 5.0 s with 4998/5000 identical routing (PLANS.md
+# r5), so past this many documents the default edge source switches
+# to MinHash-banded candidates whose survivors are STILL verified
+# with the exact Jaccard (precision exact; recall is the banding
+# probability, gated by test_leakage_split_banded_agreement).
+LEAKAGE_EXACT_DOC_CAP = 2_000
+
+
 def leakage_safe_split(
     df: DataFrame,
     text_col: str,
@@ -1163,10 +1177,15 @@ def leakage_safe_split(
     linear-shuffle formulations; nothing quadratic, nothing driver-
     side past the bounded component labels.
 
-    ``pairs`` swaps the near-dup edge source: the default is the
-    EXACT prefix-filtered join (oracle-replayable); at 100 TB pass
-    ``minhash_dedup_pairs(...)`` — banded candidates keep every
-    stage linear and the split logic downstream is unchanged."""
+    The near-dup edge source is PLANNER-CHOSEN (VERDICT r5 #2): below
+    ``LEAKAGE_EXACT_DOC_CAP`` documents the EXACT prefix-filtered join
+    builds the edges (oracle-replayable, and cheap while prefix
+    indexes stay small); above it, MinHash-BANDED candidates with the
+    exact Jaccard verify on survivors — every stage linear in the
+    corpus, so the composed pipeline is scale-safe by DEFAULT rather
+    than via this escape hatch. ``pairs`` still overrides both (any
+    (left_id, right_id) frame; the split logic downstream is
+    unchanged)."""
     from ..functions.sampling import rate_predicate
     from .graph import connected_components
 
@@ -1174,9 +1193,18 @@ def leakage_safe_split(
         F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
     )
     if pairs is None:
-        pairs = prefix_filter_jaccard_pairs(
-            clean, text_col, id_col, threshold, shingle_n
-        )
+        if clean.count() <= LEAKAGE_EXACT_DOC_CAP:
+            pairs = prefix_filter_jaccard_pairs(
+                clean, text_col, id_col, threshold, shingle_n
+            )
+        else:
+            pairs = minhash_dedup_pairs(
+                clean,
+                text_col,
+                id_col,
+                jaccard_distance=1.0 - threshold,
+                shingle_n=shingle_n,
+            )
     pairs = pairs.select("left_id", "right_id")
     cc = connected_components(pairs).withColumnRenamed("node", id_col)
     labeled = clean.join(cc, on=id_col, how="left").withColumn(

@@ -97,14 +97,19 @@ def _png_header_meta(data: bytes):
 
 
 def _gif_header_meta(data: bytes):
-    """(width, height, 3) from the first image descriptor (falling
-    back to the logical screen) — no LZW. None if not a GIF."""
+    """(width, height, 3) from the first image descriptor — no LZW.
+    Falls back to the logical-screen dimensions only when an image
+    descriptor byte WAS seen but its block is truncated; a stream
+    containing no image descriptor at all returns None (ADVICE r5:
+    a truncated GIF with no image data must not report valid
+    dimensions). None if not a GIF."""
     if len(data) < 13 or bytes(data[:6]) not in (b"GIF87a", b"GIF89a"):
         return None
     packed = data[10]
     pos = 13
     if packed & 0x80:
         pos += 3 * (2 << (packed & 0x07))
+    truncated_descriptor = False
     while pos < len(data):
         b = data[pos]
         if b == 0x21:
@@ -113,13 +118,17 @@ def _gif_header_meta(data: bytes):
                 pos += 1 + data[pos]
             pos += 1
             continue
-        if b == 0x2C and pos + 10 <= len(data):
-            w = int.from_bytes(data[pos + 5 : pos + 7], "little")
-            h = int.from_bytes(data[pos + 7 : pos + 9], "little")
-            if w > 0 and h > 0:
-                return w, h, 3
-            return None
+        if b == 0x2C:
+            if pos + 10 <= len(data):
+                w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+                h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+                if w > 0 and h > 0:
+                    return w, h, 3
+                return None
+            truncated_descriptor = True
         break
+    if not truncated_descriptor:
+        return None
     w = int.from_bytes(data[6:8], "little")
     h = int.from_bytes(data[8:10], "little")
     return (w, h, 3) if w > 0 and h > 0 else None
@@ -176,13 +185,17 @@ def decode_image(
                     mw, mh, mc = meta
                     rows.append((rid, len(data), mw, mh, mc))
                     continue
-                if bytes(data[:8]) == _PNG_SIG or bytes(data[:6]) in (
+                magic_img = bytes(data[:8]) == _PNG_SIG or bytes(data[:6]) in (
                     b"GIF87a",
                     b"GIF89a",
-                ):
-                    rows.append((rid, len(data), None, None, None))
-                    continue
+                )
                 if not use_pil:
+                    if magic_img:
+                        # PNG/GIF magic but the native header parser
+                        # rejected it, and no Pillow to retry with:
+                        # metadata nulls, row survives.
+                        rows.append((rid, len(data), None, None, None))
+                        continue
                     # other formats without Pillow: the decoder
                     # genuinely cannot run — honest failure
                     raise NotImplementedError(
@@ -191,6 +204,10 @@ def decode_image(
                         " GIF decode natively, or pass fake=True for"
                         " the stub"
                     )
+                # Pillow is importable: PNG/GIF payloads the native
+                # header parser rejects (bit depths 1/2/4/16, exotic
+                # color types) are often still VALID — let Pillow try
+                # before emitting the null row (ADVICE r5).
                 try:
                     import io
 

@@ -1,0 +1,153 @@
+"""Round-6 regression tests: ADVICE-r5 fixes and VERDICT-r5 items."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pl_fuzzy_frame_match_spark.operators.multimodal import (
+    _gif_header_meta,
+    gif_encode_pixels,
+)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r5 (low): a truncated GIF containing NO image descriptor must
+# report null metadata, not the logical-screen dimensions.
+# ---------------------------------------------------------------------------
+
+
+def _gif_header(w: int = 7, h: int = 5) -> bytearray:
+    """GIF89a header + logical screen descriptor, no color table."""
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x00, 0x00, 0x00])  # packed (no GCT), bg, aspect
+    return out
+
+
+def test_gif_header_meta_no_descriptor_returns_none():
+    # header only — no image descriptor at all
+    assert _gif_header_meta(bytes(_gif_header())) is None
+    # header + a graphic-control extension, still no descriptor
+    ext = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    assert _gif_header_meta(bytes(_gif_header()) + ext) is None
+    # header + trailer
+    assert _gif_header_meta(bytes(_gif_header()) + b"\x3b") is None
+
+
+def test_gif_header_meta_truncated_descriptor_falls_back():
+    # descriptor byte present but its 10-byte block truncated: the
+    # logical-screen fallback is the documented behavior here.
+    data = bytes(_gif_header(7, 5)) + bytes([0x2C, 0x00, 0x00])
+    assert _gif_header_meta(data) == (7, 5, 3)
+
+
+def test_gif_header_meta_full_descriptor_still_parses():
+    payload = gif_encode_pixels(
+        [[0, 1], [1, 0]], [(0, 0, 0), (255, 255, 255)]
+    )
+    meta = _gif_header_meta(payload)
+    assert meta == (2, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r5 #1: bench.py's stdout contract — the compact headline JSON
+# line must be the LAST stdout line and must not carry the per-query
+# mins (those go to BENCH_DETAIL.json). Static check on the emitted
+# record shape without running the 4-minute bench.
+# ---------------------------------------------------------------------------
+
+
+def test_bench_record_shape_is_compact():
+    src = open("bench.py").read()
+    # detail (mins, trials, errors) goes to the sidecar, not stdout
+    assert "BENCH_DETAIL.json" in src
+    # the stdout record must not inline queries_min
+    import ast
+
+    tree = ast.parse(src)
+    record_keys = None
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Assign)
+            and isinstance(node.targets[0], ast.Name)
+            and node.targets[0].id == "record"
+            and isinstance(node.value, ast.Dict)
+        ):
+            record_keys = [
+                k.value for k in node.value.keys if isinstance(k, ast.Constant)
+            ]
+    assert record_keys is not None
+    assert "queries_min" not in record_keys
+    assert "errors" not in record_keys
+    assert {"metric", "value", "queries", "sf"} <= set(record_keys)
+    # print(json.dumps(record)) must be the final statement sequence
+    # after spark.stop() so no later stdout can displace it
+    assert src.index("spark.stop()") < src.index("print(json.dumps(record))")
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r5 #2: leakage_safe_split's default edge source is planner-
+# chosen — exact prefix-filter edges below LEAKAGE_EXACT_DOC_CAP,
+# MinHash-banded candidates + exact verify above. Pin the crossover by
+# monkeypatching the bound and spying which builder runs.
+# ---------------------------------------------------------------------------
+
+
+def _split_edge_source(spark, monkeypatch, cap):
+    from pl_fuzzy_frame_match_spark.operators import dedup
+
+    calls = []
+    real_exact = dedup.prefix_filter_jaccard_pairs
+    real_banded = dedup.minhash_dedup_pairs
+
+    def spy_exact(*a, **kw):
+        calls.append("exact")
+        return real_exact(*a, **kw)
+
+    def spy_banded(*a, **kw):
+        calls.append("banded")
+        return real_banded(*a, **kw)
+
+    monkeypatch.setattr(dedup, "prefix_filter_jaccard_pairs", spy_exact)
+    monkeypatch.setattr(dedup, "minhash_dedup_pairs", spy_banded)
+    monkeypatch.setattr(dedup, "LEAKAGE_EXACT_DOC_CAP", cap)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup.leakage_safe_split(
+        docs, "text", "doc_id", test_rate=0.2, threshold=0.2
+    )
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides == {"train", "test"}
+    return calls
+
+
+def test_leakage_split_exact_below_cap(spark, monkeypatch):
+    calls = _split_edge_source(spark, monkeypatch, cap=10_000)
+    assert calls == ["exact"]
+
+
+def test_leakage_split_banded_above_cap(spark, monkeypatch):
+    calls = _split_edge_source(spark, monkeypatch, cap=10)
+    assert calls == ["banded"]
+
+
+def test_leakage_split_explicit_pairs_skips_both(spark, monkeypatch):
+    from pl_fuzzy_frame_match_spark.operators import dedup
+
+    def boom(*a, **kw):  # pragma: no cover - must not run
+        raise AssertionError("default edge builder ran despite pairs=")
+
+    monkeypatch.setattr(dedup, "prefix_filter_jaccard_pairs", boom)
+    monkeypatch.setattr(dedup, "minhash_dedup_pairs", boom)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = spark.createDataFrame(
+        [(1, 2)], ["left_id", "right_id"]
+    )
+    out = dedup.leakage_safe_split(
+        docs, "text", "doc_id", test_rate=0.2, pairs=pairs
+    )
+    row = out.where(F.col("doc_id").isin(1, 2)).select(
+        "component"
+    ).distinct().collect()
+    assert len(row) == 1  # 1 and 2 share a component via the edge
