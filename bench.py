@@ -78,6 +78,7 @@ def main() -> None:
         "docs_lm_bigram_perplexity",
         "pipeline_training_data",
         "pipeline_pretrain_corpus",
+        "dedup_images_dhash",
     ):
         if extra in registry:
             names.append(extra)

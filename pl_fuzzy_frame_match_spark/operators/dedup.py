@@ -337,24 +337,43 @@ def simhash_dedup_pairs(
     sh = _fanout(df).select(
         F.col(id_col), simhash64(F.col(text_col)).alias("__simhash")
     ).localCheckpoint(eager=True)
+    return hamming_band_pairs(sh, id_col, "__simhash", max_hamming, bands)
+
+
+def hamming_band_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    bands: int,
+) -> DataFrame:
+    """Shared Hamming-banding stage over any 64-bit hash column:
+    pigeonhole candidate generation (``bands`` equi-joins on a
+    ``64/bands``-bit key — any pair within Hamming ``bands - 1``
+    agrees exactly on >= 1 band, so recall is COMPLETE up to that
+    distance) then the exact ``bit_count(a ^ b)`` verify. Used by the
+    text SimHash path (:func:`simhash_dedup_pairs`) and the image
+    dhash/phash path (`operators/imagehash.image_near_dup_pairs`).
+    ``hashed`` should be materialized by the caller (both join sides
+    read it). Returns (left_id, right_id, hamming), i < j, deduped."""
     band_width = 64 // bands
-    banded = sh.select(
+    banded = hashed.select(
         id_col,
-        "__simhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
                         F.shiftrightunsigned(
-                            F.col("__simhash"), i * band_width
+                            F.col(hash_col), i * band_width
                         ).bitwiseAND(F.lit((1 << band_width) - 1)).alias("key"),
                     )
                     for i in range(bands)
                 ]
             )
         ).alias("__band"),
-    ).select(id_col, "__simhash", "__band.band", "__band.key")
+    ).select(id_col, hash_col, "__band.band", "__band.key")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -369,7 +388,7 @@ def simhash_dedup_pairs(
             F.col(f"a.{id_col}").alias("left_id"),
             F.col(f"b.{id_col}").alias("right_id"),
             F.bit_count(
-                F.col("a.__simhash").bitwiseXOR(F.col("b.__simhash"))
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,253 @@
+"""Perceptual image hashing + near-duplicate IMAGE dedup — the
+multimodal analogue of MinHash text dedup a training-data pipeline
+needs (VERDICT r5 #7).
+
+Hashes are computed over the REAL decoded pixels (the pure-Python
+PNG/GIF codecs in `operators/multimodal.py` — no imaging library), in
+the SAME Arrow-batched ``mapInPandas`` pass as the decode, so hashing
+10^9 stored images is one map-only scan: no shuffle until the
+(tiny) hash frame reaches the banding join.
+
+Two hashes, two contracts:
+
+- ``dhash64`` (gradient hash, Krawetz): INTEGER-EXACT by construction
+  — integer-mean grayscale, area-mean downscale to an 8-row x 9-col
+  grid with floor boundaries, one bit per horizontally-adjacent cell
+  comparison. Every step is integer arithmetic, so a SQL oracle can
+  recompute the hash from a closed-form pixel function WITHOUT
+  decoding, value-checking the decode -> hash path end to end.
+- ``phash64`` (DCT hash): 32x32 resample -> 2-D DCT-II -> low-
+  frequency 8x8 block -> median threshold. Float DCT, deterministic
+  within an engine but not SQL-replayable; quality-gated by tests.
+
+Near-dup pairs use the dedup family's Hamming banding
+(`operators/dedup.hamming_band_pairs` — the SimHash machinery): with
+``bands`` 16-bit bands, any pair within Hamming distance ``bands - 1``
+agrees exactly on >= 1 band (pigeonhole), so for the default
+``max_hamming=3, bands=4`` the banded candidate set is COMPLETE — the
+operator is exact, not approximate, and the DuckDB oracle replays the
+full pair set brute-force.
+
+The reference (a fuzzy string matcher) has no image surface; this is
+a pipeline extension in the same family as `operators/dedup.py`.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# dhash grid: 8 rows x 9 cols -> 8x8 horizontal comparisons = 64 bits
+_DH_ROWS, _DH_COLS = 8, 9
+
+
+def dhash64_from_pixels(px) -> int | None:
+    """64-bit gradient hash from a ``uint8 ndarray[h, w, nch]`` —
+    integer arithmetic only (SQL-replayable): grayscale is the
+    integer mean across channels, downscale is the floor of each
+    area-block's pixel sum over its pixel count, bit ``i*8 + j`` is
+    ``cell[i][j] < cell[i][j+1]``. None when the raster is smaller
+    than the grid (no empty blocks)."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    if h < _DH_ROWS or w < _DH_COLS:
+        return None
+    nch = px.shape[2] if px.ndim == 3 else 1
+    g = px.reshape(h, w, nch).astype(np.int64).sum(axis=2) // nch
+    rb = [(i * h) // _DH_ROWS for i in range(_DH_ROWS + 1)]
+    cb = [(j * w) // _DH_COLS for j in range(_DH_COLS + 1)]
+    cells = [
+        [
+            int(g[rb[i] : rb[i + 1], cb[j] : cb[j + 1]].sum())
+            // ((rb[i + 1] - rb[i]) * (cb[j + 1] - cb[j]))
+            for j in range(_DH_COLS)
+        ]
+        for i in range(_DH_ROWS)
+    ]
+    val = 0
+    for i in range(_DH_ROWS):
+        for j in range(_DH_COLS - 1):
+            if cells[i][j] < cells[i][j + 1]:
+                val |= 1 << (i * 8 + j)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def phash64_from_pixels(px) -> int | None:
+    """64-bit DCT hash (pHash): nearest-sample to 32x32 grayscale,
+    2-D DCT-II, keep the low-frequency 8x8 block, threshold each
+    coefficient against the block median. Float math — deterministic
+    in-engine (fixed numpy ops), not SQL-replayable."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    if h < 2 or w < 2:
+        return None
+    nch = px.shape[2] if px.ndim == 3 else 1
+    g = px.reshape(h, w, nch).astype(np.float64).mean(axis=2)
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * w) // 32
+    s = g[np.ix_(yi, xi)]
+    k = np.arange(32)
+    u = k.reshape(-1, 1)
+    c = np.cos(np.pi * (k + 0.5) * u / 32.0)  # DCT-II basis
+    d = c @ s @ c.T
+    block = d[:8, :8].ravel()
+    med = float(np.median(block))
+    val = 0
+    for idx, coef in enumerate(block):
+        if coef > med:
+            val |= 1 << idx
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+IMAGE_HASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("dhash", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def image_hashes(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, width, height, dhash, phash) per image payload — REAL
+    PNG/GIF pixel decode and both hashes in ONE Arrow-batched
+    ``mapInPandas`` pass (map-only; the hash frame is ~24 bytes/image
+    no matter the raster size, so everything downstream is tiny).
+    Undecodable or sub-grid payloads emit null hashes and the row
+    survives — a corrupt image must never kill a stage.
+
+    Small single-file scans arrive as ONE partition and would run the
+    whole decode serially (the `_fanout` gotcha, PLANS.md r5) — fan
+    out first; at real scale the scan already has enough partitions
+    and the fanout is a no-op."""
+    from .dedup import _fanout
+    from .multimodal import gif_decode_pixels, png_decode_pixels
+
+    df = _fanout(df.select(id_col, payload_col))
+
+    schema = StructType(
+        [StructField(id_col, LongType())] + IMAGE_HASH_SCHEMA.fields[1:]
+    )
+
+    def hash_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                dec = png_decode_pixels(b) or gif_decode_pixels(b)
+                if dec is None:
+                    rows.append((rid, None, None, None, None))
+                    continue
+                h, w, _nch, px = dec
+                rows.append(
+                    (
+                        rid,
+                        w,
+                        h,
+                        dhash64_from_pixels(px),
+                        phash64_from_pixels(px),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        hash_batches, schema=schema
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int = 4,
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate image pairs (left_id < right_id, hamming):
+    decode + hash in one map-only pass, then the dedup family's
+    Hamming banding over the 64-bit hash. For ``max_hamming <=
+    bands - 1`` the pigeonhole guarantee makes the candidate set
+    COMPLETE, so with the integer-exact dhash the whole operator is
+    SQL-oracle-replayable; larger ``max_hamming`` trades recall for
+    the same banding cost (the SimHash contract)."""
+    from .dedup import hamming_band_pairs
+
+    hashed = (
+        image_hashes(df, id_col, payload_col)
+        .where(F.col(hash_col).isNotNull())
+        .select(F.col(id_col), F.col(hash_col).alias("__ihash"))
+        # both banding sides read this frame; one decode pass, not two
+        .localCheckpoint(eager=True)
+    )
+    return hamming_band_pairs(hashed, id_col, "__ihash", max_hamming, bands)
+
+
+def synthesize_near_dup_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    group_size: int = 4,
+) -> DataFrame:
+    """Attach a deterministic 16x16 grayscale PNG per row where docs
+    sharing ``doc_id // group_size`` are NEAR-DUPLICATES: the base
+    raster is a closed-form integer hash of (group, y, x) — QUADRATIC
+    in the mixed index, because a linear Weyl sequence gives every
+    group the same gradient structure and dhash (gradient-based) then
+    collides across groups (measured: 6,384 incidental cross-group
+    pairs linear vs 0 quadratic at 500 docs) — and each variant
+    ``v = doc_id % group_size`` is a uniform +v brightness shift
+    clamped at 255, so within-group hashes agree to Hamming <= 1
+    (dhash's exposure invariance) while cross-group hashes are
+    independent. All intermediates stay under 2^63 (BIGINT-safe for
+    the DuckDB replay). Every PNG filter type appears ((id+y) % 5).
+    Closed form => a SQL oracle recomputes the exact dhash without
+    decoding (same construction as `synthesize_png_corpus`)."""
+    import numpy as np
+
+    from .multimodal import png_encode_pixels
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(payload_col, BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                d = int(rid)
+                gid, v = d // group_size, d % group_size
+                y, x = np.meshgrid(
+                    np.arange(16), np.arange(16), indexing="ij"
+                )
+                a = (gid * 131 + y * 31 + x + 1).astype(np.int64)
+                h1 = (a * a) % 16777216
+                base = ((h1 * 2654435761) % (1 << 32)) // (1 << 24)
+                px = np.minimum(base + v, 255).astype("uint8")
+                px = px.reshape(16, 16, 1)
+                filters = [(d + yy) % 5 for yy in range(16)]
+                payloads.append(png_encode_pixels(px, 0, filters))
+            out = pdf.copy()
+            out[payload_col] = payloads
+            yield out
+
+    return df.mapInPandas(synth, out_schema)
