@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 # 2M (u, v) longs is ~32 MB on the driver. Past the limit the
 # pointer-jumping loop below is the (unchanged) 100 TB path — the
 # crossover is planner-chosen from the measured count, same pattern as
-# the vector family's broadcast <-> blocked switch.
+# the vector family's broadcast <-> blocked switch. (The crossover
+# compares the RAW input count against LIMIT/2 — the same boundary,
+# measured before the 2x symmetrize.)
 SMALL_GRAPH_EDGE_LIMIT = 2_000_000
 
 
@@ -84,16 +86,23 @@ def connected_components(
     ``component`` is the minimum node id reachable from ``node``
     (undirected). Deterministic: min-id labeling has a unique fixpoint.
     """
-    sym = edges.select(
+    raw = edges.select(
         F.col(left_col).cast("long").alias("u"),
         F.col(right_col).cast("long").alias("v"),
     )
-    sym = sym.union(
-        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # materialize the INPUT once before anything references it twice:
+    # symmetrizing first (union of both orientations) evaluated the
+    # whole upstream pair-search plan TWICE inside one checkpoint job
+    # (measured on the semantic-dedup keep path, VERDICT r5 #5)
+    raw = raw.localCheckpoint(eager=True)
+    if raw.count() <= SMALL_GRAPH_EDGE_LIMIT // 2:  # free: checkpointed
+        # union-find is orientation-agnostic and dup-tolerant: skip the
+        # symmetrize + distinct shuffle entirely on the driver path
+        return _driver_union_find(raw)
+    sym = raw.union(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
     sym = sym.localCheckpoint(eager=True)
-    if sym.count() <= SMALL_GRAPH_EDGE_LIMIT:  # free: checkpointed
-        return _driver_union_find(sym)
 
     labels = (
         sym.groupBy("u")
