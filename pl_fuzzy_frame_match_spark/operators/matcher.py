@@ -55,6 +55,7 @@ from ..plans.planner import (
     get_count_and_approx_uniqueness,
     get_count_uniqueness_and_maxlen,
     order_mappings_by_selectivity,
+    promote_exact_mappings,
     should_deduplicate_inputs,
 )
 from .candidates import (
@@ -82,6 +83,17 @@ LEFT_INDEX = "__left_index"
 RIGHT_INDEX = "__right_index"
 _DIST = "__fuzzy_dist"
 _SCORE = "__fuzzy_score"
+
+# Refine rounds score far fewer pairs per task than the cross-join
+# tier (PAIRS_PER_TASK): the surviving pair set is usually small, and
+# one coalesced partition serializes the kernel — spread it thinner.
+REFINE_PAIRS_PER_TASK = 20_000
+
+# Above this uniqueness ratio on BOTH refine columns, the distinct
+# value-pair frame would be ~the row-level pair frame, so refine
+# scores rows directly (no distinct, no join-back, no eager
+# checkpoint — the round stays one lazy plan).
+REFINE_DIRECT_UNIQUENESS = 0.8
 
 # Broadcast an indexed input frame into pair-level joins when its row
 # count (known exactly from the planner pass) is below this. The frames
@@ -336,6 +348,7 @@ def refine_matches(
     mapping: FuzzyMapping,
     n_left: Optional[int] = None,
     n_right: Optional[int] = None,
+    direct: bool = False,
 ) -> DataFrame:
     """Rounds 2..n (reference matcher.py:188-238, 456-491): restrict to
     surviving index pairs, score each DISTINCT (left value, right value)
@@ -390,9 +403,57 @@ def refine_matches(
             .withColumn(mapping.output_column_name, F.lit(1.0))
             .drop(mapping.left_col, mapping.right_col)
         )
+    if direct:
+        # near-unique refine columns (planner-flagged): the distinct
+        # value-pair frame would be ~the row-level frame, so the
+        # distinct + join-back machinery is pure overhead — score the
+        # rows directly. Single reference to `existing` => the whole
+        # round stays one lazy plan with NO eager checkpoint (the
+        # exact-shortcut insight, extended). The round-robin
+        # repartition + LAZY checkpoint barrier parallelizes the
+        # kernel (AQE coalesces the surviving-pair exchange to ~1
+        # partition otherwise) without a separate blocking job.
+        cores = existing.sparkSession.sparkContext.defaultParallelism
+        la, lb = _LC_PREFIX + "refine_l", _LC_PREFIX + "refine_r"
+        return (
+            _vals(existing)
+            .repartition(cores * 2)
+            .localCheckpoint(eager=False)
+            .withColumn(la, F.lower(F.col(mapping.left_col)))
+            .withColumn(lb, F.lower(F.col(mapping.right_col)))
+            .withColumn(
+                _DIST,
+                distance_column(
+                    mapping.fuzzy_type,
+                    F.col(la),
+                    F.col(lb),
+                    mapping.reversed_threshold_score,
+                ),
+            )
+            .filter(F.col(_DIST) <= F.lit(mapping.reversed_threshold_score))
+            .withColumn(
+                mapping.output_column_name, F.lit(1.0) - F.col(_DIST)
+            )
+            .drop(la, lb, _DIST, mapping.left_col, mapping.right_col)
+        )
     existing = existing.localCheckpoint(eager=True)
     vals = _vals(existing)
     distinct_pairs = vals.select(mapping.left_col, mapping.right_col).distinct()
+    # Parallelize the refine-round scoring (O10 made this path carry
+    # real fuzzy work): AQE coalesces the small distinct-pair exchange
+    # to ONE partition, serializing the distance kernel (the same
+    # measured gotcha as the dedup verify stages). Repartition by the
+    # surviving-pair volume — the count is free off the checkpoint —
+    # behind a LAZY localCheckpoint barrier so Catalyst cannot sink
+    # the scoring projection below the round-robin exchange back into
+    # the single-partition aggregate stage.
+    n_pairs = existing.count()
+    cores = existing.sparkSession.sparkContext.defaultParallelism
+    n_parts = int(min(max(n_pairs // REFINE_PAIRS_PER_TASK, 1), cores * 2))
+    if n_parts > 1:
+        distinct_pairs = distinct_pairs.repartition(n_parts).localCheckpoint(
+            eager=False
+        )
     # alias the lowercased pair in a projection: an inline lower() is
     # re-evaluated at every reference in the distance expression tree
     # (levenshtein args + both lengths + the banded cap — ~6x per row);
@@ -550,6 +611,9 @@ def fuzzy_match_dfs(
     maps = order_mappings_by_selectivity(
         maps, left_uniq, right_uniq, left_count, right_count
     )
+    maps = promote_exact_mappings(  # O10: equi-joins shrink fuzzy rounds
+        maps, left_uniq, right_uniq, left_count, right_count
+    )
     logger.info(
         "fuzzy plan: %d x %d rows, mapping order %s",
         left_count,
@@ -605,8 +669,20 @@ def fuzzy_match_dfs(
             logger.info(
                 "refining matches on %s ~ %s", mapping.left_col, mapping.right_col
             )
+            direct = (
+                left_uniq.get(mapping.left_col, 0)
+                >= REFINE_DIRECT_UNIQUENESS * left_count
+                and right_uniq.get(mapping.right_col, 0)
+                >= REFINE_DIRECT_UNIQUENESS * right_count
+            )
             matches = refine_matches(
-                left_i, right_i, matches, mapping, left_count, right_count
+                left_i,
+                right_i,
+                matches,
+                mapping,
+                left_count,
+                right_count,
+                direct=direct,
             )
 
     # ---- PHASE D: payload re-attach + frozen column order

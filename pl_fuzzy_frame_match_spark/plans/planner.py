@@ -104,6 +104,53 @@ def order_mappings_by_selectivity(
     return sorted(out, key=lambda m: m.perc_unique, reverse=True)
 
 
+# O10 cap: promote exact (threshold-100) mappings ahead of fuzzy ones
+# only when the estimated equi-join survivor volume is safely
+# materializable — the promoted plan CHECKPOINTS the surviving pair
+# frame before fuzzy refinement, so a non-selective exact key (few
+# distinct values) must not turn the shortcut into a cartesian-sized
+# materialization.
+EXACT_FIRST_PAIR_CAP = 5_000_000
+
+
+def promote_exact_mappings(
+    fuzzy_maps: Sequence[FuzzyMapping],
+    left_uniq: Dict[str, int],
+    right_uniq: Dict[str, int],
+    left_count: int,
+    right_count: int,
+) -> List[FuzzyMapping]:
+    """O10 (Spark-first extension; VERDICT r5 #3): a threshold-100
+    mapping is an EQUALITY predicate, and its round plans as a hash
+    equi-join — orders of magnitude cheaper than fuzzy scoring. Running
+    exact mappings FIRST shrinks the pair set every fuzzy round must
+    score: on the two-mapping bench shape (15K x 1K names x 25 nation
+    keys) the fuzzy round scores ~600K equi-surviving pairs instead of
+    the 15M cartesian. Conjunction semantics make the result identical
+    in any order (the monotonicity property the reference pins); only
+    the cost moves. Estimated survivors under a uniform key
+    distribution: cartesian / max(distinct_left, distinct_right),
+    taking the most selective exact mapping; promotion only fires when
+    that estimate fits ``EXACT_FIRST_PAIR_CAP``. The reference's own
+    ordering (O1, process.py uniqueness sort) has no exact-mapping
+    special case because its engine scores all rounds the same way."""
+    exact = [m for m in fuzzy_maps if m.reversed_threshold_score == 0.0]
+    fuzzy = [m for m in fuzzy_maps if m.reversed_threshold_score != 0.0]
+    if not exact or not fuzzy:
+        return list(fuzzy_maps)
+    cart = max(left_count, 1) * max(right_count, 1)
+    est = min(
+        cart
+        // max(
+            left_uniq.get(m.left_col, 1), right_uniq.get(m.right_col, 1), 1
+        )
+        for m in exact
+    )
+    if est <= EXACT_FIRST_PAIR_CAP:
+        return exact + fuzzy  # each block keeps its selectivity order
+    return list(fuzzy_maps)
+
+
 def should_deduplicate_inputs(
     fuzzy_maps: Sequence[FuzzyMapping], left_count: int, right_count: int
 ) -> bool:

@@ -255,3 +255,72 @@ def test_phash_deterministic_and_exposure_stable(spark):
         for v in range(1, 4):
             ham = bin((base ^ one[g * 4 + v]) & ((1 << 64) - 1)).count("1")
             assert ham <= 8, (g, v, ham)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r5 #3: fuzzy_join_multi cost — O10 exact-mapping promotion
+# and the direct (no-distinct, no-checkpoint) refine path.
+# ---------------------------------------------------------------------------
+
+
+def test_promote_exact_mappings_ordering():
+    from pl_fuzzy_frame_match_spark.models import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.plans.planner import (
+        promote_exact_mappings,
+    )
+
+    fz = FuzzyMapping("name", "name_r", threshold_score=65.0)
+    ex = FuzzyMapping("nk", "nk_r", threshold_score=100.0)
+    # selective exact key (25 distinct on 15K x 1K): promoted first
+    out = promote_exact_mappings(
+        [fz, ex], {"name": 15000, "nk": 25}, {"name_r": 1000, "nk_r": 25},
+        15000, 1000,
+    )
+    assert [m.left_col for m in out] == ["nk", "name"]
+    # non-selective exact key (1 distinct value -> est == cartesian
+    # above the cap): order preserved, no promotion
+    out = promote_exact_mappings(
+        [fz, ex], {"name": 15000, "nk": 1}, {"name_r": 1000, "nk_r": 1},
+        15000, 1000,
+    )
+    assert [m.left_col for m in out] == ["name", "nk"]
+    # all-fuzzy or all-exact: unchanged
+    assert promote_exact_mappings(
+        [fz], {"name": 10}, {"name_r": 10}, 10, 10
+    ) == [fz]
+
+
+def test_refine_direct_path_equals_general(spark):
+    """The direct (row-level) refine and the general (distinct +
+    join-back) refine produce identical results — the planner flag
+    only moves cost."""
+    from pl_fuzzy_frame_match_spark import FuzzyMapping, fuzzy_match_dfs
+    from pl_fuzzy_frame_match_spark.operators import matcher
+
+    left = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).selectExpr("c_custkey", "c_name", "CAST(c_nationkey AS STRING) c_nk")
+    right = spark.read.parquet(
+        "/root/testdata/sf0.001/supplier.parquet"
+    ).selectExpr("s_suppkey", "s_name", "CAST(s_nationkey AS STRING) s_nk")
+    maps = [
+        FuzzyMapping("c_nk", "s_nk", threshold_score=100.0),
+        FuzzyMapping("c_name", "s_name", threshold_score=60.0),
+    ]
+
+    def rows(threshold):
+        orig = matcher.REFINE_DIRECT_UNIQUENESS
+        matcher.REFINE_DIRECT_UNIQUENESS = threshold
+        try:
+            out = fuzzy_match_dfs(left, right, maps)
+            return sorted(
+                (r["c_custkey"], r["s_suppkey"],
+                 round(r["c_name_vs_s_name_levenshtein"], 6))
+                for r in out.collect()
+            )
+        finally:
+            matcher.REFINE_DIRECT_UNIQUENESS = orig
+
+    direct = rows(0.0)   # force direct (always eligible)
+    general = rows(2.0)  # force general (never eligible)
+    assert direct == general and len(direct) > 0
