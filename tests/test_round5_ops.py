@@ -292,9 +292,13 @@ def test_banded_tier_plan_shape(spark, monkeypatch):
     monkeypatch.setattr(candidates, "ANN_CATALYST_CAP", 1e4)
     monkeypatch.setattr(candidates, "SKETCH_SCAN_CAP", 1e5)
 
+    # DIVERSE keys (md5-derived): sequential TPC-H names are a
+    # degenerate shingle family, which since round 6 auto-routes to
+    # the blocked sketch scan (test_round6_ops) — the banded plan
+    # shape under test here only serves diverse keys.
     cust = spark.read.parquet(
         "/root/testdata/sf0.001/customer.parquet"
-    ).select("c_custkey", "c_name")
+    ).selectExpr("c_custkey", "md5(CAST(c_custkey AS STRING)) AS c_name")
     reps = spark.range(7).select(F.col("id").alias("__r"))
     left = cust.crossJoin(F.broadcast(reps)).select(
         "c_custkey",

@@ -324,3 +324,74 @@ def test_refine_direct_path_equals_general(spark):
     direct = rows(0.0)   # force direct (always eligible)
     general = rows(2.0)  # force general (never eligible)
     assert direct == general and len(direct) > 0
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r5 #4: degenerate-key detection in the banded tier.
+# ---------------------------------------------------------------------------
+
+
+def _diverse_keys(spark, n=500):
+    return spark.range(n).selectExpr("md5(CAST(id AS STRING)) AS k")
+
+
+def _degenerate_keys(spark, n=500):
+    return spark.range(n).selectExpr(
+        "concat('Customer#', lpad(CAST(id AS STRING), 9, '0')) AS k"
+    )
+
+
+def test_degenerate_key_share_separates_families(spark):
+    from pl_fuzzy_frame_match_spark.operators.candidates import (
+        DEGENERATE_DF_SHARE,
+        _degenerate_key_share,
+    )
+
+    assert _degenerate_key_share(_diverse_keys(spark), "k") < DEGENERATE_DF_SHARE
+    assert (
+        _degenerate_key_share(_degenerate_keys(spark), "k")
+        > DEGENERATE_DF_SHARE
+    )
+    empty = spark.createDataFrame([], "k string")
+    assert _degenerate_key_share(empty, "k") == 0.0
+
+
+def test_banded_tier_routes_degenerate_to_sketch(spark, monkeypatch):
+    """Past SKETCH_SCAN_CAP, a degenerate key family must route to the
+    blocked sketch scan (recall-safe) instead of the banded join; a
+    diverse family keeps the banded plan."""
+    from pl_fuzzy_frame_match_spark.operators import candidates as c
+
+    routed = []
+    real_banded, real_blocked = c._banded_topn, c._sketch_scan_topn_blocked
+
+    def spy_banded(*a, **kw):
+        routed.append("banded")
+        return real_banded(*a, **kw)
+
+    def spy_blocked(*a, **kw):
+        routed.append("sketch_blocked")
+        return real_blocked(*a, **kw)
+
+    monkeypatch.setattr(c, "_banded_topn", spy_banded)
+    monkeypatch.setattr(c, "_sketch_scan_topn_blocked", spy_blocked)
+    # force the banded decade: tiny caps so 500x500 keys overflow both
+    monkeypatch.setattr(c, "SKETCH_SCAN_CAP", 10)
+    monkeypatch.setattr(c, "BROADCAST_KEY_LIMIT", 100)
+
+    left, right = _degenerate_keys(spark), _degenerate_keys(spark)
+    out = c.approx_candidate_pairs(
+        left.selectExpr("k AS a"), right.selectExpr("k AS b"), "a", "b",
+        top_n=3, n_left_keys=500, n_right_keys=500,
+    )
+    assert out.count() > 0
+    assert routed == ["sketch_blocked"]
+
+    routed.clear()
+    out = c.approx_candidate_pairs(
+        _diverse_keys(spark).selectExpr("k AS a"),
+        _diverse_keys(spark).selectExpr("k AS b"),
+        "a", "b", top_n=3, n_left_keys=500, n_right_keys=500,
+    )
+    assert out.count() >= 0
+    assert routed == ["banded"]
