@@ -543,3 +543,30 @@ def shard_sql(key_sql: str, n_shards: int) -> str:
         f"CAST(CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR)),"
         f" 1, 8) AS BIGINT) % {n_shards} AS INT)"
     )
+
+
+def advised_shard_count(
+    executors: int = 1,
+    cores_per_executor: int | None = None,
+    waves: int = 4,
+) -> int:
+    """Shard-count advisory (VERDICT r5 #9): size the shard count from
+    the cluster shape instead of a literal. The shard writer runs one
+    task per shard (``repartition(shard)`` +
+    ``sortWithinPartitions``), so ``n_shards`` must sit WELL ABOVE the
+    total core count for the write to parallelize and for stragglers
+    to overlap — ``executors * cores * waves`` (the same ~2-4x-waves
+    sizing rationale as ``session.cluster_conf``'s shuffle
+    partitions), floored at 16 so tiny local runs still produce a
+    multi-shard layout. ``cores_per_executor`` defaults to the local
+    machine (``SPARK_GRAFT_CPUS`` or ``os.cpu_count``); pass the real
+    executor shape in production — e.g. ``advised_shard_count(1000,
+    8)`` = 32,000 shards for the 100 TB target."""
+    import os
+
+    if cores_per_executor is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+        cores_per_executor = (
+            int(cpus) if cpus.isdigit() else (os.cpu_count() or 4)
+        )
+    return max(16, int(executors) * int(cores_per_executor) * int(waves))

@@ -5246,11 +5246,21 @@ def docs_temperature_resample(
     )
 
 
+# Shard count from the cluster-shape advisory rather than a literal
+# (VERDICT r5 #9): locally this is cores x 4 waves (floored at 16);
+# production passes the real executor shape. The Spark query and its
+# DuckDB oracle both read THIS constant, so the pair stays consistent
+# at any value — pinned by test_train_shards_oracle_at_two_counts.
+from .functions.sampling import advised_shard_count
+
+_TRAIN_SHARD_COUNT = advised_shard_count()
+
+
 @register(
     "docs_train_shards",
     f"""
     WITH d AS (SELECT doc_id,
-                 {shard_sql('doc_id', 16)} AS shard,
+                 {shard_sql('doc_id', _TRAIN_SHARD_COUNT)} AS shard,
                  md5('ord:' || CAST(doc_id AS VARCHAR)) AS ord_key
                FROM documents WHERE doc_id IS NOT NULL),
     rk AS (SELECT doc_id, shard, ord_key,
@@ -5279,9 +5289,12 @@ def docs_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the rank window is one shuffle keyed on shard — exactly
     the `repartition(shard).sortWithinPartitions(ord)` layout the
-    real shard writer produces, one task per shard; pick n_shards
-    well above the executor count in production (the checksum
-    aggregation itself is map-side combined)."""
+    real shard writer produces, one task per shard. The shard count
+    comes from `functions/sampling.advised_shard_count` (cores x 4
+    waves locally, the real executor shape in production) so the
+    write parallelizes and stragglers overlap instead of funneling
+    through a literal 16 reducers (the checksum aggregation itself
+    is map-side combined)."""
     from pyspark.sql import Window
 
     from .functions.sampling import shard_of
@@ -5291,7 +5304,7 @@ def docs_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = docs.select(
         "doc_id",
-        shard_of(F.col("doc_id"), 16).alias("shard"),
+        shard_of(F.col("doc_id"), _TRAIN_SHARD_COUNT).alias("shard"),
         F.md5(
             F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))
         ).alias("ord_key"),

@@ -395,3 +395,67 @@ def test_banded_tier_routes_degenerate_to_sketch(spark, monkeypatch):
     )
     assert out.count() >= 0
     assert routed == ["banded"]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r5 #9: shard-count advisory — oracle green at two counts.
+# ---------------------------------------------------------------------------
+
+
+def test_advised_shard_count():
+    from pl_fuzzy_frame_match_spark.functions.sampling import (
+        advised_shard_count,
+    )
+
+    assert advised_shard_count(1000, 8) == 32_000  # 100 TB target
+    assert advised_shard_count(1, 1) == 16  # floor
+    assert advised_shard_count() >= 16
+
+
+@pytest.mark.parametrize("n_shards", [16, 48])
+def test_train_shards_oracle_at_two_counts(spark, n_shards):
+    """The shard routing + order checksum stays oracle-exact at any
+    shard count — the advisory only changes the parallelism knob."""
+    from pyspark.sql import Window
+
+    from pl_fuzzy_frame_match_spark.functions.sampling import (
+        shard_of,
+        shard_sql,
+    )
+    from .conftest import SF_DIR
+    from .oracle_harness import compare_with_oracle
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("doc_id").isNotNull()
+    )
+    d = docs.select(
+        "doc_id",
+        shard_of(F.col("doc_id"), n_shards).alias("shard"),
+        F.md5(
+            F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))
+        ).alias("ord_key"),
+    )
+    wnd = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    rk = d.withColumn("rk", F.row_number().over(wnd))
+    out = rk.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum((F.col("rk") * F.col("doc_id")) % 1000000007).alias(
+            "order_checksum"
+        ),
+    )
+    sql = f"""
+    WITH d AS (SELECT doc_id, {shard_sql('doc_id', n_shards)} AS shard,
+                 md5('ord:' || CAST(doc_id AS VARCHAR)) AS ord_key
+               FROM documents WHERE doc_id IS NOT NULL),
+    rk AS (SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY ord_key, doc_id) AS rk
+           FROM d)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum((rk * doc_id) % 1000000007) AS BIGINT)
+             AS order_checksum
+    FROM rk GROUP BY shard
+    """
+    compare_with_oracle(out, sql, SF_DIR)
