@@ -459,3 +459,33 @@ def test_train_shards_oracle_at_two_counts(spark, n_shards):
     FROM rk GROUP BY shard
     """
     compare_with_oracle(out, sql, SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r5 #8: the composed pipeline stays healthy on its banded
+# (past-crossover) default — end-to-end composition with banded edges,
+# and the edge builder's plan has no quadratic operator.
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_composes_on_banded_default(spark, monkeypatch):
+    from pl_fuzzy_frame_match_spark.operators import dedup
+    from pl_fuzzy_frame_match_spark import queries as q
+    from pl_fuzzy_frame_match_spark.plans.audit import audit
+
+    # force the past-crossover regime at test scale
+    monkeypatch.setattr(dedup, "LEAKAGE_EXACT_DOC_CAP", 10)
+    out = q.queries()["pipeline_training_data"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 16
+    assert sum(r["n_docs"] for r in rows) > 0
+    # the banded edge builder (the only stage that changes past the
+    # crossover) is hash-join only: no cartesian, no nested loop
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = audit(
+        dedup.minhash_dedup_pairs(docs, "text", "doc_id", jaccard_distance=0.8)
+    )
+    assert a.cartesian_products == 0, a.plan
+    assert a.nested_loop_joins == 0, a.plan
