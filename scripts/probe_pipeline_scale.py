@@ -115,6 +115,14 @@ def main() -> None:
     spark = get_spark("pipeline-scale-probe")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     run(spark, corpus(spark, sf_dir, 1), "1x baseline")
+    # release the 1x run's checkpoint blocks before timing 10x — the
+    # ContextCleaner only frees them after the Python references die,
+    # and accumulated blocks inflate the next run's GC (bench.py
+    # learned the same lesson; first measured here as 78.8 s vs
+    # 29.9 s isolated for the identical 10x split)
+    import gc
+
+    gc.collect()
     run(spark, corpus(spark, sf_dir, replicas), f"{replicas}x")
     spark.stop()
 
