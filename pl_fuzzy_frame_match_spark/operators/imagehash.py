@@ -123,7 +123,10 @@ IMAGE_HASH_SCHEMA = StructType(
 
 
 def image_hashes(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    passthrough_cols: list | None = None,
 ) -> DataFrame:
     """(id, width, height, dhash, phash) per image payload — REAL
     PNG/GIF pixel decode and both hashes in ONE Arrow-batched
@@ -132,17 +135,27 @@ def image_hashes(
     Undecodable or sub-grid payloads emit null hashes and the row
     survives — a corrupt image must never kill a stage.
 
-    Small single-file scans arrive as ONE partition and would run the
-    whole decode serially (the `_fanout` gotcha, PLANS.md r5) — fan
-    out first; at real scale the scan already has enough partitions
-    and the fanout is a no-op."""
-    from .dedup import _fanout
+    ``passthrough_cols`` are carried through unchanged (the streaming
+    twin needs its event-time column to survive the pass). Small
+    single-file scans arrive as ONE partition and would run the whole
+    decode serially (the `_fanout` gotcha, PLANS.md r5) — fan out
+    first; streams skip the fanout (repartitioning a stream is the
+    sink's job) and at real scale the scan already has enough
+    partitions so it is a no-op anyway."""
     from .multimodal import gif_decode_pixels, png_decode_pixels
 
-    df = _fanout(df.select(id_col, payload_col))
+    extra = [c for c in (passthrough_cols or []) if c]
+    df = df.select(id_col, payload_col, *extra)
+    if not df.isStreaming:
+        from .dedup import _fanout
 
+        df = _fanout(df)
+
+    extra_fields = [df.schema[c] for c in extra]
     schema = StructType(
-        [StructField(id_col, LongType())] + IMAGE_HASH_SCHEMA.fields[1:]
+        [StructField(id_col, LongType())]
+        + IMAGE_HASH_SCHEMA.fields[1:]
+        + extra_fields
     )
 
     def hash_batches(
@@ -150,11 +163,15 @@ def image_hashes(
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+            extras = [pdf[c] for c in extra]
+            for i, (rid, payload) in enumerate(
+                zip(pdf[id_col], pdf[payload_col])
+            ):
+                tail = tuple(col.iloc[i] for col in extras)
                 b = bytes(payload) if payload is not None else b""
                 dec = png_decode_pixels(b) or gif_decode_pixels(b)
                 if dec is None:
-                    rows.append((rid, None, None, None, None))
+                    rows.append((rid, None, None, None, None) + tail)
                     continue
                 h, w, _nch, px = dec
                 rows.append(
@@ -165,14 +182,13 @@ def image_hashes(
                         dhash64_from_pixels(px),
                         phash64_from_pixels(px),
                     )
+                    + tail
                 )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in schema.fields]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
-        hash_batches, schema=schema
-    )
+    return df.mapInPandas(hash_batches, schema=schema)
 
 
 def image_near_dup_pairs(

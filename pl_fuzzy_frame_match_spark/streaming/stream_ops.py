@@ -769,3 +769,121 @@ def stream_shard_router(
     return stream.withColumn(
         "shard", shard_of(F.col(key_col), n_shards)
     )
+
+
+def stream_image_dedup(
+    spark, path: str, schema,
+    id_col: str = "doc_id", payload_col: str = "payload",
+    watermark_col: str = None, watermark: str = "1 hour",
+):
+    """Streaming exact-perceptual image dedup: decode + dhash each
+    arriving image payload (`operators/imagehash.image_hashes` — the
+    Arrow-batched map-only pass runs unchanged on a stream) and keep
+    the FIRST image per dhash. A re-encoded or brightness-shifted
+    copy of an already-seen image hashes identically (dhash's
+    exposure invariance), so this suppresses the re-upload/mirror
+    duplicates an ingest pipeline actually sees — not just byte-equal
+    payloads like `stream_exact_dedup`. With an event-time column,
+    state is bounded via ``dropDuplicatesWithinWatermark``; without
+    one, ``dropDuplicates`` keeps unbounded state (bounded backfills
+    only). Undecodable payloads carry a NULL dhash and are dropped
+    (they cannot be deduplicated perceptually; route them through the
+    exact-dedup twin instead)."""
+    from ..operators.imagehash import image_hashes
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    cols = [id_col, payload_col] + (
+        [watermark_col] if watermark_col else []
+    )
+    hashed = image_hashes(
+        stream.select(*cols), id_col, payload_col,
+        passthrough_cols=[watermark_col] if watermark_col else None,
+    ).where(F.col("dhash").isNotNull())
+    if watermark_col is not None:
+        hashed = _as_instant(hashed, watermark_col)
+        return hashed.withWatermark(
+            watermark_col, watermark
+        ).dropDuplicatesWithinWatermark(["dhash"])
+    return hashed.dropDuplicates(["dhash"])
+
+
+def stream_image_near_dup_probe(
+    spark, path: str, schema, index_df,
+    id_col: str = "doc_id", payload_col: str = "payload",
+    max_hamming: int = 3, bands: int = 4,
+):
+    """Streaming NEAR-dup image probe against a precomputed hash
+    index: arriving images are hashed at ingest (map-only) and probed
+    against the (static) corpus hash index via the same pigeonhole
+    band keys the batch path uses — a stream-static equi-join per
+    band, STATELESS on the stream side, exact recall for
+    ``max_hamming <= bands - 1``. ``index_df`` is (index_id, dhash)
+    for the existing corpus — build it once with
+    `operators/imagehash.image_hashes` and refresh on whatever cadence
+    the corpus grows (the `stream_maintain_minhash_index` pattern).
+    Emits (id, index_id, hamming) rows for every near-match."""
+    from ..operators.imagehash import image_hashes
+
+    band_width = 64 // bands
+
+    def band_key(col, i):
+        return F.shiftrightunsigned(F.col(col), i * band_width).bitwiseAND(
+            F.lit((1 << band_width) - 1)
+        )
+
+    idx = index_df.select(
+        F.col(id_col).alias("index_id"), F.col("dhash").alias("__ih")
+    )
+    idx_banded = idx.select(
+        "index_id",
+        "__ih",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        band_key("__ih", i).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("index_id", "__ih", "__b.band", "__b.key")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    hashed = image_hashes(stream, id_col, payload_col).where(
+        F.col("dhash").isNotNull()
+    )
+    probe = hashed.select(
+        id_col,
+        F.col("dhash").alias("__ph"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        band_key("dhash", i).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select(id_col, "__ph", "__b.band", "__b.key")
+    return (
+        probe.join(idx_banded, on=["band", "key"], how="inner")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__ph").bitwiseXOR(F.col("__ih"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(id_col, "index_id", "hamming")
+        .dropDuplicates([id_col, "index_id"])
+    )

@@ -489,3 +489,93 @@ def test_pipeline_composes_on_banded_default(spark, monkeypatch):
     )
     assert a.cartesian_products == 0, a.plan
     assert a.nested_loop_joins == 0, a.plan
+
+
+# ---------------------------------------------------------------------------
+# Streaming twins for the image family.
+# ---------------------------------------------------------------------------
+
+
+def test_stream_image_dedup_matches_batch(spark, tmp_path):
+    """Streaming perceptual dedup keeps exactly one image per dhash —
+    the same survivors-per-hash count the batch path produces, and
+    brightness-shifted group variants (identical dhash) collapse."""
+    from pl_fuzzy_frame_match_spark.operators.imagehash import (
+        image_hashes,
+        synthesize_near_dup_images,
+    )
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_image_dedup,
+    )
+
+    ids = spark.range(0, 40).selectExpr("id AS doc_id")
+    imgs = synthesize_near_dup_images(ids)
+    src = str(tmp_path / "imgs_stream")
+    imgs.write.parquet(src)
+
+    batch_hashes = {
+        r["dhash"]
+        for r in image_hashes(spark.read.parquet(src)).collect()
+        if r["dhash"] is not None
+    }
+    out = stream_image_dedup(
+        spark, src, spark.read.parquet(src).schema
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_img_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id, dhash FROM t_img_dedup").collect()
+    # one survivor per distinct hash; 40 docs in groups of 4 collapse
+    assert len(rows) == len({r["dhash"] for r in rows}) == len(batch_hashes)
+    assert len(rows) <= 40 - 3 * (40 // 4) + 4  # groups collapsed (+slack)
+
+
+def test_stream_image_near_dup_probe(spark, tmp_path):
+    """Stream-static band probe: an arriving brightness-shifted copy
+    of an indexed image is flagged with its index id; a fresh image
+    is not."""
+    from pl_fuzzy_frame_match_spark.operators.imagehash import (
+        image_hashes,
+        synthesize_near_dup_images,
+    )
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_image_near_dup_probe,
+    )
+
+    # index: variant 0 of groups 0..9 (doc_ids 0,4,...,36)
+    idx_ids = spark.createDataFrame(
+        [(g * 4,) for g in range(10)], ["doc_id"]
+    )
+    index_df = image_hashes(synthesize_near_dup_images(idx_ids)).where(
+        F.col("dhash").isNotNull()
+    ).localCheckpoint()
+
+    # stream: variant 1 of groups 0..9 (near-dups) + groups 50..54
+    # variant 0 (novel)
+    probe_ids = spark.createDataFrame(
+        [(g * 4 + 1,) for g in range(10)] + [(g * 4,) for g in range(50, 55)],
+        ["doc_id"],
+    )
+    src = str(tmp_path / "imgs_probe_stream")
+    synthesize_near_dup_images(probe_ids).write.parquet(src)
+    out = stream_image_near_dup_probe(
+        spark, src, spark.read.parquet(src).schema, index_df
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_img_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hits = spark.sql("SELECT * FROM t_img_probe").collect()
+    flagged = {r["doc_id"] for r in hits}
+    assert flagged == {g * 4 + 1 for g in range(10)}, flagged
+    assert all(r["index_id"] == r["doc_id"] - 1 for r in hits)
+    assert all(r["hamming"] <= 3 for r in hits)
