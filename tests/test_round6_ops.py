@@ -579,3 +579,64 @@ def test_stream_image_near_dup_probe(spark, tmp_path):
     assert flagged == {g * 4 + 1 for g in range(10)}, flagged
     assert all(r["index_id"] == r["doc_id"] - 1 for r in hits)
     assert all(r["hamming"] <= 3 for r in hits)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (the multimodal trio's audio member).
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fingerprints_roundtrip_and_null_safety(spark):
+    from pl_fuzzy_frame_match_spark.operators.audiohash import (
+        audio_fingerprints,
+        synthesize_near_dup_wavs,
+    )
+
+    ids = spark.range(0, 24).selectExpr("id AS doc_id")
+    out = audio_fingerprints(synthesize_near_dup_wavs(ids)).collect()
+    assert len(out) == 24
+    assert all(
+        r["afp"] is not None and r["n_frames"] == 256 for r in out
+    )
+    junk = spark.createDataFrame(
+        [(1, b"RIFFxxxxWAVE"), (2, b""), (3, b"not audio")],
+        ["doc_id", "payload"],
+    )
+    jr = audio_fingerprints(junk).collect()
+    assert len(jr) == 3 and all(r["afp"] is None for r in jr)
+
+
+def test_audio_volume_invariance_and_banding_complete(spark):
+    """Re-leveled copies fingerprint within Hamming 1; the banded pair
+    set equals brute force at max_hamming <= bands-1."""
+    from pl_fuzzy_frame_match_spark.operators.audiohash import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+        synthesize_near_dup_wavs,
+    )
+
+    n = 80
+    ids = spark.range(0, n).selectExpr("id AS doc_id")
+    wavs = synthesize_near_dup_wavs(ids)
+    hashes = {
+        r["doc_id"]: r["afp"] & ((1 << 64) - 1)
+        for r in audio_fingerprints(wavs).collect()
+    }
+    brute = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    banded = {
+        (r["left_id"], r["right_id"], r["hamming"])
+        for r in audio_near_dup_pairs(wavs, max_hamming=3, bands=4).collect()
+    }
+    assert banded == brute
+    expected = {
+        (g * 4 + i, g * 4 + j)
+        for g in range(n // 4)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    }
+    assert expected <= {(a, b) for a, b, _ in banded}
