@@ -80,6 +80,7 @@ def main() -> None:
         "pipeline_pretrain_corpus",
         "dedup_images_dhash",
         "dedup_audio_afp",
+        "dedup_videos_framehash",
     ):
         if extra in registry:
             names.append(extra)

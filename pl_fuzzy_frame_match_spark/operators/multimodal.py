@@ -1374,3 +1374,128 @@ def wav_audio_features(
         ).alias("rms"),
         "zero_crossings",
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python AVI codec (RIFF container + uncompressed 24-bit DIB
+# frames, stdlib only) — the VIDEO sibling of the PNG/GIF/WAV codecs:
+# real container walk + raster reconstruction, no ffmpeg. Covers the
+# uncompressed ('00db'/DIB) stream a synthetic corpus or a raw capture
+# pipeline produces; compressed codecs remain the documented
+# NotImplementedError (they genuinely need ffmpeg/pyav).
+# ---------------------------------------------------------------------------
+
+
+def avi_encode_frames(frames, fps: int = 10) -> bytes:
+    """Encode ``uint8 ndarray[n, h, w, 3]`` (RGB) as a canonical AVI:
+    RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    LIST('movi' '00db'...)). Frames are stored as standard DIBs —
+    bottom-up rows, BGR, stride padded to 4 bytes."""
+    import struct
+
+    import numpy as np
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _c = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(tag: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", tag + payload)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),  # us per frame
+        frame_bytes * fps,  # max bytes/sec
+        0, 0x10,  # padding, flags (HASINDEX off)
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+        frame_bytes, 0xFFFFFFFF, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    movi_payload = b""
+    for f in range(n):
+        rgb = frames[f]
+        bgr = rgb[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+        row = np.zeros((h, stride), dtype=np.uint8)
+        row[:, : w * 3] = bgr.reshape(h, w * 3)
+        movi_payload += chunk(b"00db", row.tobytes())
+    body = (
+        b"AVI "
+        + lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        )
+        + lst(b"movi", movi_payload)
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def avi_decode_frames(data: bytes):
+    """Decode an uncompressed 24-bit AVI into
+    ``(width, height, n_frames, uint8 ndarray[n, h, w, 3])`` — RIFF
+    walk with stdlib struct + numpy. Returns None for non-AVI,
+    compressed, or malformed payloads (corrupt video must never kill
+    a stage)."""
+    import struct
+
+    import numpy as np
+
+    if (
+        not isinstance(data, (bytes, bytearray))
+        or len(data) < 12
+        or bytes(data[:4]) != b"RIFF"
+        or bytes(data[8:12]) != b"AVI "
+    ):
+        return None
+    data = bytes(data)
+
+    w = h = bpp = None
+    frames = []
+
+    def walk(pos: int, end: int) -> bool:
+        nonlocal w, h, bpp
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            payload_end = pos + 8 + ln
+            if payload_end > end:
+                return False
+            if tag == b"LIST":
+                if not walk(pos + 12, payload_end):
+                    return False
+            elif tag == b"strf" and ln >= 40:
+                _sz, bw, bh, _pl, bits = struct.unpack(
+                    "<IiiHH", data[pos + 8 : pos + 24]
+                )
+                w, h, bpp = int(bw), abs(int(bh)), int(bits)
+            elif tag[2:4] in (b"db", b"dc") and tag[:2].isdigit():
+                frames.append((pos + 8, ln))
+            pos = payload_end + (ln & 1)
+        return True
+
+    if not walk(12, len(data)):
+        return None
+    if w is None or bpp != 24 or w <= 0 or h <= 0 or not frames:
+        return None
+    stride = (w * 3 + 3) & ~3
+    out = []
+    for off, ln in frames:
+        if ln < stride * h:
+            return None
+        raw = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)
+        bgr = raw[:, : w * 3].reshape(h, w, 3)
+        out.append(bgr[::-1, :, ::-1])  # undo bottom-up + BGR
+    return w, h, len(out), np.stack(out)

@@ -1,0 +1,225 @@
+"""Video fingerprinting + near-duplicate VIDEO dedup — the final
+member of the multimodal dedup family (text MinHash/SimHash, image
+dhash, audio energy fingerprint, this): a training pipeline
+deduplicates re-encoded / re-leveled copies of the same clip, which
+byte-exact dedup cannot see.
+
+A video's fingerprint is its SET of per-frame dhashes, computed over
+the REAL decoded frames (`operators/multimodal.avi_decode_frames` —
+stdlib RIFF walk, no ffmpeg; the integer-exact gradient hash from
+`operators/imagehash`). Near-dup detection is set similarity:
+candidates are videos sharing >= 1 identical frame hash (an EQUI-join
+on the 64-bit hash — linear, the frame-hash analogue of the exact
+n-gram prefix filter), verified with the exact Jaccard over the two
+frame-hash sets. Every step is integer arithmetic + counting, so a
+SQL oracle recomputes per-frame hash bits from a closed-form pixel
+function WITHOUT decoding and replays the full pair set.
+
+Scale notes: the hash frame is ~12 bytes per (video, distinct frame
+hash) — frames never leave the decode pass. A globally-common frame
+(black frame, title card) makes its hash a hot join key; pass
+``max_hash_df`` to drop frame hashes appearing in more than that many
+videos from BOTH candidate generation and the Jaccard ("informative
+frame" similarity — the stopword trick), keeping the join linear on
+real corpora. Default None = exact set Jaccard.
+
+The reference (a fuzzy string matcher) has no video surface; this is
+a pipeline extension in the same family as `operators/dedup.py`.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+VIDEO_FRAME_HASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def video_frame_hashes(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """One row per (video, frame): decode the AVI and dhash every
+    frame in a single Arrow-batched map-only pass. Undecodable
+    payloads emit ONE null-hash row (the video stays visible
+    downstream); decodable videos never emit nulls."""
+    from .imagehash import dhash64_from_pixels
+    from .multimodal import avi_decode_frames
+
+    schema = StructType(
+        [StructField(id_col, LongType())] + VIDEO_FRAME_HASH_SCHEMA.fields[1:]
+    )
+
+    def hash_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                dec = avi_decode_frames(b)
+                if dec is None:
+                    rows.append((rid, None, None, None, None, None))
+                    continue
+                w, h, n, frames = dec
+                for f in range(n):
+                    rows.append(
+                        (rid, w, h, n, f, dhash64_from_pixels(frames[f]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    out = df.select(id_col, payload_col)
+    if not out.isStreaming:
+        from .dedup import _fanout
+
+        out = _fanout(out)
+    return out.mapInPandas(hash_batches, schema=schema)
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    threshold: float = 0.5,
+    max_hash_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate video pairs (left_id < right_id, n_shared,
+    jaccard_sim): frame-hash set Jaccard >= ``threshold``. Candidate
+    generation is an equi-join on the frame hash (videos sharing no
+    identical frame never meet — linear); the verify joins each
+    side's distinct-hash count back in and computes
+    shared / (|A| + |B| - shared) exactly, rounded to 6 decimals
+    before the threshold (engine-portable tie handling)."""
+    hashed = (
+        video_frame_hashes(df, id_col, payload_col)
+        .where(F.col("dhash").isNotNull())
+        .select(F.col(id_col).alias("__vid"), "dhash")
+        .distinct()
+        .localCheckpoint(eager=True)  # 3 plan references below
+    )
+    if max_hash_df is not None:
+        dfreq = hashed.groupBy("dhash").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        hashed = (
+            hashed.join(
+                F.broadcast(
+                    dfreq.where(F.col("__df") > max_hash_df).select("dhash")
+                ),
+                on="dhash",
+                how="left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = hashed.groupBy("__vid").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = hashed.alias("a"), hashed.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.dhash") == F.col("b.dhash"))
+            & (F.col("a.__vid") < F.col("b.__vid")),
+            "inner",
+        )
+        .groupBy(
+            F.col("a.__vid").alias("left_id"),
+            F.col("b.__vid").alias("right_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(
+        F.col("__vid").alias("left_id"), F.col("__n").alias("__na")
+    )
+    nb = sizes.select(
+        F.col("__vid").alias("right_id"), F.col("__n").alias("__nb")
+    )
+    return (
+        shared.join(F.broadcast(na), on="left_id")
+        .join(F.broadcast(nb), on="right_id")
+        .withColumn(
+            "jaccard_sim",
+            F.round(
+                F.col("n_shared")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard_sim") >= F.lit(threshold))
+        .select(
+            "left_id",
+            "right_id",
+            F.col("n_shared").cast("int").alias("n_shared"),
+            "jaccard_sim",
+        )
+    )
+
+
+def synthesize_near_dup_videos(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    group_size: int = 4,
+    n_frames: int = 6,
+) -> DataFrame:
+    """Attach a deterministic 6-frame 16x16 AVI per row where docs
+    sharing ``doc_id // group_size`` are BRIGHTNESS-SHIFTED COPIES of
+    one clip: frame pixels are a closed-form integer hash of
+    (group, frame, y, x) — quadratic mix, the image-corpus rationale —
+    written as equal R=G=B channels (so dhash's integer-mean grayscale
+    IS the base value and the SQL oracle needs no channel dimension),
+    and variant ``v = doc_id % group_size`` shifts every pixel by +v
+    clamped at 255. Within a group every frame hash matches (dhash
+    exposure invariance) => video Jaccard 1.0; cross-group frames are
+    independent => Jaccard 0."""
+    import numpy as np
+
+    from .multimodal import avi_encode_frames
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(payload_col, BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                d = int(rid)
+                gid, v = d // group_size, d % group_size
+                f, y, x = np.meshgrid(
+                    np.arange(n_frames),
+                    np.arange(16),
+                    np.arange(16),
+                    indexing="ij",
+                )
+                a = (gid * 523 + f * 131 + y * 31 + x + 1).astype(
+                    np.int64
+                )
+                h1 = (a * a) % 16777216
+                base = ((h1 * 2654435761) % (1 << 32)) // (1 << 24)
+                px = np.minimum(base + v, 255).astype(np.uint8)
+                rgb = np.repeat(px[..., None], 3, axis=3)
+                payloads.append(avi_encode_frames(rgb))
+            out = pdf.copy()
+            out[payload_col] = payloads
+            yield out
+
+    return df.mapInPandas(synth, out_schema)

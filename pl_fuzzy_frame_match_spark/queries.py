@@ -5121,6 +5121,85 @@ def dedup_audio_afp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_dup_pairs(wavs, max_hamming=3, bands=4)
 
 
+@register(
+    "dedup_videos_framehash",
+    """
+    WITH ids AS (SELECT doc_id AS d FROM documents
+                 WHERE doc_id IS NOT NULL),
+    jmap AS (SELECT j, (j * 16) // 9 AS c0, ((j + 1) * 16) // 9 AS c1
+             FROM (SELECT unnest(range(9)) AS j)),
+    grid0 AS (
+      SELECT d, ff.f AS f, yy.y AS y, xx.x AS x,
+             (d // 4) * 523 + ff.f * 131 + yy.y * 31 + xx.x + 1 AS a
+      FROM ids,
+           (SELECT unnest(range(6)) AS f) ff,
+           (SELECT unnest(range(16)) AS y) yy,
+           (SELECT unnest(range(16)) AS x) xx),
+    grid AS (
+      SELECT d, f, y, x,
+             LEAST(((((a * a) % 16777216) * 2654435761) % 4294967296)
+                     // 16777216 + (d % 4), 255) AS px
+      FROM grid0),
+    cells AS (
+      SELECT d, f, y // 2 AS i, j, SUM(px) // COUNT(*) AS cell
+      FROM grid JOIN jmap ON x >= c0 AND x < c1
+      GROUP BY d, f, y // 2, j),
+    bits AS (
+      SELECT c1.d, c1.f, c1.i * 8 + c1.j AS k,
+             CASE WHEN c1.cell < c2.cell THEN 1 ELSE 0 END AS bit
+      FROM cells c1 JOIN cells c2
+        ON c1.d = c2.d AND c1.f = c2.f AND c1.i = c2.i
+           AND c2.j = c1.j + 1
+      WHERE c1.j < 8),
+    fhash AS (
+      SELECT d, f, string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS hs
+      FROM bits GROUP BY d, f),
+    vset AS (SELECT DISTINCT d, hs FROM fhash),
+    sizes AS (SELECT d, COUNT(*) AS n FROM vset GROUP BY d),
+    shared AS (
+      SELECT a.d AS left_id, b.d AS right_id, COUNT(*) AS n_shared
+      FROM vset a JOIN vset b ON a.hs = b.hs AND a.d < b.d
+      GROUP BY a.d, b.d)
+    SELECT s.left_id, s.right_id, CAST(s.n_shared AS INT) AS n_shared,
+           round(CAST(s.n_shared AS DOUBLE) /
+                 (na.n + nb.n - s.n_shared), 6) AS jaccard_sim
+    FROM shared s
+    JOIN sizes na ON na.d = s.left_id
+    JOIN sizes nb ON nb.d = s.right_id
+    WHERE round(CAST(s.n_shared AS DOUBLE) /
+                (na.n + nb.n - s.n_shared), 6) >= 0.5
+    """,
+)
+def dedup_videos_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO dedup over REAL decoded frames — the final
+    member of the multimodal dedup family: synthesize a closed-form
+    near-dup AVI corpus (groups of 4 brightness-shifted clips, real
+    RIFF container + uncompressed DIB frames, stdlib-only codec),
+    decode + per-frame integer-exact dhash in ONE map-only pass, then
+    frame-hash SET Jaccard — candidates via an equi-join on the 64-bit
+    frame hash (videos sharing no identical frame never meet), exact
+    verify with round-6 quantization on both engines. The DuckDB
+    oracle recomputes every frame's hash bits from the closed-form
+    pixel function WITHOUT decoding (frame hashes compared as ordered
+    bit-strings — BIGINT packing would overflow at bit 63) and
+    replays the full pair set: AVI encode -> RIFF walk -> DIB
+    unpacking -> dhash -> set Jaccard, value-checked end to end.
+    Within-group Jaccard spans 0.5-1.0 where the brightness clamp
+    flips a gradient bit — realistic near-dup structure, not just
+    exact-copy detection."""
+    from .operators.dedup import _fanout
+    from .operators.videohash import (
+        synthesize_near_dup_videos,
+        video_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    ).select("doc_id")
+    vids = synthesize_near_dup_videos(_fanout(docs))
+    return video_near_dup_pairs(vids, threshold=0.5)
+
+
 @register("dedup_semantic_kmeans", None)  # ML clustering -> rows-only
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with REAL k-means|| clustering (pyspark.ml, seed

@@ -640,3 +640,66 @@ def test_audio_volume_invariance_and_banding_complete(spark):
         for j in range(i + 1, 4)
     }
     assert expected <= {(a, b) for a, b, _ in banded}
+
+
+# ---------------------------------------------------------------------------
+# Video frame-hash near-dup (the multimodal family's video member).
+# ---------------------------------------------------------------------------
+
+
+def test_avi_roundtrip_and_null_safety(spark):
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        avi_decode_frames,
+        avi_encode_frames,
+    )
+    from pl_fuzzy_frame_match_spark.operators.videohash import (
+        video_frame_hashes,
+        synthesize_near_dup_videos,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(4, 9, 11, 3), dtype=np.uint8)
+    w, h, n, dec = avi_decode_frames(avi_encode_frames(frames))
+    assert (w, h, n) == (11, 9, 4) and (dec == frames).all()
+
+    ids = spark.range(0, 12).selectExpr("id AS doc_id")
+    out = video_frame_hashes(synthesize_near_dup_videos(ids)).collect()
+    assert len(out) == 12 * 6
+    assert all(r["dhash"] is not None and r["n_frames"] == 6 for r in out)
+    junk = spark.createDataFrame(
+        [(1, b"RIFFxxxxAVI "), (2, b""), (3, b"not video")],
+        ["doc_id", "payload"],
+    )
+    jr = video_frame_hashes(junk).collect()
+    assert len(jr) == 3 and all(r["dhash"] is None for r in jr)
+
+
+def test_video_near_dup_pairs_structure(spark):
+    """Within-group (brightness-shifted) clips pair at Jaccard >= 0.5;
+    cross-group clips never pair; hot-frame df cap drops a planted
+    globally-common frame from both candidates and the Jaccard."""
+    from pl_fuzzy_frame_match_spark.operators.videohash import (
+        synthesize_near_dup_videos,
+        video_near_dup_pairs,
+    )
+
+    n = 48
+    ids = spark.range(0, n).selectExpr("id AS doc_id")
+    vids = synthesize_near_dup_videos(ids)
+    pairs = video_near_dup_pairs(vids, threshold=0.5).collect()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    expected = {
+        (g * 4 + i, g * 4 + j)
+        for g in range(n // 4)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    }
+    assert got == expected, got.symmetric_difference(expected)
+    assert all(0.5 <= r["jaccard_sim"] <= 1.0 for r in pairs)
+    assert all(1 <= r["n_shared"] <= 6 for r in pairs)
+    # max_hash_df: cap at df=1 removes every shared frame hash ->
+    # no pairs survive (every within-group hash appears in >1 video)
+    none = video_near_dup_pairs(vids, threshold=0.5, max_hash_df=1)
+    assert none.count() == 0
