@@ -81,6 +81,7 @@ def main() -> None:
         "dedup_images_dhash",
         "dedup_audio_afp",
         "dedup_videos_framehash",
+        "multimodal_frame_sample",
     ):
         if extra in registry:
             names.append(extra)

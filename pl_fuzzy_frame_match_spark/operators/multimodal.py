@@ -259,27 +259,50 @@ def sample_frames(
     payload partitions so downstream per-frame UDFs parallelize
     without a shuffle.
 
-    STUB: real demuxing needs ffmpeg, absent here. ``fake=True``
-    slices the payload into n evenly-spaced byte windows as stand-in
-    frames (deterministic); ``fake=False`` raises at execution time.
-    """
+    REAL for AVI payloads (round 6): the stdlib RIFF walk
+    (:func:`_avi_scan`) locates the frame chunks, ``n_frames`` evenly
+    spaced frames are decoded, and each is re-encoded as a standalone
+    PNG (:func:`png_encode_pixels`) — real image bytes every
+    downstream image operator decodes directly; ``frame_offset_bytes``
+    is the frame chunk's true byte offset in the container, the
+    seek-address a range-read would use at 100 TB. Compressed video
+    still needs ffmpeg: with ``fake=False`` a non-AVI payload raises
+    ``NotImplementedError`` (honest failure), and ``fake=True`` keeps
+    the deterministic byte-window stub for plumbing tests."""
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "frame sampling requires ffmpeg/pyav — not available in"
-                    " this environment; pass fake=True for the byte-window stub"
-                )
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
                 if not data:
                     continue
-                step = max(len(data) // n_frames, 1)
-                for i in range(min(n_frames, len(data))):
-                    off = i * step
-                    rows.append((rid, i, off, data[off : off + step]))
+                if fake:
+                    step = max(len(data) // n_frames, 1)
+                    for i in range(min(n_frames, len(data))):
+                        off = i * step
+                        rows.append((rid, i, off, data[off : off + step]))
+                    continue
+                scan = _avi_scan(data)
+                if scan is None:
+                    raise NotImplementedError(
+                        "compressed-video frame sampling requires"
+                        " ffmpeg/pyav — uncompressed AVI samples"
+                        " natively; pass fake=True for the byte-window"
+                        " stub"
+                    )
+                w, h, _bpp, frames = scan
+                n_total = len(frames)
+                take = min(n_frames, n_total)
+                for i in range(take):
+                    fi = (i * n_total) // take
+                    off, ln = frames[fi]
+                    px = _avi_frame_at(data, w, h, off, ln)
+                    if px is None:
+                        continue  # short chunk: skip, never kill
+                    rows.append(
+                        (rid, fi, off, png_encode_pixels(px, 2))
+                    )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FRAME_SCHEMA.fields]
             )
@@ -578,6 +601,13 @@ def png_pixel_stats(
     HALF_UP matches the SQL oracle (Python's round() is banker's and
     would flip exact .5e-7 ties like s/128)."""
 
+    # output schema follows the caller's id column name (a composite
+    # surrogate key is a legitimate id — e.g. the frame-sampling query
+    # keys stats by doc_id * 16 + frame_idx)
+    out_schema = StructType(
+        [StructField(id_col, LongType())] + PNG_PIXEL_STATS_SCHEMA.fields[1:]
+    )
+
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for pdf in batches:
@@ -596,11 +626,11 @@ def png_pixel_stats(
                     (rid, w, h, nch, n, s, int(px.min()), int(px.max()))
                 )
         yield pd.DataFrame(
-            rows, columns=[f.name for f in PNG_PIXEL_STATS_SCHEMA.fields]
+            rows, columns=[f.name for f in out_schema.fields]
         )
 
     raw = df.select(id_col, payload_col).mapInPandas(
-        stats, schema=PNG_PIXEL_STATS_SCHEMA
+        stats, schema=out_schema
     )
     return raw.select(
         id_col,
@@ -1441,15 +1471,11 @@ def avi_encode_frames(frames, fps: int = 10) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
-def avi_decode_frames(data: bytes):
-    """Decode an uncompressed 24-bit AVI into
-    ``(width, height, n_frames, uint8 ndarray[n, h, w, 3])`` — RIFF
-    walk with stdlib struct + numpy. Returns None for non-AVI,
-    compressed, or malformed payloads (corrupt video must never kill
-    a stage)."""
+def _avi_scan(data: bytes):
+    """RIFF walk shared by the decoder and the frame sampler:
+    ``(width, height, bpp, [(chunk_offset, chunk_len), ...])`` for an
+    AVI payload, None for non-AVI/malformed."""
     import struct
-
-    import numpy as np
 
     if (
         not isinstance(data, (bytes, bytearray))
@@ -1488,14 +1514,41 @@ def avi_decode_frames(data: bytes):
         return None
     if w is None or bpp != 24 or w <= 0 or h <= 0 or not frames:
         return None
+    return w, h, bpp, frames
+
+
+def _avi_frame_at(data: bytes, w: int, h: int, off: int, ln: int):
+    """One DIB frame -> uint8 ndarray[h, w, 3] (RGB), or None when the
+    chunk is short."""
+    import numpy as np
+
     stride = (w * 3 + 3) & ~3
+    if ln < stride * h:
+        return None
+    raw = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)
+    bgr = raw[:, : w * 3].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1]  # undo bottom-up + BGR
+
+
+def avi_decode_frames(data: bytes):
+    """Decode an uncompressed 24-bit AVI into
+    ``(width, height, n_frames, uint8 ndarray[n, h, w, 3])`` — RIFF
+    walk with stdlib struct + numpy. Returns None for non-AVI,
+    compressed, or malformed payloads (corrupt video must never kill
+    a stage)."""
+    import numpy as np
+
+    scan = _avi_scan(data)
+    if scan is None:
+        return None
+    w, h, _bpp, frames = scan
+    data = bytes(data)
     out = []
     for off, ln in frames:
-        if ln < stride * h:
+        frame = _avi_frame_at(data, w, h, off, ln)
+        if frame is None:
             return None
-        raw = np.frombuffer(
-            data, dtype=np.uint8, count=stride * h, offset=off
-        ).reshape(h, stride)
-        bgr = raw[:, : w * 3].reshape(h, w, 3)
-        out.append(bgr[::-1, :, ::-1])  # undo bottom-up + BGR
+        out.append(frame)
     return w, h, len(out), np.stack(out)

@@ -5200,6 +5200,69 @@ def dedup_videos_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_near_dup_pairs(vids, threshold=0.5)
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH ids AS (SELECT doc_id AS d FROM documents
+                 WHERE doc_id IS NOT NULL),
+    fsel AS (SELECT unnest([0, 2, 4]) AS f),
+    grid0 AS (
+      SELECT d, fsel.f AS f, yy.y AS y, xx.x AS x,
+             (d // 4) * 523 + fsel.f * 131 + yy.y * 31 + xx.x + 1 AS a
+      FROM ids, fsel,
+           (SELECT unnest(range(16)) AS y) yy,
+           (SELECT unnest(range(16)) AS x) xx),
+    grid AS (
+      SELECT d, f,
+             LEAST(((((a * a) % 16777216) * 2654435761) % 4294967296)
+                     // 16777216 + (d % 4), 255) AS px
+      FROM grid0)
+    SELECT d AS doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(3 AS INT) AS channels, CAST(768 AS BIGINT) AS n_px,
+           CAST(3 * SUM(px) AS BIGINT) AS sum_px,
+           round(CAST(3 * SUM(px) AS DOUBLE) / 768, 6) AS mean_px
+    FROM grid GROUP BY d, f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (round 6 — the former ffmpeg stub,
+    now native for uncompressed AVI): the RIFF walk locates frame
+    chunks, 3 evenly-spaced frames per video decode and re-encode as
+    standalone PNGs (real image bytes with the frame's true container
+    byte offset — the seek address a 100 TB range-read uses), and the
+    sampled frames flow straight into the existing PNG pixel-stats
+    operator. The DuckDB oracle recomputes each sampled frame's exact
+    pixel sum/mean from the closed-form pixel function, so the chain
+    AVI encode -> RIFF walk -> frame select -> PNG re-encode -> PNG
+    decode -> stats is value-checked end to end."""
+    from .operators.dedup import _fanout
+    from .operators.multimodal import png_pixel_stats, sample_frames
+    from .operators.videohash import synthesize_near_dup_videos
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    ).select("doc_id")
+    frames = sample_frames(
+        synthesize_near_dup_videos(_fanout(docs)), n_frames=3
+    )
+    keyed = frames.select(
+        (F.col("doc_id") * F.lit(16) + F.col("frame_idx")).alias("sid"),
+        F.col("frame").alias("payload"),
+    )
+    stats = png_pixel_stats(keyed, id_col="sid")
+    return stats.select(
+        F.expr("sid DIV 16").alias("doc_id"),
+        F.pmod(F.col("sid"), F.lit(16)).cast("int").alias("frame_idx"),
+        "width",
+        "height",
+        "channels",
+        "n_px",
+        "sum_px",
+        "mean_px",
+    )
+
+
 @register("dedup_semantic_kmeans", None)  # ML clustering -> rows-only
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with REAL k-means|| clustering (pyspark.ml, seed

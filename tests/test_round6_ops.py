@@ -703,3 +703,38 @@ def test_video_near_dup_pairs_structure(spark):
     # no pairs survive (every within-group hash appears in >1 video)
     none = video_near_dup_pairs(vids, threshold=0.5, max_hash_df=1)
     assert none.count() == 0
+
+
+def test_sample_frames_real_avi_path(spark):
+    """sample_frames now REALLY samples uncompressed AVI: evenly
+    spaced frames, true container byte offsets, PNG-re-encoded frame
+    bytes that round-trip through the PNG decoder; non-AVI payloads
+    still raise the honest NotImplementedError."""
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        avi_decode_frames,
+        png_decode_pixels,
+        sample_frames,
+    )
+    from pl_fuzzy_frame_match_spark.operators.videohash import (
+        synthesize_near_dup_videos,
+    )
+
+    ids = spark.range(0, 6).selectExpr("id AS doc_id")
+    vids = synthesize_near_dup_videos(ids)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in vids.collect()}
+    out = sample_frames(vids, n_frames=3).collect()
+    assert len(out) == 6 * 3
+    for r in out:
+        assert r["frame_idx"] in (0, 2, 4)
+        h, w, nch, px = png_decode_pixels(bytes(r["frame"]))
+        assert (h, w, nch) == (16, 16, 3)
+        _, _, _, frames = avi_decode_frames(payloads[r["doc_id"]])
+        assert (px == frames[r["frame_idx"]]).all()
+        # offset points INTO the container at the frame chunk
+        assert 0 < r["frame_offset_bytes"] < len(payloads[r["doc_id"]])
+
+    bad = spark.createDataFrame([(1, b"not a video")], ["doc_id", "payload"])
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        sample_frames(bad, n_frames=2).collect()
