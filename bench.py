@@ -82,6 +82,7 @@ def main() -> None:
         "dedup_audio_afp",
         "dedup_videos_framehash",
         "multimodal_frame_sample",
+        "multimodal_jpeg_pixels",
     ):
         if extra in registry:
             names.append(extra)

@@ -180,14 +180,21 @@ def decode_image(
                 # MAGIC matches PNG/GIF but whose header is corrupt
                 # emits a null-metadata row — never a stage-killing
                 # raise ("a corrupt image must never kill a stage").
-                meta = _png_header_meta(data) or _gif_header_meta(data)
+                from .jpeg import jpeg_header_meta
+
+                meta = (
+                    _png_header_meta(data)
+                    or _gif_header_meta(data)
+                    or jpeg_header_meta(data)
+                )
                 if meta is not None:
                     mw, mh, mc = meta
                     rows.append((rid, len(data), mw, mh, mc))
                     continue
-                magic_img = bytes(data[:8]) == _PNG_SIG or bytes(data[:6]) in (
-                    b"GIF87a",
-                    b"GIF89a",
+                magic_img = (
+                    bytes(data[:8]) == _PNG_SIG
+                    or bytes(data[:6]) in (b"GIF87a", b"GIF89a")
+                    or bytes(data[:2]) == b"\xff\xd8"
                 )
                 if not use_pil:
                     if magic_img:
@@ -592,8 +599,9 @@ PNG_PIXEL_STATS_SCHEMA = StructType(
 def png_pixel_stats(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """REAL pixel-level statistics over PNG or GIF payloads — full
-    zlib/LZW inflate + reconstruction per image, no imaging library. Arrow-batched
+    """REAL pixel-level statistics over PNG, GIF or baseline-JPEG
+    payloads — full
+    zlib/LZW/Huffman+IDCT reconstruction per image, no imaging library. Arrow-batched
     mapInPandas, one worker per partition (the production shape for
     CPU-bound media decode); undecodable payloads emit null stats and
     the row survives. The worker emits INTEGERS only (exact sum, min,
@@ -609,11 +617,17 @@ def png_pixel_stats(
     )
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import jpeg_decode_pixels
+
         rows = []
         for pdf in batches:
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                dec = png_decode_pixels(b) or gif_decode_pixels(b)
+                dec = (
+                    png_decode_pixels(b)
+                    or gif_decode_pixels(b)
+                    or jpeg_decode_pixels(b)
+                )
                 if dec is None:
                     rows.append(
                         (rid, None, None, None, None, None, None, None)
