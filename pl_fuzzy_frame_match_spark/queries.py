@@ -5720,10 +5720,11 @@ _PRIORITY = [
     # events family
     "events_retention", "events_sessionize", "events_funnel",
     "events_asof_purchase", "events_error_windows",
-    # similarity / sampling / sketches (emb_quantize rotated out r6
-    # for dedup_images_dhash below; stays pytest- and judge-replayed)
-    "ann_topk", "bloom_semi_orders",
-    "docs_pack_contexts", "docs_token_budget_mix",
+    # similarity / sampling / sketches (r6 rotation: emb_quantize,
+    # bloom_semi_orders, docs_pack_contexts and docs_token_budget_mix
+    # rotated out for the four multimodal flagships below; all four
+    # stay pytest- and judge-replayed)
+    "ann_topk",
     # round-5 flagships: cap-2 exact rewrite (above), the
     # closed-form-oracled real PNG decode, and the pipeline trio —
     # decontamination split / mixture execution / shard routing.
@@ -5733,8 +5734,11 @@ _PRIORITY = [
     # docs_stratified_sample; all six stay pytest- and judge-replayed.
     "multimodal_png_pixels", "docs_leakage_safe_split",
     "docs_temperature_resample", "docs_train_shards",
-    # round-6 flagship: near-dup IMAGE dedup over real decoded pixels
-    "dedup_images_dhash",
+    # round-6 flagships: the multimodal dedup family over REAL
+    # decoders (image dhash / audio fingerprint / video frame-hash
+    # Jaccard) and the baseline-JPEG exactness oracle
+    "dedup_images_dhash", "dedup_audio_afp", "dedup_videos_framehash",
+    "multimodal_jpeg_pixels",
     # the end-to-end value-checked pipeline: dedup -> leakage-safe
     # split -> temperature mixture -> shard routing, one oracle
     "pipeline_training_data",
