@@ -78,17 +78,31 @@ AUDIO_FP_SCHEMA = StructType(
 
 
 def audio_fingerprints(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    passthrough_cols: list | None = None,
 ) -> DataFrame:
     """(id, rate, channels, frames, afp) per WAV payload — REAL PCM16
     decode and fingerprint in ONE Arrow-batched map-only pass (the
     fingerprint frame is ~28 bytes/clip regardless of clip length).
     Undecodable or sub-grid payloads emit null fingerprints and the
-    row survives — corrupt audio must never kill a stage."""
+    row survives — corrupt audio must never kill a stage.
+    ``passthrough_cols`` ride along unchanged (the streaming twin's
+    event-time column)."""
     from .multimodal import wav_decode_samples
 
+    extra = [c for c in (passthrough_cols or []) if c]
+    out = df.select(id_col, payload_col, *extra)
+    if not out.isStreaming:
+        from .dedup import _fanout
+
+        out = _fanout(out)
+    extra_fields = [out.schema[c] for c in extra]
     schema = StructType(
-        [StructField(id_col, LongType())] + AUDIO_FP_SCHEMA.fields[1:]
+        [StructField(id_col, LongType())]
+        + AUDIO_FP_SCHEMA.fields[1:]
+        + extra_fields
     )
 
     def fp_batches(
@@ -96,23 +110,24 @@ def audio_fingerprints(
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+            extras = [pdf[c] for c in extra]
+            for i, (rid, payload) in enumerate(
+                zip(pdf[id_col], pdf[payload_col])
+            ):
+                tail = tuple(col.iloc[i] for col in extras)
                 b = bytes(payload) if payload is not None else b""
                 dec = wav_decode_samples(b)
                 if dec is None:
-                    rows.append((rid, None, None, None, None))
+                    rows.append((rid, None, None, None, None) + tail)
                     continue
                 rate, ch, n, arr = dec
-                rows.append((rid, rate, ch, n, afp64_from_samples(arr)))
+                rows.append(
+                    (rid, rate, ch, n, afp64_from_samples(arr)) + tail
+                )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in schema.fields]
             )
 
-    out = df.select(id_col, payload_col)
-    if not out.isStreaming:
-        from .dedup import _fanout
-
-        out = _fanout(out)
     return out.mapInPandas(fp_batches, schema=schema)
 
 

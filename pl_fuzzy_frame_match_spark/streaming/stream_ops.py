@@ -887,3 +887,39 @@ def stream_image_near_dup_probe(
         .select(id_col, "index_id", "hamming")
         .dropDuplicates([id_col, "index_id"])
     )
+
+
+def stream_audio_dedup(
+    spark, path: str, schema,
+    id_col: str = "doc_id", payload_col: str = "payload",
+    watermark_col: str = None, watermark: str = "1 hour",
+):
+    """Streaming perceptual AUDIO dedup — the acoustic twin of
+    `stream_image_dedup`: decode + energy-gradient fingerprint each
+    arriving WAV (`operators/audiohash.audio_fingerprints`, map-only)
+    and keep the FIRST clip per fingerprint. A re-leveled copy of an
+    already-ingested clip fingerprints identically (volume
+    invariance), so this suppresses the re-upload/re-mastered
+    duplicates byte-exact dedup cannot see. Watermark-bounded state
+    when an event-time column exists; undecodable payloads carry a
+    NULL fingerprint and are dropped (route them through
+    `stream_exact_dedup` instead)."""
+    from ..operators.audiohash import audio_fingerprints
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    hashed = audio_fingerprints(
+        stream,
+        id_col,
+        payload_col,
+        passthrough_cols=[watermark_col] if watermark_col else None,
+    ).where(F.col("afp").isNotNull())
+    if watermark_col is not None:
+        hashed = _as_instant(hashed, watermark_col)
+        return hashed.withWatermark(
+            watermark_col, watermark
+        ).dropDuplicatesWithinWatermark(["afp"])
+    return hashed.dropDuplicates(["afp"])

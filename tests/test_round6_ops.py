@@ -858,3 +858,36 @@ def test_jpeg_fuzz_never_raises():
             b = bytes(mut)
         jpeg_decode_pixels(b)
         jpeg_header_meta(b)
+
+
+def test_stream_audio_dedup_matches_batch(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.operators.audiohash import (
+        audio_fingerprints,
+        synthesize_near_dup_wavs,
+    )
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_audio_dedup,
+    )
+
+    ids = spark.range(0, 32).selectExpr("id AS doc_id")
+    wavs = synthesize_near_dup_wavs(ids)
+    src = str(tmp_path / "wavs_stream")
+    wavs.write.parquet(src)
+    batch_fps = {
+        r["afp"]
+        for r in audio_fingerprints(spark.read.parquet(src)).collect()
+        if r["afp"] is not None
+    }
+    out = stream_audio_dedup(spark, src, spark.read.parquet(src).schema)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_audio_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id, afp FROM t_audio_dedup").collect()
+    assert len(rows) == len({r["afp"] for r in rows}) == len(batch_fps)
+    # groups of 4 re-leveled copies mostly collapse
+    assert len(rows) <= 32 - 2 * (32 // 4)
