@@ -891,3 +891,41 @@ def test_stream_audio_dedup_matches_batch(spark, tmp_path):
     assert len(rows) == len({r["afp"] for r in rows}) == len(batch_fps)
     # groups of 4 re-leveled copies mostly collapse
     assert len(rows) <= 32 - 2 * (32 // 4)
+
+
+def test_refine_direct_equals_general_across_join_modes(spark):
+    """O10 + direct refine must be mode-transparent: left / semi /
+    anti multi-mapping joins return identical rows on both refine
+    paths."""
+    from pl_fuzzy_frame_match_spark import FuzzyMapping, fuzzy_match_dfs
+    from pl_fuzzy_frame_match_spark.operators import matcher
+
+    left = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).selectExpr("c_custkey", "c_name", "CAST(c_nationkey AS STRING) c_nk")
+    right = spark.read.parquet(
+        "/root/testdata/sf0.001/supplier.parquet"
+    ).selectExpr("s_suppkey", "s_name", "CAST(s_nationkey AS STRING) s_nk")
+    maps = [
+        FuzzyMapping("c_nk", "s_nk", threshold_score=100.0),
+        FuzzyMapping("c_name", "s_name", threshold_score=60.0),
+    ]
+
+    for how in ("left", "left_semi", "left_anti"):
+        results = {}
+        for label, bound in (("direct", 0.0), ("general", 2.0)):
+            orig = matcher.REFINE_DIRECT_UNIQUENESS
+            matcher.REFINE_DIRECT_UNIQUENESS = bound
+            try:
+                out = fuzzy_match_dfs(left, right, maps, how=how)
+                results[label] = sorted(
+                    tuple(
+                        round(v, 6) if isinstance(v, float) else v
+                        for v in r
+                    )
+                    for r in out.collect()
+                )
+            finally:
+                matcher.REFINE_DIRECT_UNIQUENESS = orig
+        assert results["direct"] == results["general"], how
+        assert len(results["direct"]) > 0, how
