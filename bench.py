@@ -83,6 +83,7 @@ def main() -> None:
         "dedup_videos_framehash",
         "multimodal_frame_sample",
         "multimodal_jpeg_pixels",
+        "multimodal_resize_pixels",
     ):
         if extra in registry:
             names.append(extra)

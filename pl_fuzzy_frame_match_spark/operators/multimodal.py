@@ -395,6 +395,98 @@ def resize_meta(
     )
 
 
+def resize_images(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL aspect-preserving letterbox resize over the native
+    decoders (round 6 — `resize_meta` was the geometry-only half):
+    decode PNG/GIF/JPEG, nearest-neighbor resample onto a
+    ``target_h x target_w`` zero-padded canvas (image centered), and
+    re-encode as PNG — one Arrow-batched map-only pass, the tensor-
+    prep stage in front of any vision encoder.
+
+    Geometry is INTEGER-EXACT (engine-portable, no float round):
+    width-limited when ``target_w * h <= target_h * w``, then
+    ``out_w = target_w`` and ``out_h = (2*h*target_w + w) // (2*w)``
+    (HALF_UP of ``h * target_w / w`` for positive rationals) — and
+    symmetrically otherwise; the sample map is ``src[(i*h)//out_h,
+    (j*w)//out_w]``. Every step is integer arithmetic, so a SQL
+    oracle recomputes the resized pixel statistics from a closed-form
+    source corpus without decoding. Undecodable payloads emit a
+    null-payload row (never a stage kill). Output:
+    ``(id, width, height, channels, payload)``."""
+    import numpy as np
+
+    from .jpeg import jpeg_decode_pixels
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField(payload_col, BinaryType()),
+        ]
+    )
+    _CT = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG colortype
+
+    def resize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                dec = (
+                    png_decode_pixels(b)
+                    or gif_decode_pixels(b)
+                    or jpeg_decode_pixels(b)
+                )
+                if dec is None:
+                    rows.append((rid, None, None, None, None))
+                    continue
+                h, w, nch, px = dec
+                if target_w * h <= target_h * w:  # width-limited
+                    out_w = target_w
+                    out_h = max(1, (2 * h * target_w + w) // (2 * w))
+                else:
+                    out_h = target_h
+                    out_w = max(1, (2 * w * target_h + h) // (2 * h))
+                pad_x = (target_w - out_w) // 2
+                pad_y = (target_h - out_h) // 2
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                canvas = np.zeros(
+                    (target_h, target_w, nch), dtype=np.uint8
+                )
+                canvas[
+                    pad_y : pad_y + out_h, pad_x : pad_x + out_w
+                ] = px[np.ix_(yi, xi)]
+                rows.append(
+                    (
+                        rid,
+                        target_w,
+                        target_h,
+                        nch,
+                        png_encode_pixels(canvas, _CT[nch]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    out = df.select(id_col, payload_col)
+    if not out.isStreaming:
+        from .dedup import _fanout
+
+        out = _fanout(out)
+    return out.mapInPandas(resize_batches, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Pure-Python PNG pixel codec (stdlib zlib + numpy — no Pillow).
 # Closes the "pixel decode is environment-limited" gap: REAL pixel

@@ -5310,6 +5310,71 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_pixel_stats(synthesize_jpeg_corpus(_fanout(docs)))
 
 
+@register(
+    "multimodal_resize_pixels",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 4 + 3 AS h,
+                      CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                           ELSE 4 END AS nch
+               FROM documents WHERE doc_id IS NOT NULL),
+    geo AS (
+      SELECT doc_id, w, h, nch,
+             CASE WHEN 8 * h <= 8 * w THEN 8
+                  ELSE GREATEST(1, (2 * w * 8 + h) // (2 * h)) END AS ow,
+             CASE WHEN 8 * h <= 8 * w
+                  THEN GREATEST(1, (2 * h * 8 + w) // (2 * w))
+                  ELSE 8 END AS oh
+      FROM d),
+    sampled AS (
+      SELECT doc_id, w, h, nch, ow, oh,
+             flatten(flatten(
+               list_transform(range(0, oh), i ->
+                 list_transform(range(0, ow), j ->
+                   list_transform(range(0, nch), c ->
+                     (doc_id * 7 + ((i * h) // oh) * 13
+                      + ((j * w) // ow) * 3 + c * 29) % 256)))))
+               AS vals
+      FROM geo)
+    SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(nch AS INT) AS channels,
+           CAST(64 * nch AS BIGINT) AS n_px,
+           CAST(list_sum(vals) AS BIGINT) AS sum_px,
+           round(CAST(list_sum(vals) AS DOUBLE) / (64 * nch), 6)
+             AS mean_px,
+           CAST(CASE WHEN ow * oh < 64 THEN LEAST(list_min(vals), 0)
+                     ELSE list_min(vals) END AS INT) AS min_px,
+           CAST(CASE WHEN ow * oh < 64 THEN GREATEST(list_max(vals), 0)
+                     ELSE list_max(vals) END AS INT) AS max_px
+    FROM sampled
+    """,
+)
+def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (round 6 — `resize_meta` was geometry only):
+    the varied-geometry PNG corpus (4-8 x 3-6, color types 0/2/6, all
+    five scanline filters) resizes onto an 8x8 letterbox canvas —
+    decode, integer-exact aspect geometry, nearest-neighbor resample,
+    zero padding, PNG re-encode — then the pixel-stats operator reads
+    the RESIZED payloads back. The DuckDB oracle recomputes the
+    sampled pixel values from the closed-form source formula and the
+    same integer geometry (letterbox zeros enter min/max exactly when
+    padding exists), so decode -> resample -> pad -> re-encode ->
+    decode -> stats is value-checked end to end, up- and downscale
+    both exercised."""
+    from .operators.multimodal import (
+        png_pixel_stats,
+        resize_images,
+        synthesize_png_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    ).select("doc_id")
+    resized = resize_images(
+        synthesize_png_corpus(docs), target_w=8, target_h=8
+    )
+    return png_pixel_stats(resized.select("doc_id", "payload"))
+
+
 @register("dedup_semantic_kmeans", None)  # ML clustering -> rows-only
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with REAL k-means|| clustering (pyspark.ml, seed

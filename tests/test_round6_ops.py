@@ -929,3 +929,35 @@ def test_refine_direct_equals_general_across_join_modes(spark):
                 matcher.REFINE_DIRECT_UNIQUENESS = orig
         assert results["direct"] == results["general"], how
         assert len(results["direct"]) > 0, how
+
+
+def test_resize_images_geometry_and_null_safety(spark):
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        png_decode_pixels,
+        png_encode_pixels,
+        resize_images,
+    )
+
+    # 4x16 wide bar: width-limited into an 8x8 canvas -> out 8x2,
+    # letterboxed vertically, content centered
+    src = (np.arange(4 * 16).reshape(4, 16, 1) % 256).astype("uint8")
+    df = spark.createDataFrame(
+        [(1, png_encode_pixels(src, 0))], ["doc_id", "payload"]
+    )
+    row = resize_images(df, target_w=8, target_h=8).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (8, 8, 1)
+    h, w, nch, out = png_decode_pixels(bytes(row["payload"]))
+    assert (h, w, nch) == (8, 8, 1)
+    # out_h = round(4*8/16) = 2, pad_y = 3: rows 0-2 and 5-7 are zero
+    assert (out[:3] == 0).all() and (out[5:] == 0).all()
+    yi = (np.arange(2) * 4) // 2
+    xi = (np.arange(8) * 16) // 8
+    assert (out[3:5, :, 0] == src[np.ix_(yi, xi)][:, :, 0]).all()
+
+    junk = spark.createDataFrame(
+        [(2, b"not an image")], ["doc_id", "payload"]
+    )
+    jr = resize_images(junk, 8, 8).collect()
+    assert len(jr) == 1 and jr[0]["payload"] is None
