@@ -84,6 +84,7 @@ def main() -> None:
         "multimodal_frame_sample",
         "multimodal_jpeg_pixels",
         "multimodal_resize_pixels",
+        "multimodal_image_features",
     ):
         if extra in registry:
             names.append(extra)

@@ -267,3 +267,74 @@ def synthesize_near_dup_images(
             yield out
 
     return df.mapInPandas(synth, out_schema)
+
+
+HIST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channel", IntegerType()),
+        StructField("bin", IntegerType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def image_histograms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    bins: int = 16,
+) -> DataFrame:
+    """REAL per-channel intensity histograms over decoded pixels
+    (PNG/GIF/JPEG) — the handcrafted feature stage in front of the
+    similarity family (normalize the counts and they are an
+    ``array<float>`` for `operators/similarity`); unlike the
+    model-backed `multimodal.extract_features` stub this one is real
+    end to end. One map-only Arrow pass; one output row per
+    (image, channel, bin) with ``bin = pixel_value * bins // 256`` —
+    integer-exact, so a SQL oracle recomputes the counts from a
+    closed-form corpus. Undecodable payloads emit no rows (their ids
+    simply have no histogram — join back to flag them)."""
+    import numpy as np
+
+    from .multimodal import gif_decode_pixels, png_decode_pixels
+
+    schema = StructType(
+        [StructField(id_col, LongType())] + HIST_SCHEMA.fields[1:]
+    )
+
+    def hist_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from .jpeg import jpeg_decode_pixels
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                dec = (
+                    png_decode_pixels(b)
+                    or gif_decode_pixels(b)
+                    or jpeg_decode_pixels(b)
+                )
+                if dec is None:
+                    continue
+                h, w, nch, px = dec
+                binned = (px.astype(np.int64) * bins) // 256
+                for c in range(nch):
+                    counts = np.bincount(
+                        binned[:, :, c].ravel(), minlength=bins
+                    )
+                    for bi in range(bins):
+                        if counts[bi]:
+                            rows.append((rid, c, bi, int(counts[bi])))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    out = df.select(id_col, payload_col)
+    if not out.isStreaming:
+        from .dedup import _fanout
+
+        out = _fanout(out)
+    return out.mapInPandas(hist_batches, schema=schema)

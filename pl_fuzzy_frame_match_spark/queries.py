@@ -5375,6 +5375,47 @@ def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_pixel_stats(resized.select("doc_id", "payload"))
 
 
+@register(
+    "multimodal_image_features",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 4 + 3 AS h,
+                      CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                           ELSE 4 END AS nch
+               FROM documents WHERE doc_id IS NOT NULL),
+    px AS (SELECT doc_id, c.c AS channel,
+                  ((doc_id * 7 + y.y * 13 + x.x * 3 + c.c * 29) % 256)
+                    * 16 // 256 AS bin
+           FROM d,
+                (SELECT unnest(range(6)) AS y) y,
+                (SELECT unnest(range(8)) AS x) x,
+                (SELECT unnest(range(4)) AS c) c
+           WHERE y.y < h AND x.x < w AND c.c < nch)
+    SELECT doc_id, CAST(channel AS INT) AS channel,
+           CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n
+    FROM px GROUP BY doc_id, channel, bin
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL handcrafted image featurization: per-channel 16-bin
+    intensity histograms over decoded pixels — the feature stage a
+    similarity/near-dup pipeline runs where no neural encoder is
+    available (normalize the counts and they are the array<float>
+    input to `operators/similarity`; the model-backed
+    `extract_features` stays the documented stub for actual CLIP/CNN
+    runtimes). Binning is ``value * 16 // 256`` — integer-exact, so
+    the DuckDB oracle recomputes every (image, channel, bin) count
+    from the closed-form corpus without decoding: decode -> bin ->
+    count, value-checked end to end across color types 0/2/6 and all
+    five PNG filters."""
+    from .operators.imagehash import image_histograms
+    from .operators.multimodal import synthesize_png_corpus
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    ).select("doc_id")
+    return image_histograms(synthesize_png_corpus(docs))
+
+
 @register("dedup_semantic_kmeans", None)  # ML clustering -> rows-only
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with REAL k-means|| clustering (pyspark.ml, seed
