@@ -85,6 +85,7 @@ def main() -> None:
         "multimodal_jpeg_pixels",
         "multimodal_resize_pixels",
         "multimodal_image_features",
+        "multimodal_image_knn",
     ):
         if extra in registry:
             names.append(extra)

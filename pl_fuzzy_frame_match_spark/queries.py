@@ -5416,6 +5416,92 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_histograms(synthesize_png_corpus(docs))
 
 
+@register(
+    "multimodal_image_knn",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 4 + 3 AS h,
+                      CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                           ELSE 4 END AS nch
+               FROM documents WHERE doc_id IS NOT NULL),
+    px AS (SELECT doc_id,
+                  ((doc_id * 7 + y.y * 13 + x.x * 3 + c.c * 29) % 256)
+                    * 16 // 256 AS bin
+           FROM d,
+                (SELECT unnest(range(6)) AS y) y,
+                (SELECT unnest(range(8)) AS x) x,
+                (SELECT unnest(range(4)) AS c) c
+           WHERE y.y < h AND x.x < w AND c.c < nch),
+    hist AS (SELECT doc_id, bin, count(*) AS n
+             FROM px GROUP BY doc_id, bin),
+    packed AS (SELECT doc_id,
+                      list(struct_pack(bin := bin, n := n)) AS lst
+               FROM hist GROUP BY doc_id),
+    vec AS (SELECT doc_id,
+                   list_transform(range(0, 16), b ->
+                     CAST(coalesce(list_sum(list_transform(
+                       list_filter(lst, s -> s.bin = b),
+                       s -> s.n)), 0) AS DOUBLE)) AS v
+            FROM packed),
+    bench AS (SELECT * FROM vec WHERE doc_id % 37 = 0),
+    corpus AS (SELECT * FROM vec WHERE doc_id % 37 <> 0),
+    scored AS (
+      SELECT c.doc_id,
+             round(max(list_cosine_similarity(c.v, b.v)), 6) AS best_sim
+      FROM corpus c CROSS JOIN bench b GROUP BY c.doc_id)
+    SELECT doc_id, best_sim FROM scored WHERE best_sim >= 0.9
+    """,
+)
+def multimodal_image_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image similarity search end to end — decode -> histogram
+    featurize -> cosine search, no neural runtime: the 16-bin
+    grayscale-agnostic intensity histogram of every decoded image
+    becomes its feature vector, a small benchmark subset (doc_id % 37
+    == 0) plays the query set, and corpus images whose best benchmark
+    cosine clears 0.9 are flagged — the image twin of
+    `emb_decontaminate` (find training images that look like
+    benchmark images). Reuses the similarity family's planner-chosen
+    GEMM (`brute_force_topk`): bench matrix broadcasts, corpus scored
+    map-only. The DuckDB oracle recomputes the histograms closed-form
+    and replays the max-cosine + round-6 threshold, so decode ->
+    featurize -> search is value-checked end to end."""
+    from .operators.imagehash import image_histograms
+    from .operators.multimodal import synthesize_png_corpus
+    from .operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    ).select("doc_id")
+    hist = image_histograms(synthesize_png_corpus(docs)).groupBy(
+        "doc_id", "bin"
+    ).agg(F.sum("n").alias("n"))
+    vec = hist.groupBy("doc_id").agg(
+        F.aggregate(
+            F.collect_list(F.struct("bin", "n")),
+            F.array([F.lit(0.0)] * 16),
+            lambda acc, s: F.transform(
+                acc,
+                lambda v, i: F.when(
+                    i == s["bin"], v + s["n"].cast("double")
+                ).otherwise(v),
+            ),
+        ).alias("v")
+    )
+    bench = vec.where(F.pmod(F.col("doc_id"), F.lit(37)) == 0).select(
+        F.col("doc_id").alias("vec_id"), F.col("v")
+    )
+    corpus = vec.where(F.pmod(F.col("doc_id"), F.lit(37)) != 0).select(
+        F.col("doc_id").alias("vec_id"), F.col("v")
+    )
+    hits = brute_force_topk(corpus, bench, "v", "vec_id", k=1)
+    return (
+        hits.select(
+            F.col("query_id").alias("doc_id"),
+            F.round(F.col("cosine_sim"), 6).alias("best_sim"),
+        )
+        .where(F.col("best_sim") >= 0.9)
+    )
+
+
 @register("dedup_semantic_kmeans", None)  # ML clustering -> rows-only
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with REAL k-means|| clustering (pyspark.ml, seed
