@@ -161,6 +161,8 @@ def image_hashes(
     def hash_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
+        from .jpeg import jpeg_decode_pixels
+
         for pdf in batches:
             rows = []
             extras = [pdf[c] for c in extra]
@@ -169,7 +171,11 @@ def image_hashes(
             ):
                 tail = tuple(col.iloc[i] for col in extras)
                 b = bytes(payload) if payload is not None else b""
-                dec = png_decode_pixels(b) or gif_decode_pixels(b)
+                dec = (
+                    png_decode_pixels(b)
+                    or gif_decode_pixels(b)
+                    or jpeg_decode_pixels(b)
+                )
                 if dec is None:
                     rows.append((rid, None, None, None, None) + tail)
                     continue

@@ -961,3 +961,38 @@ def test_resize_images_geometry_and_null_safety(spark):
     )
     jr = resize_images(junk, 8, 8).collect()
     assert len(jr) == 1 and jr[0]["payload"] is None
+
+
+def test_image_hashes_decode_jpeg_payloads(spark):
+    """The image-hash pass accepts all three raster codecs: a JPEG
+    re-encode of the same raster hashes near-identically to its PNG
+    twin (JPEG loss moves cell means only slightly)."""
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.imagehash import (
+        image_hashes,
+    )
+    from pl_fuzzy_frame_match_spark.operators.jpeg import (
+        jpeg_encode_pixels,
+    )
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        png_encode_pixels,
+    )
+
+    y, x = np.ogrid[:16, :16]
+    img = ((np.sin(y / 3.0) + np.cos(x / 4.0)) * 80 + 128).astype(
+        np.uint8
+    )
+    df = spark.createDataFrame(
+        [
+            (1, png_encode_pixels(img[:, :, None], 0)),
+            (2, jpeg_encode_pixels(img)),
+        ],
+        ["doc_id", "payload"],
+    )
+    rows = {r["doc_id"]: r for r in image_hashes(df).collect()}
+    assert rows[2]["dhash"] is not None
+    ham = bin(
+        (rows[1]["dhash"] ^ rows[2]["dhash"]) & ((1 << 64) - 1)
+    ).count("1")
+    assert ham <= 6, ham  # near-identical despite JPEG loss
