@@ -126,6 +126,20 @@ def main() -> None:
         # other timings — record its error and keep going.
         samples = []
         failed = False
+        # one UNTIMED warmup at the TARGET SF before the timed trials:
+        # the sf0.001 warmup above warms code paths but not the
+        # sf0.1-shape state (broadcast block sizing, JIT at the larger
+        # trip counts) — measured as a structural ~2x first-trial
+        # penalty on the sketch-scan XL shapes (8.6 s cold vs 4.1 s
+        # steady on fuzzy_join_xl_4b), which median-of-3 then absorbs
+        # into the official number. Timed trials measure steady state.
+        try:
+            df = registry[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            del df
+            gc.collect()
+        except Exception:
+            pass  # the timed loop will record the error
         for _ in range(TRIALS):
             t0 = time.perf_counter()
             try:
