@@ -344,3 +344,78 @@ def image_histograms(
 
         out = _fanout(out)
     return out.mapInPandas(hist_batches, schema=schema)
+
+
+def build_image_hash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> None:
+    """Write the durable image near-dup index: one parquet of
+    ``(index_id, dhash)`` per already-ingested image — the image
+    analogue of `operators/dedup.build_minhash_index`. ~16 bytes/image
+    on disk; decode happens once at build time, never again at probe
+    time (band keys are derived from the stored hash at probe time —
+    cheaper than materializing ``bands`` rows per image in the
+    index)."""
+    hashed = image_hashes(df, id_col, payload_col).where(
+        F.col("dhash").isNotNull()
+    ).select(F.col(id_col).alias("index_id"), "dhash")
+    hashed.write.mode("overwrite").parquet(path)
+
+
+def incremental_image_near_dup_pairs(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Probe a NEW batch of images against the durable index
+    (CDC-ingest shape, the image analogue of
+    `dedup.incremental_near_dup_pairs`): hash the batch map-only,
+    band-join against the stored hashes, exact ``bit_count`` verify —
+    probe cost tracks the BATCH size, the corpus is only ever read as
+    its 16-byte/image hash index. Complete recall at ``max_hamming <=
+    bands - 1`` (pigeonhole). Returns (id, index_id, hamming)."""
+    spark = batch.sparkSession
+    idx = spark.read.parquet(index_path).select(
+        F.col("index_id").alias("__iid"), F.col("dhash").alias("__ih")
+    )
+    probe = image_hashes(batch, id_col, payload_col).where(
+        F.col("dhash").isNotNull()
+    ).select(F.col(id_col), F.col("dhash").alias("__ph"))
+
+    band_width = 64 // bands
+
+    def keys(col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col(col), i * band_width)
+                    .bitwiseAND(F.lit((1 << band_width) - 1))
+                    .alias("key"),
+                )
+                for i in range(bands)
+            ]
+        )
+
+    pb = probe.select(
+        id_col, "__ph", F.explode(keys("__ph")).alias("__b")
+    ).select(id_col, "__ph", "__b.band", "__b.key")
+    ib = idx.select(
+        "__iid", "__ih", F.explode(keys("__ih")).alias("__b")
+    ).select("__iid", "__ih", "__b.band", "__b.key")
+    return (
+        pb.join(ib, on=["band", "key"], how="inner")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__ph").bitwiseXOR(F.col("__ih"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(id_col, F.col("__iid").alias("index_id"), "hamming")
+        .dropDuplicates([id_col, "index_id"])
+    )

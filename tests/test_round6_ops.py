@@ -996,3 +996,38 @@ def test_image_hashes_decode_jpeg_payloads(spark):
         (rows[1]["dhash"] ^ rows[2]["dhash"]) & ((1 << 64) - 1)
     ).count("1")
     assert ham <= 6, ham  # near-identical despite JPEG loss
+
+
+def test_durable_image_index_probe(spark, tmp_path):
+    """Build the durable image-hash index from a corpus, probe a new
+    batch: re-leveled copies of indexed images are flagged with their
+    index ids, novel images are not; probe cost never decodes the
+    corpus (the index is hashes only)."""
+    from pl_fuzzy_frame_match_spark.operators.imagehash import (
+        build_image_hash_index,
+        incremental_image_near_dup_pairs,
+        synthesize_near_dup_images,
+    )
+
+    idx_path = str(tmp_path / "img_index")
+    corpus_ids = spark.createDataFrame(
+        [(g * 4,) for g in range(12)], ["doc_id"]
+    )
+    build_image_hash_index(
+        synthesize_near_dup_images(corpus_ids), idx_path
+    )
+    stored = spark.read.parquet(idx_path)
+    assert stored.columns == ["index_id", "dhash"]
+    assert stored.count() == 12
+
+    batch_ids = spark.createDataFrame(
+        [(g * 4 + 2,) for g in range(12)]
+        + [(g * 4,) for g in range(80, 84)],
+        ["doc_id"],
+    )
+    hits = incremental_image_near_dup_pairs(
+        synthesize_near_dup_images(batch_ids), idx_path
+    ).collect()
+    flagged = {r["doc_id"] for r in hits}
+    assert flagged == {g * 4 + 2 for g in range(12)}, flagged
+    assert all(r["index_id"] == r["doc_id"] - 2 for r in hits)
