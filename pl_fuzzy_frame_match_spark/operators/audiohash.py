@@ -153,6 +153,53 @@ def audio_near_dup_pairs(
     return hamming_band_pairs(hashed, id_col, "__ahash", max_hamming, bands)
 
 
+def build_audio_fp_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> None:
+    """Write the durable audio near-dup index: one parquet of
+    ``(index_id, afp)`` per already-ingested clip — the audio member
+    of the CDC-ingest index trio (VERDICT r6 #4; image twin
+    `operators/imagehash.build_image_hash_index`, text twin
+    `operators/dedup.build_minhash_index`). ~16 bytes/clip; PCM decode
+    happens once at build time, never again at probe time."""
+    fp = audio_fingerprints(df, id_col, payload_col).where(
+        F.col("afp").isNotNull()
+    ).select(F.col(id_col).alias("index_id"), F.col("afp").alias("afp"))
+    fp.write.mode("overwrite").parquet(path)
+
+
+def incremental_audio_near_dup_pairs(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Probe a NEW batch of clips against the durable fingerprint
+    index (CDC-ingest shape): fingerprint the batch map-only, band-
+    join against the stored fingerprints via the shared
+    `dedup.hamming_band_probe`, exact ``bit_count`` verify — probe
+    cost tracks the BATCH, the corpus is only ever read as its
+    16-byte/clip index. Complete recall at ``max_hamming <= bands -
+    1`` (pigeonhole). Returns (id, index_id, hamming)."""
+    from .dedup import hamming_band_probe
+
+    spark = batch.sparkSession
+    idx = spark.read.parquet(index_path)
+    probe = audio_fingerprints(batch, id_col, payload_col).where(
+        F.col("afp").isNotNull()
+    ).select(F.col(id_col), "afp")
+    return hamming_band_probe(
+        probe, idx, id_col, "afp",
+        index_hash_col="afp",
+        max_hamming=max_hamming, bands=bands,
+    )
+
+
 def synthesize_near_dup_wavs(
     df: DataFrame,
     id_col: str = "doc_id",

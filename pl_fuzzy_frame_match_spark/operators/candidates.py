@@ -168,19 +168,30 @@ def approx_candidate_pairs(
             left_keys, right_keys, left_col, right_col, top_n,
             n_left_keys, n_right_keys, max_hamming, n_blocks,
         )
-    elif _degenerate_key_share(left_keys, left_col) > DEGENERATE_DF_SHARE:
+    elif (
+        _degenerate_key_share(left_keys, left_col) > DEGENERATE_DF_SHARE
+        or _degenerate_key_share(right_keys, right_col)
+        > DEGENERATE_DF_SHARE
+    ):
         # Degenerate key family (VERDICT r5 #4): shingle document
         # frequency concentrates (sequential/templated keys), band
         # buckets collapse into mega-clusters, and BANDED_BUCKET_CAP's
         # truncation silently kills recall (measured 0.065 at the r5
         # 1.05e10 probe). Route to the skew-immune blocked sketch scan
         # instead — slower per pair (O(n*m) XOR popcount, recall 0.963
-        # on the same probe) but never silently lossy.
+        # on the same probe) but never silently lossy. BOTH sides are
+        # probed (VERDICT r6 #7): band buckets collapse if EITHER
+        # family is templated — a degenerate right with a diverse left
+        # floods the same buckets — and the left-only probe relied on
+        # callers putting the larger set on the left. Short-circuit
+        # keeps the common (diverse-left) case at one extra probe.
         logging.getLogger(__name__).warning(
-            "degenerate key family detected on %s (top-shingle df share"
-            " > %.2f): banding would silently collapse recall; using the"
-            " blocked sketch scan — consider a blocking key upstream",
+            "degenerate key family detected on %s/%s (top-shingle df"
+            " share > %.2f): banding would silently collapse recall;"
+            " using the blocked sketch scan — consider a blocking key"
+            " upstream",
             left_col,
+            right_col,
             DEGENERATE_DF_SHARE,
         )
         n_blocks = max(

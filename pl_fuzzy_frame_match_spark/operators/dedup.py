@@ -396,6 +396,61 @@ def hamming_band_pairs(
     )
 
 
+def hamming_band_probe(
+    probe: DataFrame,
+    idx: DataFrame,
+    id_col: str,
+    probe_hash_col: str,
+    index_id_col: str = "index_id",
+    index_hash_col: str = "dhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Asymmetric twin of :func:`hamming_band_pairs` — probe a (small)
+    batch of hashed rows against a (large) durable hash index: both
+    sides explode to ``bands`` pigeonhole band keys, equi-join on
+    (band, key), exact ``bit_count`` verify. Complete recall at
+    ``max_hamming <= bands - 1``. Probe cost tracks the BATCH size;
+    the corpus is only ever read as its ~16-byte/item hash index. The
+    CDC-ingest shape shared by the image, audio, and (frame-level)
+    video families (VERDICT r6 #4). Returns (id, index_id, hamming)."""
+    band_width = 64 // bands
+
+    def keys(col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col(col), i * band_width)
+                    .bitwiseAND(F.lit((1 << band_width) - 1))
+                    .alias("key"),
+                )
+                for i in range(bands)
+            ]
+        )
+
+    pb = probe.select(
+        F.col(id_col),
+        F.col(probe_hash_col).alias("__ph"),
+        F.explode(keys(probe_hash_col)).alias("__b"),
+    ).select(id_col, "__ph", "__b.band", "__b.key")
+    ib = idx.select(
+        F.col(index_id_col).alias("__iid"),
+        F.col(index_hash_col).alias("__ih"),
+        F.explode(keys(index_hash_col)).alias("__b"),
+    ).select("__iid", "__ih", "__b.band", "__b.key")
+    return (
+        pb.join(ib, on=["band", "key"], how="inner")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__ph").bitwiseXOR(F.col("__ih"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(id_col, F.col("__iid").alias("index_id"), "hamming")
+        .dropDuplicates([id_col, "index_id"])
+    )
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     vec_col: str,

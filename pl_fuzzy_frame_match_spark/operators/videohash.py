@@ -173,6 +173,184 @@ def video_near_dup_pairs(
     )
 
 
+def video_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    passthrough_cols: list | None = None,
+) -> DataFrame:
+    """One 64-bit SET fingerprint per video — the order-insensitive
+    fold of its distinct frame dhashes (FNV-1a-style multiply over the
+    sorted set), computed in the SAME decode pass as the frame hashes
+    so a clip contributes ~28 bytes downstream. Two videos whose frame
+    sets match exactly — e.g. a brightness-shifted re-encode, by
+    dhash's exposure invariance — fingerprint identically, which is
+    the key the streaming dedup twin (`stream_video_dedup`) keeps
+    FIRST on. Deterministic integer arithmetic; undecodable payloads
+    emit a null fingerprint and survive. Not a similarity hash: one
+    differing frame changes it (use `video_near_dup_pairs` /
+    `incremental_video_near_dup_pairs` for Jaccard matching)."""
+    from .imagehash import dhash64_from_pixels
+    from .multimodal import avi_decode_frames
+
+    extra = [c for c in (passthrough_cols or []) if c]
+    out = df.select(id_col, payload_col, *extra)
+    if not out.isStreaming:
+        from .dedup import _fanout
+
+        out = _fanout(out)
+    extra_fields = [out.schema[c] for c in extra]
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_frames", IntegerType()),
+            StructField("vfp", LongType()),
+        ]
+        + extra_fields
+    )
+
+    def fp_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        mask = (1 << 64) - 1
+        for pdf in batches:
+            rows = []
+            extras = [pdf[c] for c in extra]
+            for i, (rid, payload) in enumerate(
+                zip(pdf[id_col], pdf[payload_col])
+            ):
+                tail = tuple(col.iloc[i] for col in extras)
+                b = bytes(payload) if payload is not None else b""
+                dec = avi_decode_frames(b)
+                if dec is None:
+                    rows.append((rid, None, None, None, None) + tail)
+                    continue
+                w, h, n, frames = dec
+                hashes = sorted(
+                    {
+                        dhash64_from_pixels(frames[f]) & mask
+                        for f in range(n)
+                    }
+                )
+                fp = 0xCBF29CE484222325
+                for hv in hashes:
+                    fp = ((fp ^ hv) * 0x100000001B3) & mask
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                rows.append((rid, w, h, n, fp) + tail)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return out.mapInPandas(fp_batches, schema=schema)
+
+
+def build_video_hash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hash_df: int | None = None,
+) -> None:
+    """Write the durable video near-dup index: one parquet of
+    ``(index_id, dhash)`` — the DISTINCT frame-hash set of every
+    already-ingested video (~12 bytes per (video, distinct frame);
+    frames never leave the build pass). The video member of the
+    CDC-ingest index trio (VERDICT r6 #4). ``max_hash_df`` applies
+    the stopword cap at BUILD time (drop frame hashes appearing in
+    more than that many corpus videos), so probes inherit the
+    "informative frame" similarity and the hot-key protection."""
+    hashed = (
+        video_frame_hashes(df, id_col, payload_col)
+        .where(F.col("dhash").isNotNull())
+        .select(F.col(id_col).alias("index_id"), "dhash")
+        .distinct()
+    )
+    if max_hash_df is not None:
+        hashed = hashed.localCheckpoint(eager=True)
+        dfreq = hashed.groupBy("dhash").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        hashed = hashed.join(
+            F.broadcast(
+                dfreq.where(F.col("__df") > max_hash_df).select("dhash")
+            ),
+            on="dhash",
+            how="left_anti",
+        )
+    hashed.write.mode("overwrite").parquet(path)
+
+
+def incremental_video_near_dup_pairs(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Probe a NEW batch of videos against the durable frame-hash
+    index (CDC-ingest shape): hash the batch's frames map-only,
+    equi-join on the 64-bit frame hash against the stored sets
+    (batch videos sharing no frame with a corpus video never meet),
+    then the exact set Jaccard — shared / (|batch set| + |index set|
+    − shared), rounded to 6 decimals before the threshold like the
+    batch path. Probe cost tracks the BATCH; the corpus is only ever
+    read as its hash index (whose per-video sizes are one groupBy of
+    the index — no payload decode). If the index was built with
+    ``max_hash_df``, its stopword cap is inherited: a capped hash is
+    absent from the index so it can't generate candidates, but it DOES
+    still count in the batch-side set size — pass the same cap's
+    output through `video_frame_hashes` externally if strict batch/
+    index symmetry is needed. Returns (id, index_id, n_shared,
+    jaccard_sim)."""
+    spark = batch.sparkSession
+    idx = spark.read.parquet(index_path).select(
+        F.col("index_id"), "dhash"
+    )
+    sizes_idx = idx.groupBy("index_id").agg(
+        F.count(F.lit(1)).alias("__ni")
+    )
+    probe = (
+        video_frame_hashes(batch, id_col, payload_col)
+        .where(F.col("dhash").isNotNull())
+        .select(F.col(id_col), "dhash")
+        .distinct()
+        .localCheckpoint(eager=True)  # candidate join + size agg
+    )
+    sizes_probe = probe.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__np")
+    )
+    shared = (
+        probe.join(idx, on="dhash", how="inner")
+        .groupBy(id_col, "index_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # sizes_probe is batch-sized -> broadcast; sizes_idx is one row per
+    # CORPUS video (unbounded) -> shuffle join, AQE may still broadcast
+    # the (small, batch-driven) shared side at runtime.
+    return (
+        shared.join(F.broadcast(sizes_probe), on=id_col)
+        .join(sizes_idx, on="index_id")
+        .withColumn(
+            "jaccard_sim",
+            F.round(
+                F.col("n_shared")
+                / (F.col("__np") + F.col("__ni") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard_sim") >= F.lit(threshold))
+        .select(
+            id_col,
+            "index_id",
+            F.col("n_shared").cast("int").alias("n_shared"),
+            "jaccard_sim",
+        )
+    )
+
+
 def synthesize_near_dup_videos(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -187,9 +365,10 @@ def synthesize_near_dup_videos(
     written as equal R=G=B channels (so dhash's integer-mean grayscale
     IS the base value and the SQL oracle needs no channel dimension),
     and variant ``v = doc_id % group_size`` shifts every pixel by +v
-    clamped at 255. Within a group every frame hash matches (dhash
-    exposure invariance) => video Jaccard 1.0; cross-group frames are
-    independent => Jaccard 0."""
+    clamped at 255. Within a group frame hashes match (dhash exposure
+    invariance) except for occasional clamped-pixel bit flips =>
+    video Jaccard near 1.0 (always >= 0.5 in the test corpora);
+    cross-group frames are independent => Jaccard 0."""
     import numpy as np
 
     from .multimodal import avi_encode_frames

@@ -5463,29 +5463,18 @@ def multimodal_image_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     GEMM (`brute_force_topk`): bench matrix broadcasts, corpus scored
     map-only. The DuckDB oracle recomputes the histograms closed-form
     and replays the max-cosine + round-6 threshold, so decode ->
-    featurize -> search is value-checked end to end."""
-    from .operators.imagehash import image_histograms
+    featurize -> search is value-checked end to end. The vector is
+    emitted directly from the decode pass (`image_feature_vectors`,
+    VERDICT r6 #3) — the old (doc, channel, bin) explode + interpreted
+    HOF fold cost two extra shuffles for a value numpy already held."""
+    from .operators.imagehash import image_feature_vectors
     from .operators.multimodal import synthesize_png_corpus
     from .operators.similarity import brute_force_topk
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id").isNotNull()
     ).select("doc_id")
-    hist = image_histograms(synthesize_png_corpus(docs)).groupBy(
-        "doc_id", "bin"
-    ).agg(F.sum("n").alias("n"))
-    vec = hist.groupBy("doc_id").agg(
-        F.aggregate(
-            F.collect_list(F.struct("bin", "n")),
-            F.array([F.lit(0.0)] * 16),
-            lambda acc, s: F.transform(
-                acc,
-                lambda v, i: F.when(
-                    i == s["bin"], v + s["n"].cast("double")
-                ).otherwise(v),
-            ),
-        ).alias("v")
-    )
+    vec = image_feature_vectors(synthesize_png_corpus(docs))
     bench = vec.where(F.pmod(F.col("doc_id"), F.lit(37)) == 0).select(
         F.col("doc_id").alias("vec_id"), F.col("v")
     )

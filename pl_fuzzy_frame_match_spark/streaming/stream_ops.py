@@ -889,6 +889,45 @@ def stream_image_near_dup_probe(
     )
 
 
+def stream_video_dedup(
+    spark, path: str, schema,
+    id_col: str = "doc_id", payload_col: str = "payload",
+    watermark_col: str = None, watermark: str = "1 hour",
+):
+    """Streaming perceptual VIDEO dedup — completes the media trio
+    (image `stream_image_dedup`, audio `stream_audio_dedup`, this):
+    decode each arriving AVI, dhash every frame, fold the distinct
+    frame-hash SET into one 64-bit fingerprint
+    (`operators/videohash.video_fingerprints`, map-only — frames
+    never leave the decode pass) and keep the FIRST video per
+    fingerprint. A brightness-shifted re-encode of an already-seen
+    clip produces the identical frame-hash set (dhash exposure
+    invariance), so this suppresses the re-upload duplicates
+    byte-exact dedup cannot see. Watermark-bounded state when an
+    event-time column exists; undecodable payloads carry a NULL
+    fingerprint and are dropped (route them through
+    `stream_exact_dedup` instead)."""
+    from ..operators.videohash import video_fingerprints
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    hashed = video_fingerprints(
+        stream,
+        id_col,
+        payload_col,
+        passthrough_cols=[watermark_col] if watermark_col else None,
+    ).where(F.col("vfp").isNotNull())
+    if watermark_col is not None:
+        hashed = _as_instant(hashed, watermark_col)
+        return hashed.withWatermark(
+            watermark_col, watermark
+        ).dropDuplicatesWithinWatermark(["vfp"])
+    return hashed.dropDuplicates(["vfp"])
+
+
 def stream_audio_dedup(
     spark, path: str, schema,
     id_col: str = "doc_id", payload_col: str = "payload",
