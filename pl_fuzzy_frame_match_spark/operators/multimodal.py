@@ -1513,12 +1513,16 @@ def wav_audio_features(
 
 
 # ---------------------------------------------------------------------------
-# Pure-Python AVI codec (RIFF container + uncompressed 24-bit DIB
-# frames, stdlib only) — the VIDEO sibling of the PNG/GIF/WAV codecs:
-# real container walk + raster reconstruction, no ffmpeg. Covers the
-# uncompressed ('00db'/DIB) stream a synthetic corpus or a raw capture
-# pipeline produces; compressed codecs remain the documented
-# NotImplementedError (they genuinely need ffmpeg/pyav).
+# Pure-Python AVI codec (RIFF container; uncompressed 24-bit DIB and
+# MJPEG streams, stdlib only) — the VIDEO sibling of the PNG/GIF/WAV
+# codecs: real container walk + raster reconstruction, no ffmpeg.
+# Covers the uncompressed ('00db'/DIB) stream a synthetic corpus or a
+# raw capture pipeline produces, and (round 7) the MJPEG ('00dc',
+# biCompression 'MJPG') stream real capture hardware / archival
+# pipelines produce — each frame is a standalone baseline JPEG,
+# decoded by `operators/jpeg.py`. Inter-frame-compressed codecs
+# (H.264 etc.) remain the documented NotImplementedError (they
+# genuinely need ffmpeg/pyav).
 # ---------------------------------------------------------------------------
 
 
@@ -1577,10 +1581,69 @@ def avi_encode_frames(frames, fps: int = 10) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def mjpeg_encode_frames(frames, fps: int = 10) -> bytes:
+    """Encode ``uint8 ndarray[n, h, w]`` (grayscale) or
+    ``[n, h, w, 3]`` (RGB) as an MJPEG AVI: same RIFF layout as
+    :func:`avi_encode_frames` but stream fourcc / biCompression
+    'MJPG' and each '00dc' chunk a standalone baseline JFIF JPEG
+    (:func:`..jpeg.jpeg_encode_pixels`) — the compressed-video shape
+    capture hardware and archival pipelines actually emit, closable
+    here with zero dependencies because the repo carries its own
+    baseline JPEG codec."""
+    import struct
+
+    import numpy as np
+
+    from .jpeg import jpeg_encode_pixels
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(tag: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", tag + payload)
+
+    jpegs = [jpeg_encode_pixels(frames[f]) for f in range(n)]
+    max_bytes = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),
+        max_bytes * fps,
+        0, 0x10,
+        n, 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n,
+        max_bytes, 0xFFFFFFFF, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+        max_bytes, 0, 0, 0, 0,
+    )
+    movi_payload = b"".join(chunk(b"00dc", j) for j in jpegs)
+    body = (
+        b"AVI "
+        + lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        )
+        + lst(b"movi", movi_payload)
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def _avi_scan(data: bytes):
     """RIFF walk shared by the decoder and the frame sampler:
-    ``(width, height, bpp, [(chunk_offset, chunk_len), ...])`` for an
-    AVI payload, None for non-AVI/malformed."""
+    ``(width, height, bpp, compression_fourcc,
+    [(chunk_offset, chunk_len), ...])`` for an AVI payload, None for
+    non-AVI/malformed. ``compression_fourcc`` is the strf
+    biCompression field as 4 raw bytes (all-zero = uncompressed
+    DIB, b'MJPG' = motion JPEG)."""
     import struct
 
     if (
@@ -1593,10 +1656,11 @@ def _avi_scan(data: bytes):
     data = bytes(data)
 
     w = h = bpp = None
+    comp = b"\x00\x00\x00\x00"
     frames = []
 
     def walk(pos: int, end: int) -> bool:
-        nonlocal w, h, bpp
+        nonlocal w, h, bpp, comp
         while pos + 8 <= end:
             tag = data[pos : pos + 4]
             ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
@@ -1611,6 +1675,7 @@ def _avi_scan(data: bytes):
                     "<IiiHH", data[pos + 8 : pos + 24]
                 )
                 w, h, bpp = int(bw), abs(int(bh)), int(bits)
+                comp = data[pos + 24 : pos + 28]
             elif tag[2:4] in (b"db", b"dc") and tag[:2].isdigit():
                 frames.append((pos + 8, ln))
             pos = payload_end + (ln & 1)
@@ -1618,9 +1683,11 @@ def _avi_scan(data: bytes):
 
     if not walk(12, len(data)):
         return None
-    if w is None or bpp != 24 or w <= 0 or h <= 0 or not frames:
+    if w is None or w <= 0 or h <= 0 or not frames:
         return None
-    return w, h, bpp, frames
+    if comp != b"MJPG" and (bpp != 24 or any(comp)):
+        return None  # inter-frame codecs: not decodable here
+    return w, h, bpp, comp, frames
 
 
 def _avi_frame_at(data: bytes, w: int, h: int, off: int, ln: int):
@@ -1638,22 +1705,48 @@ def _avi_frame_at(data: bytes, w: int, h: int, off: int, ln: int):
     return bgr[::-1, :, ::-1]  # undo bottom-up + BGR
 
 
+def _mjpeg_frame_at(data: bytes, w: int, h: int, off: int, ln: int):
+    """One MJPEG ('00dc') frame -> uint8 ndarray[h, w, 3] (RGB), or
+    None when the embedded JPEG is malformed or disagrees with the
+    container header dims. Grayscale JPEGs replicate to 3 channels so
+    every downstream frame consumer sees one raster shape."""
+    from .jpeg import jpeg_decode_pixels
+
+    dec = jpeg_decode_pixels(bytes(data[off : off + ln]))
+    if dec is None:
+        return None
+    jh, jw, nch, px = dec
+    if jh != h or jw != w:
+        return None
+    if nch == 1:
+        import numpy as np
+
+        px = np.repeat(px, 3, axis=2)
+    return px
+
+
 def avi_decode_frames(data: bytes):
-    """Decode an uncompressed 24-bit AVI into
+    """Decode an uncompressed 24-bit or MJPEG AVI into
     ``(width, height, n_frames, uint8 ndarray[n, h, w, 3])`` — RIFF
-    walk with stdlib struct + numpy. Returns None for non-AVI,
-    compressed, or malformed payloads (corrupt video must never kill
-    a stage)."""
+    walk with stdlib struct + numpy; MJPEG frames go through the
+    pure-Python baseline JPEG decoder (`operators/jpeg.py`). Returns
+    None for non-AVI, inter-frame-compressed, or malformed payloads
+    (corrupt video must never kill a stage)."""
     import numpy as np
 
     scan = _avi_scan(data)
     if scan is None:
         return None
-    w, h, _bpp, frames = scan
+    w, h, _bpp, comp, frames = scan
     data = bytes(data)
+    mjpeg = comp == b"MJPG"
     out = []
     for off, ln in frames:
-        frame = _avi_frame_at(data, w, h, off, ln)
+        frame = (
+            _mjpeg_frame_at(data, w, h, off, ln)
+            if mjpeg
+            else _avi_frame_at(data, w, h, off, ln)
+        )
         if frame is None:
             return None
         out.append(frame)
