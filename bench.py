@@ -169,12 +169,13 @@ def main() -> None:
     # number measures the session, not the query. Re-time those rows at
     # the END of the session with fresh trials; keep the better (lower)
     # median, and record which rows were re-timed so the artifact is
-    # self-auditing.
+    # self-auditing. Trigger at 1.5x (VERDICT r7 #7): at 2x,
+    # dedup_containment sat 52% above its isolated time undetected.
     retimed = {}
     for name in names:
         if name not in timings or name not in mins or mins[name] <= 0:
             continue
-        if timings[name] <= 2.0 * mins[name]:
+        if timings[name] <= 1.5 * mins[name]:
             continue
         gc.collect()
         samples = []
@@ -236,6 +237,17 @@ def main() -> None:
     sys.stdout.flush()
     print(json.dumps(record))
     sys.stdout.flush()
+    # Shipping gate (VERDICT r7 #3): round 7 shipped with a query
+    # erroring — the signal sat in BENCH_DETAIL.json.errors and nobody
+    # acted on it. A non-empty errors map now makes the process exit
+    # non-zero AFTER printing the headline line (the driver still gets
+    # its JSON; scripts/ship_check.py and any CI treat it as a failure).
+    if errors:
+        print(
+            f"BENCH ERRORS ({len(errors)}): " + ", ".join(sorted(errors)),
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -42,6 +42,13 @@ from pyspark.sql import functions as F
 # measured before the 2x symmetrize.)
 SMALL_GRAPH_EDGE_LIMIT = 2_000_000
 
+# Rounds the last distributed connected_components call took to
+# converge (driver union-find path leaves it at 0). Probe/test
+# instrumentation only — scripts/probe_graph_scale.py and the
+# O(log diameter) iteration-count assertion read it; no engine logic
+# depends on it.
+LAST_DISTRIBUTED_ROUNDS = 0
+
 
 def _driver_union_find(sym: DataFrame) -> DataFrame:
     """Min-id union-find over a collected edge list; returns the same
@@ -95,6 +102,8 @@ def connected_components(
     # whole upstream pair-search plan TWICE inside one checkpoint job
     # (measured on the semantic-dedup keep path, VERDICT r5 #5)
     raw = raw.localCheckpoint(eager=True)
+    global LAST_DISTRIBUTED_ROUNDS
+    LAST_DISTRIBUTED_ROUNDS = 0
     if raw.count() <= SMALL_GRAPH_EDGE_LIMIT // 2:  # free: checkpointed
         # union-find is orientation-agnostic and dup-tolerant: skip the
         # symmetrize + distinct shuffle entirely on the driver path
@@ -110,7 +119,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         # pointer-jumping edges: node <-> its current label. Unioned
         # with the raw edges they let a label learned anywhere in the
         # cluster reach every member in O(log d) rounds.
@@ -147,6 +156,7 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        LAST_DISTRIBUTED_ROUNDS = _round + 1
         if changed == 0:
             break
     else:

@@ -298,13 +298,16 @@ def sample_frames(
                         " natively; pass fake=True for the byte-window"
                         " stub"
                     )
-                w, h, _bpp, frames = scan
+                w, h, _bpp, comp, frames = scan
+                frame_at = (
+                    _mjpeg_frame_at if comp == b"MJPG" else _avi_frame_at
+                )
                 n_total = len(frames)
                 take = min(n_frames, n_total)
                 for i in range(take):
                     fi = (i * n_total) // take
                     off, ln = frames[fi]
-                    px = _avi_frame_at(data, w, h, off, ln)
+                    px = frame_at(data, w, h, off, ln)
                     if px is None:
                         continue  # short chunk: skip, never kill
                     rows.append(
@@ -1597,6 +1600,8 @@ def mjpeg_encode_frames(frames, fps: int = 10) -> bytes:
     from .jpeg import jpeg_encode_pixels
 
     frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim < 3 or frames.shape[0] == 0:
+        raise ValueError("mjpeg_encode_frames: at least one frame required")
     n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
 
     def chunk(tag: bytes, payload: bytes) -> bytes:

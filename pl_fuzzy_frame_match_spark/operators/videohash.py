@@ -402,3 +402,64 @@ def synthesize_near_dup_videos(
             yield out
 
     return df.mapInPandas(synth, out_schema)
+
+
+def synthesize_mjpeg_videos(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    group_size: int = 4,
+    n_frames: int = 5,
+) -> DataFrame:
+    """Attach a deterministic 5-frame 32x32 MJPEG AVI per row — the
+    COMPRESSED-video twin of :func:`synthesize_near_dup_videos`, built
+    so the lossy codec reconstructs BIT-EXACTLY: every frame is a 4x4
+    grid of flat 8x8 blocks holding EVEN gray values (2x2 left dhash
+    too few gradients — cross-group frame hashes collided), the regime
+    where
+    the baseline JPEG encoder's Annex-K quantization error is exactly
+    zero (see `operators/jpeg.py` / `multimodal_jpeg_pixels`). Block
+    values are a closed-form quadratic hash of
+    (``doc_id // group_size``, frame, block row, block col) folded to
+    even 0..254; variant ``v = doc_id % group_size`` brightness-shifts
+    every block by ``+2v`` clamped at 254 (still flat + even => still
+    exact), so within-group clips are near-dups for the video-hash
+    family while a SQL oracle recomputes any decoded-pixel statistic
+    WITHOUT a JPEG codec."""
+    import numpy as np
+
+    from .multimodal import mjpeg_encode_frames
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(payload_col, BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                d = int(rid)
+                gid, v = d // group_size, d % group_size
+                f, by, bx = np.meshgrid(
+                    np.arange(n_frames),
+                    np.arange(4),
+                    np.arange(4),
+                    indexing="ij",
+                )
+                a = (gid * 523 + f * 131 + by * 31 + bx + 1).astype(
+                    np.int64
+                )
+                h1 = (a * a) % 16777216
+                base = (
+                    ((h1 * 2654435761) % (1 << 32)) // (1 << 24) % 128
+                ) * 2
+                vals = np.minimum(base + 2 * v, 254).astype(np.uint8)
+                frames = np.repeat(
+                    np.repeat(vals, 8, axis=1), 8, axis=2
+                )
+                payloads.append(mjpeg_encode_frames(frames))
+            out = pdf.copy()
+            out[payload_col] = payloads
+            yield out
+
+    return df.mapInPandas(synth, out_schema)

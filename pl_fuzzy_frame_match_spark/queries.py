@@ -44,6 +44,89 @@ def oracle_sql() -> Dict[str, str]:
     return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
 
 
+# Why each rows-only entry has no DuckDB value-hash oracle (VERDICT r7
+# #8). The driver still checks these run and return >=0 rows with a
+# stable schema; tests pin their semantics another way (noted per row).
+# `test_queries_oracle.py::test_no_oracle_reasons_complete` asserts this
+# stays in lockstep with the registry.
+NO_ORACLE_WHY: Dict[str, str] = {
+    "dedup_minhash": (
+        "MinHash signatures depend on the engine's 64-bit hash "
+        "(xxhash64 seeds); no SQL engine reproduces them. Pinned "
+        "instead by recall/precision gates vs the exact-Jaccard "
+        "oracle query (test_pipeline_ops.py)."
+    ),
+    "dedup_simhash": (
+        "SimHash bit-vectors derive from xxhash64 token hashes — "
+        "engine-specific, not SQL-replayable. Pinned by Hamming-"
+        "neighborhood property tests and recall gates vs exact "
+        "Jaccard."
+    ),
+    "dedup_clusters_minhash": (
+        "Banded-MinHash candidates inherit the xxhash64 dependency; "
+        "the downstream exact-Jaccard verify + connected components "
+        "ARE oracled via dedup_clusters (same cluster semantics, "
+        "exact candidate path)."
+    ),
+    "dedup_semantic_kmeans": (
+        "k-means centroids come from an iterative Lloyd's loop "
+        "(init from a deterministic sample, but >1 refinement "
+        "round) — not expressible as one SQL query. Convergence and "
+        "cluster-quality invariants are pytest-pinned."
+    ),
+    "ann_ivf": (
+        "IVF probes only the nlist/nprobe nearest coarse cells, an "
+        "intentionally lossy index; the brute-force baseline it "
+        "approximates IS oracled (ann_topk). Recall vs that "
+        "baseline is gated in tests (>=0.9)."
+    ),
+    "ann_ivf_distributed": (
+        "Same lossy IVF semantics as ann_ivf, plus centroids from a "
+        "bounded executor-side sample. Recall-gated against the "
+        "oracled exact top-k in tests."
+    ),
+    "ann_lsh": (
+        "Random-hyperplane LSH buckets depend on the engine hash "
+        "for the plane seeds; lossy by design. Recall-gated vs the "
+        "oracled ann_topk."
+    ),
+    "ann_pq": (
+        "Product-quantization codebooks come from per-subspace "
+        "k-means (iterative); reconstruction error and recall vs "
+        "exact top-k are pytest-gated."
+    ),
+    "ann_ivfpq": (
+        "Composition of two non-SQL stages (IVF routing + PQ "
+        "codes); end-to-end recall gated vs the oracled exact "
+        "top-k."
+    ),
+    "multimodal_frames": (
+        "Frame sampling fans one binary payload into PNG-encoded "
+        "frame rows via the repo's own codecs — DuckDB has no AVI/"
+        "PNG codec to replay it. Byte-exact decode equivalence is "
+        "pinned in test_round6_ops/test_round8_ops; the metadata-"
+        "only sibling multimodal_frame_sample IS oracled."
+    ),
+    "multimodal_features_ann": (
+        "Downstream of the stubbed feature extractor (deterministic "
+        "fake CLIP); vector values are engine-internal. The ANN "
+        "stage over REAL embeddings is oracled via ann_topk."
+    ),
+    "multimodal_decode_stub": (
+        "Explicitly a stub (image libs absent in this container): "
+        "emits deterministic fake features behind the real "
+        "mapInPandas plumbing. Schema/batch-shape pinned in tests; "
+        "values are placeholders by design."
+    ),
+    "docs_leakage_split_banded": (
+        "The banded (MinHash) variant of the oracled "
+        "docs_leakage_safe_split: same split semantics, xxhash64-"
+        "dependent candidates. Equivalence of the split INVARIANT "
+        "(no component straddles train/test) is pytest-pinned."
+    ),
+}
+
+
 def _round6(df: DataFrame, *cols: str) -> DataFrame:
     for c in cols:
         df = df.withColumn(c, F.round(F.col(c), 6))
@@ -2134,14 +2217,31 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_length_percentiles_approx", None)  # sketch -> rows-only
+@register(
+    "doc_length_percentiles_approx",
+    """
+    SELECT lang, count(*) AS n_docs,
+           quantile_disc(n_chars, 0.5)::DOUBLE AS p50,
+           quantile_disc(n_chars, 0.9)::DOUBLE AS p90,
+           quantile_disc(n_chars, 0.99)::DOUBLE AS p99
+    FROM documents
+    GROUP BY lang
+    """,
+)
 def doc_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB percentile path: `approx_percentile` (a mergeable
     KLL-style sketch aggregated map-side, fixed memory per group,
     single shuffle of sketches — exact `percentile` buffers every
     value per group). Same shape as `doc_length_percentiles`;
     `tests/test_pipeline_ops.py` bounds its error against the exact
-    query at the configured accuracy."""
+    query at the configured accuracy.
+
+    Oracle note (VERDICT r7 #8): the Greenwald-Khanna sketch's rank
+    error is bounded by n/accuracy; at gate scale every lang group is
+    far under the accuracy=10000 budget, so the error is < 1 rank —
+    i.e. EXACTLY the discrete percentile DuckDB's `quantile_disc`
+    computes. The oracle is therefore an exact replay at sf<=0.01 while
+    the Spark side remains the sketch path that scales to 100 TB."""
     d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
     pct = F.expr(
         "approx_percentile(n_chars, array(0.5, 0.9, 0.99), 10000)"
@@ -5245,6 +5345,73 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
     frames = sample_frames(
         synthesize_near_dup_videos(_fanout(docs)), n_frames=3
+    )
+    keyed = frames.select(
+        (F.col("doc_id") * F.lit(16) + F.col("frame_idx")).alias("sid"),
+        F.col("frame").alias("payload"),
+    )
+    stats = png_pixel_stats(keyed, id_col="sid")
+    return stats.select(
+        F.expr("sid DIV 16").alias("doc_id"),
+        F.pmod(F.col("sid"), F.lit(16)).cast("int").alias("frame_idx"),
+        "width",
+        "height",
+        "channels",
+        "n_px",
+        "sum_px",
+        "mean_px",
+    )
+
+
+@register(
+    "multimodal_mjpeg_frames",
+    """
+    WITH ids AS (SELECT doc_id AS d FROM documents
+                 WHERE doc_id IS NOT NULL),
+    fsel AS (SELECT unnest([0, 2]) AS f),
+    blocks AS (
+      SELECT d, fsel.f AS f, byy.b AS by, bxx.b AS bx,
+             (d // 4) * 523 + fsel.f * 131 + byy.b * 31 + bxx.b + 1 AS a
+      FROM ids, fsel,
+           (SELECT unnest(range(4)) AS b) byy,
+           (SELECT unnest(range(4)) AS b) bxx),
+    vals AS (
+      SELECT d, f,
+             LEAST(((((a * a) % 16777216) * 2654435761) % 4294967296)
+                     // 16777216 % 128 * 2 + 2 * (d % 4), 254) AS v
+      FROM blocks)
+    SELECT d AS doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+           CAST(3 AS INT) AS channels, CAST(3072 AS BIGINT) AS n_px,
+           CAST(3 * 64 * SUM(v) AS BIGINT) AS sum_px,
+           round(CAST(3 * 64 * SUM(v) AS DOUBLE) / 3072, 6) AS mean_px
+    FROM vals GROUP BY d, f
+    """,
+)
+def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED (MJPEG) video frame sampling, value-checked end to
+    end (VERDICT r7 #2): every document gets a deterministic 5-frame
+    32x32 MJPEG AVI whose frames are 4x4 grids of flat 8x8 blocks of
+    even gray — the
+    exact-quantization regime where the pure-Python baseline JPEG
+    codec reconstructs bit-exactly — then `sample_frames` RIFF-walks
+    the container, routes the MJPG fourcc to the JPEG frame decoder,
+    re-encodes 2 evenly-spaced frames as PNGs, and the PNG pixel-stats
+    operator folds them. The DuckDB oracle recomputes each sampled
+    frame's pixel sum/mean from the closed-form block values with NO
+    codec, so the chain MJPEG encode -> RIFF walk -> frame select ->
+    Huffman/dequant/IDCT -> PNG re-encode -> PNG decode -> stats is
+    hash-compared. Lossy-regime MJPEG quality is gated separately by
+    PSNR tests (test_round8_ops.py)."""
+    from .operators.dedup import _fanout
+    from .operators.multimodal import png_pixel_stats, sample_frames
+    from .operators.videohash import synthesize_mjpeg_videos
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    ).select("doc_id")
+    frames = sample_frames(
+        synthesize_mjpeg_videos(_fanout(docs)), n_frames=2
     )
     keyed = frames.select(
         (F.col("doc_id") * F.lit(16) + F.col("frame_idx")).alias("sid"),

@@ -100,3 +100,29 @@ def test_nonconvergence_raises(spark, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_rounds=1)
+
+
+def test_distributed_rounds_log_bound(spark, monkeypatch):
+    """Iteration-count CONTRACT for the pointer-jumping loop (VERDICT
+    r7 #4): on a path graph of diameter d it converges in at most
+    ceil(log2(d)) + 3 rounds (hash-to-min doubles the reach of every
+    label per round; +3 covers init, the detect-no-change round, and
+    one slack round), and the round counter instrumentation reports
+    how many it actually took. scripts/probe_graph_scale.py measures
+    the same bound past the 2M-edge crossover (PLANS.md round 8)."""
+    import math
+
+    from pl_fuzzy_frame_match_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "SMALL_GRAPH_EDGE_LIMIT", -1)
+    for n in (64, 511):
+        got = _cc(spark, [(i, i + 1) for i in range(n - 1)])
+        assert got == {(i, 0) for i in range(n)}
+        bound = math.ceil(math.log2(n - 1)) + 3
+        assert 0 < G.LAST_DISTRIBUTED_ROUNDS <= bound, (
+            n, G.LAST_DISTRIBUTED_ROUNDS, bound
+        )
+    # star cluster: diameter 2 -> constant rounds regardless of size
+    got = _cc(spark, [(0, i) for i in range(1, 40)])
+    assert got == {(i, 0) for i in range(40)}
+    assert G.LAST_DISTRIBUTED_ROUNDS <= 3

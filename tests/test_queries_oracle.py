@@ -37,3 +37,13 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert df.count() >= 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_no_oracle_reasons_complete():
+    """Every rows-only registry entry documents WHY it has no DuckDB
+    value-hash oracle (VERDICT r7 #8), and no stale reasons linger."""
+    rows_only = set(q.queries()) - set(q.oracle_sql())
+    assert rows_only == set(q.NO_ORACLE_WHY), (
+        sorted(rows_only ^ set(q.NO_ORACLE_WHY))
+    )
+    assert all(len(v) > 40 for v in q.NO_ORACLE_WHY.values())

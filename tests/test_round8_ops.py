@@ -1,0 +1,187 @@
+"""Round-8 operators: the MJPEG AVI path gets real coverage
+(VERDICT r7 high/medium items) — sample_frames unpacks the widened
+5-tuple scan and dispatches per-fourcc, mjpeg_encode_frames round-trips
+RGB and grayscale through the pure-Python JPEG codec, malformed chunks
+degrade to None instead of killing the stage, and the empty-input
+encode raises a clear error."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _flat_gray_frames(values, h=16, w=16):
+    """Per-frame constant grayscale stacks: flat 8-aligned blocks are
+    EXACT through the baseline JPEG codec (see
+    test_jpeg_flat_even_blocks_exact), so roundtrips assert equality."""
+    return np.stack(
+        [np.full((h, w), v, dtype=np.uint8) for v in values]
+    )
+
+
+def test_mjpeg_roundtrip_grayscale_exact():
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        avi_decode_frames,
+        mjpeg_encode_frames,
+    )
+
+    frames = _flat_gray_frames([30, 128, 220])
+    payload = mjpeg_encode_frames(frames)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    w, h, n, dec = avi_decode_frames(payload)
+    assert (w, h, n) == (16, 16, 3)
+    # grayscale JPEG replicates to 3 channels; flat blocks are exact
+    for f in range(3):
+        for c in range(3):
+            assert (dec[f, :, :, c] == frames[f]).all()
+
+
+def test_mjpeg_roundtrip_rgb_psnr():
+    import math
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        avi_decode_frames,
+        mjpeg_encode_frames,
+    )
+
+    y, x = np.ogrid[:24, :32]
+    frames = np.stack(
+        [
+            np.stack(
+                [
+                    ((np.sin(y / 5.0 + k + f) + 1) * 110).astype(np.uint8)
+                    * np.ones((1, 32), dtype=np.uint8)
+                    for k in range(3)
+                ],
+                axis=2,
+            )
+            for f in range(4)
+        ]
+    )
+    w, h, n, dec = avi_decode_frames(mjpeg_encode_frames(frames))
+    assert (w, h, n) == (32, 24, 4)
+    mse = float(((dec.astype(float) - frames.astype(float)) ** 2).mean())
+    assert 10 * math.log10(255**2 / max(mse, 1e-9)) > 30
+    # deterministic encode: same frames -> same container bytes
+    assert mjpeg_encode_frames(frames) == mjpeg_encode_frames(frames)
+
+
+def test_mjpeg_malformed_chunk_and_dim_mismatch_safe():
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        _avi_scan,
+        _mjpeg_frame_at,
+        avi_decode_frames,
+        mjpeg_encode_frames,
+    )
+
+    payload = bytearray(mjpeg_encode_frames(_flat_gray_frames([60, 180])))
+    scan = _avi_scan(bytes(payload))
+    assert scan is not None
+    w, h, _bpp, comp, frames = scan
+    assert comp == b"MJPG" and len(frames) == 2
+
+    # corrupt the first frame's JPEG SOI marker: that frame decodes to
+    # None and the whole-payload decoder degrades to None, not a raise
+    off0, _ln0 = frames[0]
+    payload[off0] = 0x00
+    corrupted = bytes(payload)
+    assert _mjpeg_frame_at(corrupted, w, h, *frames[0]) is None
+    assert avi_decode_frames(corrupted) is None
+
+    # container header dims that disagree with the embedded JPEG -> None
+    good = mjpeg_encode_frames(_flat_gray_frames([60]))
+    gscan = _avi_scan(good)
+    goff, gln = gscan[4][0]
+    assert _mjpeg_frame_at(good, 8, 8, goff, gln) is None
+
+
+def test_mjpeg_encode_empty_raises_clear_error():
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        mjpeg_encode_frames,
+    )
+
+    with pytest.raises(ValueError, match="at least one frame"):
+        mjpeg_encode_frames(np.zeros((0, 8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError, match="at least one frame"):
+        mjpeg_encode_frames([])
+
+
+def test_sample_frames_mjpeg_path(spark):
+    """sample_frames on an MJPEG AVI: the widened 5-tuple scan unpacks
+    (the round-7 break), the MJPG fourcc routes to the JPEG frame
+    decoder, offsets point into the container, and the PNG-re-encoded
+    frames match a direct decode of the same chunks."""
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        avi_decode_frames,
+        mjpeg_encode_frames,
+        png_decode_pixels,
+        sample_frames,
+    )
+
+    payloads = {
+        i: mjpeg_encode_frames(
+            _flat_gray_frames([(i * 37 + f * 11) % 256 for f in range(5)])
+        )
+        for i in range(4)
+    }
+    vids = spark.createDataFrame(
+        [(i, p) for i, p in payloads.items()], ["doc_id", "payload"]
+    )
+    out = sample_frames(vids, n_frames=2).collect()
+    assert len(out) == 4 * 2
+    for r in out:
+        assert r["frame_idx"] in (0, 2)
+        h, w, nch, px = png_decode_pixels(bytes(r["frame"]))
+        assert (h, w, nch) == (16, 16, 3)
+        _, _, _, dec = avi_decode_frames(payloads[r["doc_id"]])
+        assert (px == dec[r["frame_idx"]]).all()
+        assert 0 < r["frame_offset_bytes"] < len(payloads[r["doc_id"]])
+
+
+def test_sample_frames_dib_path_still_works(spark):
+    """Regression twin for the round-7 break: the uncompressed-DIB
+    sampler (zero-fourcc branch of the 5-tuple scan) still samples."""
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        avi_encode_frames,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 256, size=(4, 12, 12, 3), dtype=np.uint8)
+    vids = spark.createDataFrame(
+        [(1, avi_encode_frames(frames))], ["doc_id", "payload"]
+    )
+    out = sample_frames(vids, n_frames=4).collect()
+    assert len(out) == 4
+    assert sorted(r["frame_idx"] for r in out) == [0, 1, 2, 3]
+
+
+def test_video_hashing_on_mjpeg_input(spark):
+    """The video-hash family works on COMPRESSED (MJPEG) payloads:
+    within-group brightness-shifted clips still pair (flat blocks
+    shift uniformly, dhash gradients are invariant), cross-group clips
+    never do — same contract synthesize_near_dup_videos pins for
+    uncompressed AVI."""
+    from pl_fuzzy_frame_match_spark.operators.videohash import (
+        synthesize_mjpeg_videos,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    n = 16
+    ids = spark.range(0, n).selectExpr("id AS doc_id")
+    vids = synthesize_mjpeg_videos(ids)
+    hashes = video_frame_hashes(vids).collect()
+    assert len(hashes) == n * 5
+    assert all(r["dhash"] is not None for r in hashes)
+
+    pairs = video_near_dup_pairs(vids, threshold=0.5).collect()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    expected = {
+        (g * 4 + i, g * 4 + j)
+        for g in range(n // 4)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    }
+    assert got == expected, got.symmetric_difference(expected)
