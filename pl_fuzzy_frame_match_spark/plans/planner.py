@@ -109,8 +109,23 @@ def order_mappings_by_selectivity(
 # materializable — the promoted plan CHECKPOINTS the surviving pair
 # frame before fuzzy refinement, so a non-selective exact key (few
 # distinct values) must not turn the shortcut into a cartesian-sized
-# materialization.
-EXACT_FIRST_PAIR_CAP = 5_000_000
+# materialization. 1e8 matches the exact-tier ANN crossover: a
+# survivor set the refine round can score losslessly is exactly a pair
+# set the first round could have scored losslessly.
+EXACT_FIRST_PAIR_CAP = 100_000_000
+
+# O10 floor (round 8, measured by scripts/probe_o10_scale.py on the
+# two-mapping bench shape, local[32] sf0.1): promotion inserts a full
+# extra round (equi-join + checkpoint + refine join-back) whose fixed
+# cost beats the savings when the avoided fuzzy volume is small — at
+# 15K x 1K (15M distinct-name pairs avoided) exact-first measured 5.87 s
+# vs 3.39 s fuzzy-first, while at 150K x 1K (150M avoided) exact-first
+# measured 14.61 s vs 18.53 s. The crossover sits between those, and
+# past the 1e8 auto-ANN crossover promotion also PRESERVES EXACTNESS
+# (the shrunken pair set refines losslessly where fuzzy-first would
+# have taken the lossy sketch tiers), so the floor leans low: promote
+# only when the fuzzy round would otherwise score >= 5e7 pairs.
+PROMOTE_MIN_FUZZY_PAIRS = 50_000_000
 
 
 def promote_exact_mappings(
@@ -124,21 +139,41 @@ def promote_exact_mappings(
     mapping is an EQUALITY predicate, and its round plans as a hash
     equi-join — orders of magnitude cheaper than fuzzy scoring. Running
     exact mappings FIRST shrinks the pair set every fuzzy round must
-    score: on the two-mapping bench shape (15K x 1K names x 25 nation
-    keys) the fuzzy round scores ~600K equi-surviving pairs instead of
-    the 15M cartesian. Conjunction semantics make the result identical
-    in any order (the monotonicity property the reference pins); only
-    the cost moves. Estimated survivors under a uniform key
-    distribution: cartesian / max(distinct_left, distinct_right),
-    taking the most selective exact mapping; promotion only fires when
-    that estimate fits ``EXACT_FIRST_PAIR_CAP``. The reference's own
-    ordering (O1, process.py uniqueness sort) has no exact-mapping
-    special case because its engine scores all rounds the same way."""
+    score: on the 10x two-mapping probe shape (150K x 1K names x 25
+    nation keys) the fuzzy round scores ~6M equi-surviving pairs
+    instead of the 150M cartesian (measured 14.6 s vs 18.5 s,
+    scripts/probe_o10_scale.py). Conjunction semantics make the result
+    identical in any order (the monotonicity property the reference
+    pins); only the cost moves. Promotion fires only when ALL hold:
+
+    - the un-promoted fuzzy round would score >= PROMOTE_MIN_FUZZY_PAIRS
+      distinct pairs (round 8: below that, the promoted plan's extra
+      round of fixed cost LOSES — measured 5.87 s vs 3.39 s at 15M
+      pairs on the 1x bench shape);
+    - estimated survivors (cartesian / max distinct of the most
+      selective exact key — uniform-key estimate) fit
+      ``EXACT_FIRST_PAIR_CAP`` (the refine round checkpoints them); and
+    - survivors are at most half the fuzzy volume (a shrink worth one
+      extra round).
+
+    The reference's own ordering (O1, process.py uniqueness sort) has
+    no exact-mapping special case because its engine scores all rounds
+    the same way."""
     exact = [m for m in fuzzy_maps if m.reversed_threshold_score == 0.0]
     fuzzy = [m for m in fuzzy_maps if m.reversed_threshold_score != 0.0]
     if not exact or not fuzzy:
         return list(fuzzy_maps)
     cart = max(left_count, 1) * max(right_count, 1)
+    # what the un-promoted plan would score: the distinct-key cartesian
+    # of the fuzzy mapping that would run first (O2 scores per distinct
+    # pair). Missing uniqueness stats degrade to the row cartesian —
+    # conservative toward promotion, matching the scored upper bound.
+    lead = fuzzy[0]
+    fuzzy_pairs = max(
+        left_uniq.get(lead.left_col, left_count), 1
+    ) * max(right_uniq.get(lead.right_col, right_count), 1)
+    if fuzzy_pairs < PROMOTE_MIN_FUZZY_PAIRS:
+        return list(fuzzy_maps)  # extra round costs more than it saves
     est = min(
         cart
         // max(
@@ -146,7 +181,7 @@ def promote_exact_mappings(
         )
         for m in exact
     )
-    if est <= EXACT_FIRST_PAIR_CAP:
+    if est <= EXACT_FIRST_PAIR_CAP and est <= fuzzy_pairs // 2:
         return exact + fuzzy  # each block keeps its selectivity order
     return list(fuzzy_maps)
 

@@ -271,19 +271,36 @@ def test_promote_exact_mappings_ordering():
 
     fz = FuzzyMapping("name", "name_r", threshold_score=65.0)
     ex = FuzzyMapping("nk", "nk_r", threshold_score=100.0)
-    # selective exact key (25 distinct on 15K x 1K): promoted first
+    # selective exact key on a LARGE fuzzy volume (150K x 1K names =
+    # 150M >= the 5e7 floor; survivors 6M <= cap): promoted first
+    out = promote_exact_mappings(
+        [fz, ex], {"name": 150000, "nk": 25},
+        {"name_r": 1000, "nk_r": 25}, 150000, 1000,
+    )
+    assert [m.left_col for m in out] == ["nk", "name"]
+    # small fuzzy volume (15K x 1K = 15M < 5e7 floor): promotion's
+    # extra round costs more than it saves (probe_o10_scale.py:
+    # 5.87 s promoted vs 3.39 s not) — order preserved
     out = promote_exact_mappings(
         [fz, ex], {"name": 15000, "nk": 25}, {"name_r": 1000, "nk_r": 25},
         15000, 1000,
     )
-    assert [m.left_col for m in out] == ["nk", "name"]
+    assert [m.left_col for m in out] == ["name", "nk"]
     # non-selective exact key (1 distinct value -> est == cartesian
     # above the cap): order preserved, no promotion
     out = promote_exact_mappings(
-        [fz, ex], {"name": 15000, "nk": 1}, {"name_r": 1000, "nk_r": 1},
-        15000, 1000,
+        [fz, ex], {"name": 150000, "nk": 1}, {"name_r": 1000, "nk_r": 1},
+        150000, 1000,
     )
     assert [m.left_col for m in out] == ["name", "nk"]
+    # survivors must be a real shrink (<= half the fuzzy volume):
+    # 2 distinct keys on 150M pairs -> est 75M > 150M // 2? no — est
+    # equals exactly half; use 1.9 ratio via uniq to sit just above
+    out = promote_exact_mappings(
+        [fz, ex], {"name": 150000, "nk": 2}, {"name_r": 1000, "nk_r": 2},
+        150000, 1000,
+    )
+    assert [m.left_col for m in out] == ["nk", "name"]  # 75M == half: fires
     # all-fuzzy or all-exact: unchanged
     assert promote_exact_mappings(
         [fz], {"name": 10}, {"name_r": 10}, 10, 10
