@@ -82,6 +82,7 @@ def main() -> None:
         "dedup_audio_afp",
         "dedup_videos_framehash",
         "multimodal_frame_sample",
+        "multimodal_mjpeg_frames",
         "multimodal_jpeg_pixels",
         "multimodal_resize_pixels",
         "multimodal_image_features",

@@ -116,16 +116,18 @@ EXACT_FIRST_PAIR_CAP = 100_000_000
 
 # O10 floor (round 8, measured by scripts/probe_o10_scale.py on the
 # two-mapping bench shape, local[32] sf0.1): promotion inserts a full
-# extra round (equi-join + checkpoint + refine join-back) whose fixed
-# cost beats the savings when the avoided fuzzy volume is small — at
-# 15K x 1K (15M distinct-name pairs avoided) exact-first measured 5.87 s
-# vs 3.39 s fuzzy-first, while at 150K x 1K (150M avoided) exact-first
-# measured 14.61 s vs 18.53 s. The crossover sits between those, and
-# past the 1e8 auto-ANN crossover promotion also PRESERVES EXACTNESS
-# (the shrunken pair set refines losslessly where fuzzy-first would
-# have taken the lossy sketch tiers), so the floor leans low: promote
-# only when the fuzzy round would otherwise score >= 5e7 pairs.
-PROMOTE_MIN_FUZZY_PAIRS = 50_000_000
+# extra round (equi-join + checkpoint + refine join-back) with a fixed
+# cost independent of the avoided volume. Warmed, interleaved A/B
+# (per-arm warmup, median of 3 — the probe's first version timed the
+# promoted arm cold and got the 1x sign WRONG by 2.5x): promotion wins
+# at 15M avoided pairs (1.92 s vs 2.46 s) and at 150M (10.8 s vs
+# 21.9 s). Net gain ~= avoided_pairs / session scoring rate (~30M
+# distinct pairs/s here) minus the ~0.2-0.3 s fixed round cost, so the
+# break-even sits near 1e7 pairs; below it the extra round is pure
+# overhead. Past the 1e8 auto-ANN crossover promotion additionally
+# PRESERVES EXACTNESS (the shrunken pair set refines losslessly where
+# fuzzy-first would take the lossy sketch tiers).
+PROMOTE_MIN_FUZZY_PAIRS = 10_000_000
 
 
 def promote_exact_mappings(
@@ -141,15 +143,15 @@ def promote_exact_mappings(
     exact mappings FIRST shrinks the pair set every fuzzy round must
     score: on the 10x two-mapping probe shape (150K x 1K names x 25
     nation keys) the fuzzy round scores ~6M equi-surviving pairs
-    instead of the 150M cartesian (measured 14.6 s vs 18.5 s,
-    scripts/probe_o10_scale.py). Conjunction semantics make the result
-    identical in any order (the monotonicity property the reference
-    pins); only the cost moves. Promotion fires only when ALL hold:
+    instead of the 150M cartesian (measured 10.8 s vs 21.9 s warmed,
+    scripts/probe_o10_scale.py; 1.92 s vs 2.46 s at the 1x/15M shape).
+    Conjunction semantics make the result identical in any order (the
+    monotonicity property the reference pins); only the cost moves.
+    Promotion fires only when ALL hold:
 
     - the un-promoted fuzzy round would score >= PROMOTE_MIN_FUZZY_PAIRS
-      distinct pairs (round 8: below that, the promoted plan's extra
-      round of fixed cost LOSES — measured 5.87 s vs 3.39 s at 15M
-      pairs on the 1x bench shape);
+      distinct pairs (the extra round's ~0.2-0.3 s fixed cost breaks
+      even near 1e7 avoided pairs at the measured scoring rate);
     - estimated survivors (cartesian / max distinct of the most
       selective exact key — uniform-key estimate) fit
       ``EXACT_FIRST_PAIR_CAP`` (the refine round checkpoints them); and

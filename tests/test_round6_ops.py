@@ -271,19 +271,19 @@ def test_promote_exact_mappings_ordering():
 
     fz = FuzzyMapping("name", "name_r", threshold_score=65.0)
     ex = FuzzyMapping("nk", "nk_r", threshold_score=100.0)
-    # selective exact key on a LARGE fuzzy volume (150K x 1K names =
-    # 150M >= the 5e7 floor; survivors 6M <= cap): promoted first
-    out = promote_exact_mappings(
-        [fz, ex], {"name": 150000, "nk": 25},
-        {"name_r": 1000, "nk_r": 25}, 150000, 1000,
-    )
-    assert [m.left_col for m in out] == ["nk", "name"]
-    # small fuzzy volume (15K x 1K = 15M < 5e7 floor): promotion's
-    # extra round costs more than it saves (probe_o10_scale.py:
-    # 5.87 s promoted vs 3.39 s not) — order preserved
+    # selective exact key on the bench shape (15K x 1K names = 15M
+    # >= the 1e7 floor; survivors 600K <= cap): promoted first
+    # (warmed A/B: 1.92 s promoted vs 2.46 s not)
     out = promote_exact_mappings(
         [fz, ex], {"name": 15000, "nk": 25}, {"name_r": 1000, "nk_r": 25},
         15000, 1000,
+    )
+    assert [m.left_col for m in out] == ["nk", "name"]
+    # tiny fuzzy volume (5K x 1K = 5M < 1e7 floor): the extra round's
+    # fixed cost exceeds the scoring it avoids — order preserved
+    out = promote_exact_mappings(
+        [fz, ex], {"name": 5000, "nk": 25}, {"name_r": 1000, "nk_r": 25},
+        5000, 1000,
     )
     assert [m.left_col for m in out] == ["name", "nk"]
     # non-selective exact key (1 distinct value -> est == cartesian
