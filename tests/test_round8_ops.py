@@ -185,3 +185,63 @@ def test_video_hashing_on_mjpeg_input(spark):
         for j in range(i + 1, 4)
     }
     assert got == expected, got.symmetric_difference(expected)
+
+
+def test_ann_sketch_best_match_recall_dense(spark, monkeypatch):
+    """Dense-corpus quality gate for the sketch-scan tier (round 8):
+    when true matches per key exceed top_n, 'pair recall vs exact' is
+    ill-defined (both tiers honor a top-N contract with different
+    selection orders — the auto_xl A/B measured 540K vs 243K rows for
+    the same query), but the BEST match must still survive: for >= 90%
+    of left keys that have any match, the minimum-distance right key
+    found by the exact path appears in the sketch output. Catches a
+    hamming ordering that keeps N plausible matches while dropping the
+    best one."""
+    from collections import defaultdict
+
+    from pl_fuzzy_frame_match_spark.models import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.operators import candidates
+    from pl_fuzzy_frame_match_spark.operators.matcher import fuzzy_match_dfs
+
+    # Customer#-style dense names: every pair differs only in digits,
+    # so most of the corpus is within threshold of every key
+    left = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}") for i in range(150)], ["lid", "lname"]
+    )
+    right = spark.createDataFrame(
+        [(j, f"Customer#{j:09d}") for j in range(0, 300, 2)],
+        ["rid", "rname"],
+    )
+    maps = [FuzzyMapping("lname", "rname", threshold_score=80.0)]
+
+    def best_by_key(df, score_col):
+        best = defaultdict(lambda: (-1.0, None))
+        for r in df.select("lid", "rid", score_col).collect():
+            s = r[score_col]
+            if s is not None and s > best[r["lid"]][0]:
+                best[r["lid"]] = (s, r["rid"])
+        return best
+
+    score = "lname_vs_rname_levenshtein"
+    exact = fuzzy_match_dfs(
+        left, right, maps, use_appr_nearest_neighbor=False
+    )
+    exact_best = best_by_key(exact, score)
+    assert len(exact_best) == 150  # dense: every key matches something
+
+    monkeypatch.setattr(candidates, "ANN_CATALYST_CAP", -1.0)
+    sketch = fuzzy_match_dfs(
+        left, right, maps, use_appr_nearest_neighbor=True
+    )
+    sketch_pairs = defaultdict(set)
+    for r in sketch.select("lid", "rid", score).collect():
+        sketch_pairs[r["lid"]].add((r[score], r["rid"]))
+
+    hit = sum(
+        1
+        for lid, (s, rid) in exact_best.items()
+        # any sketch match with the SAME best score counts (ties:
+        # "Customer#...100" and "...001" are equidistant from "...000")
+        if any(ss == s for ss, _ in sketch_pairs.get(lid, ()))
+    )
+    assert hit / len(exact_best) >= 0.9, f"best-match recall {hit}/150"
