@@ -94,7 +94,13 @@ def main() -> None:
     for scale in (1, replicas):
         left, right = build(spark, sf_dir, scale)
         nl, nr = left.count(), right.count()
-        for arm in ("on", "off", "auto"):
+        # arm order is swappable to separate arm effects from slot
+        # effects (round 8: identical promoted plans timed 2x apart
+        # depending on which slot they ran in at 30x)
+        order = tuple(
+            os.environ.get("O10_ARM_ORDER", "on,off,auto").split(",")
+        )
+        for arm in order:
             # "on"/"off" force the rewrite by saturating/zeroing the
             # cap+floor; "auto" leaves the production constants so the
             # printed row shows which plan the planner itself picks
