@@ -172,11 +172,25 @@ def main() -> None:
     # median, and record which rows were re-timed so the artifact is
     # self-auditing. Trigger at 1.5x (VERDICT r7 #7): at 2x,
     # dedup_containment sat 52% above its isolated time undetected.
+    # UNIFORM inflation is invisible to the ratio (all trials equally
+    # contended => median ~= min: multimodal_mjpeg_frames sat at a
+    # stable 8.4-8.6 s in one 55-query session vs 3.1-3.4 s isolated),
+    # so the top-5 rows by median ALSO re-time unconditionally — the
+    # most expensive rows are where uniform inflation distorts the
+    # headline most, and five fresh-trial rows cost ~30 s.
+    retime_names = {
+        name
+        for name in names
+        if name in timings
+        and mins.get(name, 0) > 0
+        and timings[name] > 1.5 * mins[name]
+    }
+    retime_names.update(
+        sorted(timings, key=timings.get, reverse=True)[:5]
+    )
     retimed = {}
     for name in names:
-        if name not in timings or name not in mins or mins[name] <= 0:
-            continue
-        if timings[name] <= 1.5 * mins[name]:
+        if name not in retime_names:
             continue
         gc.collect()
         samples = []
