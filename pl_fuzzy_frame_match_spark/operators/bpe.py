@@ -1,0 +1,186 @@
+"""BPE merge learning — tokenizer vocabulary induction.
+
+The one training-data-pipeline stage the text family did not yet
+cover: learning the byte-pair-encoding merge table itself (the
+GPT-2/SentencePiece preprocessing step). Classic BPE (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units")
+iterates: count adjacent symbol pairs over the word-frequency table,
+merge the most frequent pair corpus-wide, repeat.
+
+Spark-first design, same planner pattern as the graph family
+(`operators/graph.py`): the expensive part — the corpus scan — is ONE
+distributed word-frequency aggregation; the merge loop then runs over
+the (distinct word, count) table, which is orders of magnitude smaller
+than the corpus (Heaps' law). Below ``max_driver_words`` distinct
+words the loop is a driver-side dict algorithm over one collect (the
+measured-fast path at bench scale); above it, each merge round is two
+narrow Spark jobs over the vocab frame:
+
+- pair counts: ``posexplode`` the symbol arrays, pair each symbol with
+  its successor, hash-aggregate ``(left, right) -> sum(word_count)``
+  (ONE shuffle of at most |vocab| * avg_word_len skinny rows);
+- argmax: ``orderBy(count desc, left, right).limit(1)`` — a driver
+  scalar, the same bounded-collect shape as the planner's own stats;
+- merge application: a pure Catalyst ``aggregate`` fold over each
+  symbol array (left-to-right, non-overlapping — the fold's
+  accumulator tail is the MERGED token after a merge, so ``aaa`` under
+  merge (a,a) correctly yields ``[aa, a]``), behind a ``localCheckpoint``
+  so round k never recomputes rounds 1..k-1.
+
+Both paths implement identical semantics (highest pair count, ties
+broken lexicographically) and are equivalence-tested. The reference
+(a fuzzy string matcher) has no tokenizer surface; this is a pipeline
+extension in the same family as `functions/text.py`.
+
+At 100 TB: the corpus pass is the same shape as every other text
+operator (scan + explode + agg, map-side partial); the vocab table for
+a 100 TB web corpus is ~1e8 distinct words x ~30 bytes — comfortably a
+distributed frame, far too big to collect, which is exactly what the
+distributed rounds are for. n_merges is typically 1e4-1e5; each round
+costs seconds on a vocab-sized frame, independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+# Below this many distinct words the merge loop runs driver-side over
+# one collect of the (word, count) table — same crossover pattern as
+# SMALL_GRAPH_EDGE_LIMIT (operators/graph.py). 500K (word, count)
+# pairs is ~25 MB on the driver; the distributed loop's per-round
+# fixed cost (two jobs + checkpoint) dwarfs the actual work there.
+MAX_DRIVER_WORDS = 500_000
+
+# Glue used to spell a merged symbol. Symbols start as single
+# characters, so any multi-char symbol is unambiguous; no marker is
+# needed inside symbols (merges are tracked by rank, not by parsing).
+_MERGES_SCHEMA = "rank int, left string, right string, merged string, freq bigint"
+
+
+def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, count) over whitespace-lowercased tokens — the ONE
+    corpus-wide pass BPE needs; everything after operates on this
+    (Heaps'-law small) frame."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _driver_bpe(word_counts: List[Tuple[str, int]], n_merges: int):
+    """Classic dict BPE over a collected word-frequency table. Exact
+    twin of the distributed rounds: max pair count, ties broken by
+    (left, right) lexicographic order."""
+    vocab = {}
+    for word, cnt in word_counts:
+        syms = tuple(word)
+        if syms:
+            vocab[syms] = vocab.get(syms, 0) + cnt
+    merges = []
+    for rank in range(n_merges):
+        pair_counts: dict = {}
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+        if not pair_counts:
+            break
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        freq = pair_counts[best]
+        a, b = best
+        merged = a + b
+        new_vocab: dict = {}
+        for syms, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + cnt
+        vocab = new_vocab
+        merges.append((rank, a, b, merged, int(freq)))
+    return merges
+
+
+def _apply_merge_col(syms, a: str, b: str):
+    """Catalyst fold applying one merge left-to-right, non-overlapping:
+    walk the symbol array, and when the accumulator's tail equals
+    ``a`` and the current symbol is ``b``, replace the tail with the
+    merged token. After a merge the tail IS the merged token, so a
+    following ``b`` cannot re-merge — the exact classic-BPE scan
+    order."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 20,
+    max_driver_words: int = MAX_DRIVER_WORDS,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over ``text_col``;
+    returns ``(rank, left, right, merged, freq)`` ordered by rank —
+    the merge table a tokenizer ships. Deterministic: max corpus pair
+    frequency, ties broken lexicographically on (left, right)."""
+    spark = df.sparkSession
+    wf = word_frequencies(df, text_col).localCheckpoint(eager=True)
+    if wf.count() <= max_driver_words:
+        merges = _driver_bpe(
+            [(r["word"], r["cnt"]) for r in wf.collect()], n_merges
+        )
+        return spark.createDataFrame(merges or [], _MERGES_SCHEMA)
+
+    vocab = wf.select(
+        F.split(F.col("word"), "").alias("syms"), "cnt"
+    ).localCheckpoint(eager=True)
+    merges = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.select(
+                F.posexplode(F.slice(F.col("syms"), 1, F.size("syms") - 1))
+                .alias("i", "a"),
+                F.col("syms"),
+                F.col("cnt"),
+            )
+            .select(
+                F.col("a"),
+                F.element_at(F.col("syms"), F.col("i") + 2).alias("b"),
+                F.col("cnt"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("pcnt"))
+        )
+        top = pairs.orderBy(F.desc("pcnt"), F.asc("a"), F.asc("b")).limit(
+            1
+        ).collect()
+        if not top:
+            break
+        a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["pcnt"])
+        merges.append((rank, a, b, a + b, freq))
+        vocab = vocab.select(
+            _apply_merge_col(F.col("syms"), a, b).alias("syms"), "cnt"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(merges or [], _MERGES_SCHEMA)

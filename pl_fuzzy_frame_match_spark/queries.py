@@ -118,6 +118,13 @@ NO_ORACLE_WHY: Dict[str, str] = {
         "mapInPandas plumbing. Schema/batch-shape pinned in tests; "
         "values are placeholders by design."
     ),
+    "text_bpe_vocab": (
+        "BPE merge learning is inherently iterative (each round's "
+        "argmax depends on the previous round's merge applied to the "
+        "vocab) — not expressible as one SQL query. The driver and "
+        "distributed paths are equivalence-tested against each other "
+        "and against the classic Sennrich worked example."
+    ),
     "docs_leakage_split_banded": (
         "The banded (MinHash) variant of the oracled "
         "docs_leakage_safe_split: same split semantics, xxhash64-"
@@ -2753,6 +2760,25 @@ def validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("violation_frac"),
     )
     return base.unionByName(ref_row)
+
+
+@register("text_bpe_vocab", None)  # iterative (argmax per round) -> rows-only
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table learning (round 8) — the tokenizer-induction
+    stage of a pretraining pipeline (Sennrich et al. 2016): one
+    distributed word-frequency pass, then 12 merge rounds over the
+    (Heaps'-law small) vocab frame. Driver-dict path at gate scale;
+    the distributed rounds (posexplode pair counts + Catalyst
+    ``aggregate`` merge fold) are equivalence-tested against it in
+    tests/test_round8_ops.py. Returns the ordered merge table
+    (rank, left, right, merged, freq) — deterministic: max pair
+    frequency, ties lexicographic."""
+    from .operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    return learn_bpe_merges(docs, "text", n_merges=12)
 
 
 @register(

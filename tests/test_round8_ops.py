@@ -245,3 +245,96 @@ def test_ann_sketch_best_match_recall_dense(spark, monkeypatch):
         if any(ss == s for ss, _ in sketch_pairs.get(lid, ()))
     )
     assert hit / len(exact_best) >= 0.9, f"best-match recall {hit}/150"
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (round 8): tokenizer vocabulary induction.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "low low low low low lower lower"),
+            (2, "newest newest newest newest newest newest"),
+            (3, "widest widest widest"),
+        ],
+        ["id", "text"],
+    )
+
+
+def test_bpe_classic_example(spark):
+    """The Sennrich et al. worked example: es, est, lo, low come out
+    in that order, merged symbols participate in later merges, and
+    ranks/freqs are deterministic."""
+    from pl_fuzzy_frame_match_spark.operators.bpe import learn_bpe_merges
+
+    out = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["freq"])
+        for r in learn_bpe_merges(_bpe_corpus(spark), "text", 6).collect()
+    ]
+    assert out[:4] == [
+        (0, "e", "s", "es", 9),
+        (1, "es", "t", "est", 9),
+        (2, "l", "o", "lo", 7),
+        (3, "lo", "w", "low", 7),
+    ]
+    # a merged symbol ('est') is itself merged later
+    assert any(m[2] == "est" or m[1] == "est" for m in out[4:])
+
+
+def test_bpe_driver_and_distributed_agree(spark):
+    """The driver-dict loop and the distributed rounds (posexplode
+    pair counts + Catalyst aggregate merge fold) are the same
+    operator: identical merge tables on a mixed corpus with ties,
+    single-char words, and repeated-letter runs."""
+    from pl_fuzzy_frame_match_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaa aaa baab x yz yz zy"),
+            (2, "banana bandana cabana a b"),
+            (3, "mississippi mississippi missing"),
+        ],
+        ["id", "text"],
+    )
+    drv = [tuple(r) for r in learn_bpe_merges(df, "text", 8).collect()]
+    dist = [
+        tuple(r)
+        for r in learn_bpe_merges(
+            df, "text", 8, max_driver_words=0
+        ).collect()
+    ]
+    assert drv == dist and len(drv) == 8
+
+
+def test_bpe_merge_fold_non_overlapping(spark):
+    """'aaa' under merge (a,a) must yield [aa, a] — left-to-right
+    non-overlapping scan (the fold's tail is the MERGED token after a
+    merge, so it cannot chain) — on BOTH paths via the freq of the
+    first merge: 3x 'aaaa' contributes 3 pairs per word scan-counted
+    (overlaps counted in pair stats) but applies as 2 'aa' per word."""
+    from pl_fuzzy_frame_match_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([(1, "aaaa aaaa aaaa")], ["id", "text"])
+    for kw in ({}, {"max_driver_words": 0}):
+        out = [
+            (r["rank"], r["merged"], r["freq"])
+            for r in learn_bpe_merges(df, "text", 2, **kw).collect()
+        ]
+        # round 0: pair (a,a) — 3 scan-positions per 'aaaa' x corpus
+        # count 3 = freq 9; round 1 merges (aa,aa)
+        assert out[0] == (0, "aa", 9)
+        assert out[1][1] == "aaaa"
+
+
+def test_bpe_degenerate_inputs(spark):
+    """Single-char-word corpora produce no pairs (empty merge table,
+    not an error); null texts are ignored."""
+    from pl_fuzzy_frame_match_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, None)], ["id", "text"]
+    )
+    for kw in ({}, {"max_driver_words": 0}):
+        assert learn_bpe_merges(df, "text", 4, **kw).count() == 0
