@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -184,3 +185,69 @@ def learn_bpe_merges(
             _apply_merge_col(F.col("syms"), a, b).alias("syms"), "cnt"
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(merges or [], _MERGES_SCHEMA)
+
+
+def bpe_encode_tokens(
+    df: DataFrame,
+    text_col: str,
+    merges,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge table: each whitespace word segments into
+    BPE symbols (characters merged by rank order — the canonical
+    encode; GPT-2's lowest-rank-pair loop computes the same result).
+    ``merges`` is the (rank, left, right, ...) table from
+    :func:`learn_bpe_merges` — a list of Rows/tuples or a DataFrame
+    (collected here; merge tables are small by construction, ~1e4-1e5
+    rows, and ship to executors inside the UDF closure exactly like a
+    broadcast dict). Arrow-batched pandas UDF: pure per-row Python is
+    the right tool here — the per-word merge loop is data-dependent
+    control flow no Catalyst expression expresses, and the batch shape
+    keeps it off the row-at-a-time path."""
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(merges, DataFrame):
+        merges = [(r["left"], r["right"]) for r in merges.collect()]
+    else:
+        # (rank, left, right, ...) rows/tuples, or bare (left, right)
+        merges = [
+            (t[1], t[2]) if len(t) >= 4 else (t[0], t[1])
+            for t in (tuple(m) for m in merges)
+        ]
+    pairs = [(str(a), str(b)) for a, b in merges]
+
+    def encode_word(word: str, merge_pairs) -> list:
+        syms = list(word)
+        for a, b in merge_pairs:
+            out = []
+            i = 0
+            merged = a + b
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    @pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def run(t):
+            if t is None:
+                return []
+            toks = []
+            for w in str(t).lower().split():
+                got = cache.get(w)
+                if got is None:
+                    got = encode_word(w, pairs)
+                    cache[w] = got
+                toks.extend(got)
+            return toks
+
+        return texts.map(run)
+
+    return df.withColumn(out_col, encode(F.col(text_col)))

@@ -125,6 +125,13 @@ NO_ORACLE_WHY: Dict[str, str] = {
         "distributed paths are equivalence-tested against each other "
         "and against the classic Sennrich worked example."
     ),
+    "text_bpe_fertility": (
+        "Downstream of the iterative merge learner (text_bpe_vocab): "
+        "the encode step applies a learned 24-merge table no SQL "
+        "engine can rederive. Encode correctness is pinned by the "
+        "fold-vs-UDF equivalence test and the monotone-fertility "
+        "property test."
+    ),
     "docs_leakage_split_banded": (
         "The banded (MinHash) variant of the oracled "
         "docs_leakage_safe_split: same split semantics, xxhash64-"
@@ -2779,6 +2786,50 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     return learn_bpe_merges(docs, "text", n_merges=12)
+
+
+@register("text_bpe_fertility", None)  # downstream of iterative learn
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility report (round 8): learn 24 BPE merges on
+    the corpus, encode every document with the learned table, and
+    report per-language tokens-per-100-chars plus the compression vs
+    character-level — the metric tokenizer papers use to compare
+    vocabularies across languages (mT5, XLM-R). Two-phase composed
+    pipeline: the learn phase's merge table is a bounded collect
+    (24 rows) shipped to the encode UDF's closure."""
+    from .operators.bpe import bpe_encode_tokens, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    ).select("lang", "text")
+    merges = learn_bpe_merges(docs, "text", n_merges=24)
+    enc = bpe_encode_tokens(docs, "text", merges)
+    return (
+        enc.select(
+            "lang",
+            F.size("bpe_tokens").alias("__n_tok"),
+            F.length(F.regexp_replace(F.lower("text"), r"\s+", "")).alias(
+                "__n_chr"
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tok").alias("n_tokens"),
+            F.sum("__n_chr").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.round(
+                F.col("n_tokens") * 100.0
+                / F.greatest(F.col("n_chars"), F.lit(1)),
+                6,
+            ).alias("tokens_per_100_chars"),
+        )
+    )
 
 
 @register(

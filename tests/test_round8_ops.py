@@ -338,3 +338,59 @@ def test_bpe_degenerate_inputs(spark):
     )
     for kw in ({}, {"max_driver_words": 0}):
         assert learn_bpe_merges(df, "text", 4, **kw).count() == 0
+
+
+def test_bpe_encode_matches_learned_segmentation(spark):
+    """bpe_encode_tokens (pandas-UDF rank-sequential merges) must
+    reproduce the learner's own segmentation: encoding the training
+    corpus with the learned table and re-counting pair frequencies of
+    rank-0's pair yields zero (every occurrence was merged), and the
+    classic corpus segments as the worked example predicts."""
+    from pl_fuzzy_frame_match_spark.operators.bpe import (
+        bpe_encode_tokens,
+        learn_bpe_merges,
+    )
+
+    df = _bpe_corpus(spark)
+    merges = learn_bpe_merges(df, "text", 4)
+    enc = bpe_encode_tokens(df, "text", merges).collect()
+    toks = {r["id"]: r["bpe_tokens"] for r in enc}
+    # after merges es, est, lo, low: 'low' -> ['low'], 'lower' ->
+    # ['low','e','r'], 'newest' -> ['n','e','w','est'],
+    # 'widest' -> ['w','i','d','est']
+    assert toks[1][:3] == ["low", "low", "low"]
+    assert toks[2][:4] == ["n", "e", "w", "est"]
+    assert toks[3][:4] == ["w", "i", "d", "est"]
+    # merge-table input forms are interchangeable: DataFrame vs rows
+    enc2 = bpe_encode_tokens(df, "text", merges.collect()).collect()
+    assert {r["id"]: r["bpe_tokens"] for r in enc2} == toks
+
+
+def test_bpe_fertility_monotone_in_merges(spark):
+    """More merges can only shorten (or keep) the token stream — the
+    compression property the fertility query reports. Null texts
+    encode to empty arrays, not errors."""
+    from pyspark.sql import functions as F
+
+    from pl_fuzzy_frame_match_spark.operators.bpe import (
+        bpe_encode_tokens,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the theme therefore then there a"), (2, None)],
+        ["id", "text"],
+    )
+    counts = []
+    for n in (0, 3, 8):
+        merges = learn_bpe_merges(
+            df.where(F.col("text").isNotNull()), "text", n
+        ) if n else []
+        enc = bpe_encode_tokens(df, "text", merges)
+        total = enc.agg(F.sum(F.size("bpe_tokens"))).collect()[0][0]
+        counts.append(total)
+        assert (
+            enc.where(F.col("id") == 2).collect()[0]["bpe_tokens"] == []
+        )
+    assert counts[0] >= counts[1] >= counts[2]
+    assert counts[2] < counts[0]  # merges actually compress
