@@ -181,6 +181,12 @@ def learn_bpe_merges(
             break
         a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["pcnt"])
         merges.append((rank, a, b, a + b, freq))
+        # EAGER checkpoint, measured (round 8, 700K-word probe): the
+        # graph loop's lazy-checkpoint trick REGRESSES here, 15.5 ->
+        # 35.0 s/round — the merge fold is expensive per row, and
+        # deferring it into the next round's posexplode job evaluates
+        # it inside a wider, shuffle-bound stage instead of a tight
+        # map-only materialization
         vocab = vocab.select(
             _apply_merge_col(F.col("syms"), a, b).alias("syms"), "cnt"
         ).localCheckpoint(eager=True)
