@@ -2788,6 +2788,79 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(docs, "text", n_merges=12)
 
 
+@register(
+    "text_bpe_encode_fixed",
+    r"""
+    WITH words AS (
+      SELECT doc_id, wl[i] AS w, i AS ord
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS wl
+            FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+           unnest(range(1, len(wl) + 1)) AS t(i)
+    ),
+    wrapped AS (
+      SELECT doc_id, ord,
+        chr(31) || array_to_string(
+          list_transform(range(1, length(w) + 1),
+                         i -> substring(w, i, 1)),
+          chr(31) || chr(31)) || chr(31) AS s
+      FROM words
+    ),
+    m1 AS (SELECT doc_id, ord, replace(s,
+             chr(31)||'t'||chr(31)||chr(31)||'h'||chr(31),
+             chr(31)||'th'||chr(31)) AS s FROM wrapped),
+    m2 AS (SELECT doc_id, ord, replace(s,
+             chr(31)||'th'||chr(31)||chr(31)||'e'||chr(31),
+             chr(31)||'the'||chr(31)) AS s FROM m1),
+    m3 AS (SELECT doc_id, ord, replace(s,
+             chr(31)||'e'||chr(31)||chr(31)||'r'||chr(31),
+             chr(31)||'er'||chr(31)) AS s FROM m2),
+    m4 AS (SELECT doc_id, ord, replace(s,
+             chr(31)||'i'||chr(31)||chr(31)||'n'||chr(31),
+             chr(31)||'in'||chr(31)) AS s FROM m3),
+    toks AS (
+      SELECT doc_id,
+             flatten(list(string_split(trim(s, chr(31)),
+                                       chr(31)||chr(31))
+                          ORDER BY ord)) AS tl
+      FROM m4 GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_bpe_tokens,
+           md5(array_to_string(tl, chr(30))) AS token_fingerprint
+    FROM toks
+    """,
+)
+def text_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE value-checked end to end (round 8): apply a fixed
+    4-merge table [(t,h), (th,e), (e,r), (i,n)] — rank order matters,
+    'the' requires 'th' from rank 0 — to every document via the
+    Arrow-batched encode UDF, and fingerprint the resulting token
+    stream. The DuckDB oracle re-derives the exact same segmentation
+    WITHOUT the UDF through the delimiter-wrapped replace chain
+    (per-word symbols joined as US||sym||US pairs; SQL ``replace`` is
+    left-to-right non-overlapping — exactly classic BPE scan order —
+    and the doubled delimiter keeps adjacent matches from sharing
+    characters). Hash-comparing md5(token stream) pins every token of
+    every document, closing the 'downstream of iterative learn has no
+    oracle' gap for the encode half: the LEARNED table stays
+    rows-only, the APPLICATION is fully value-checked."""
+    from .operators.bpe import bpe_encode_tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    merges = [("t", "h"), ("th", "e"), ("e", "r"), ("i", "n")]
+    enc = bpe_encode_tokens(docs, "text", merges)
+    # token-less docs (whitespace-only text) fall out of the oracle's
+    # word unnest; drop them here too so the row sets agree
+    return enc.where(F.size("bpe_tokens") > 0).select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(
+            F.concat_ws("\x1e", F.col("bpe_tokens"))
+        ).alias("token_fingerprint"),
+    )
+
+
 @register("text_bpe_fertility", None)  # downstream of iterative learn
 def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-fertility report (round 8): learn 24 BPE merges on
