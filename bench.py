@@ -58,6 +58,7 @@ def main() -> None:
         "events_retention",
         "ann_ivfpq",
         "text_bigram_pmi",
+        "text_bpe_encode_fixed",
         "tpch_q8_shape",
         "tpch_q13_shape",
         "tpch_q21_shape",

@@ -2861,6 +2861,42 @@ def text_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bpe_first_merge",
+    r"""
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wf AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+    pairs AS (
+      SELECT substring(word, i, 1) AS a, substring(word, i + 1, 1) AS b,
+             cnt
+      FROM wf, unnest(range(1, length(word))) AS t(i)
+    ),
+    agg AS (SELECT a, b, sum(cnt) AS pcnt FROM pairs GROUP BY a, b)
+    SELECT CAST(0 AS INT) AS rank, a AS "left", b AS "right",
+           a || b AS merged, CAST(pcnt AS BIGINT) AS freq
+    FROM agg ORDER BY pcnt DESC, a, b LIMIT 1
+    """,
+)
+def text_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED BPE round, value-checked (round 8): rank-0 of
+    the merge loop — posexplode pair counts over the vocab frame,
+    bounded argmax with lexicographic tie-break — forced onto the
+    distributed path (``max_driver_words=0``) and hash-compared
+    against a plain SQL replay of the same pair-count argmax. The full
+    loop is iterative (rows-only, see text_bpe_vocab), but its one
+    repeated building block is exactly one SQL query, so this gates
+    the distributed machinery the 100 TB path runs."""
+    from .operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    return learn_bpe_merges(docs, "text", 1, max_driver_words=0)
+
+
 @register("text_bpe_fertility", None)  # downstream of iterative learn
 def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-fertility report (round 8): learn 24 BPE merges on
