@@ -962,3 +962,29 @@ def stream_audio_dedup(
             watermark_col, watermark
         ).dropDuplicatesWithinWatermark(["afp"])
     return hashed.dropDuplicates(["afp"])
+
+
+def stream_bpe_tokenize(
+    spark, path: str, schema, merges,
+    text_col: str = "text", id_col: str = "doc_id",
+):
+    """Streaming twin of `operators/bpe.bpe_encode_tokens`: tokenize a
+    continuously-ingested corpus with a FROZEN merge table (the
+    deployment shape — vocab induction is an offline batch job, its
+    merge table ships to the ingest stream like any model artifact).
+    The encode UDF is stateless and per-row, so the same Arrow-batched
+    pandas UDF applies unchanged per microbatch; emits (id, token
+    count, tokens) for downstream budget/packing stages."""
+    from ..operators.bpe import bpe_encode_tokens
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    enc = bpe_encode_tokens(stream, text_col, merges)
+    return enc.select(
+        id_col,
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        "bpe_tokens",
+    )

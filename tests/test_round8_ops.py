@@ -394,3 +394,47 @@ def test_bpe_fertility_monotone_in_merges(spark):
         )
     assert counts[0] >= counts[1] >= counts[2]
     assert counts[2] < counts[0]  # merges actually compress
+
+
+def test_stream_bpe_tokenize_matches_batch(spark, tmp_path):
+    """The streaming BPE tokenizer (frozen merge table shipped to the
+    ingest stream) produces exactly the batch encoder's output."""
+    from pl_fuzzy_frame_match_spark.operators.bpe import (
+        bpe_encode_tokens,
+        learn_bpe_merges,
+    )
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_bpe_tokenize,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").where(
+        "text IS NOT NULL"
+    )
+    merges = learn_bpe_merges(docs, "text", 6).collect()
+    batch = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode_tokens(docs, "text", merges).collect()
+    }
+    src = str(tmp_path / "docs_bpe_stream")
+    docs.write.parquet(src)
+    q = (
+        stream_bpe_tokenize(
+            spark, src, spark.read.parquet(src).schema, merges
+        )
+        .writeStream.format("memory")
+        .queryName("q_bpe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in spark.sql("SELECT * FROM q_bpe").collect()
+    }
+    assert streamed == batch
+    assert all(
+        r["n_bpe_tokens"] == len(batch[r["doc_id"]])
+        for r in spark.sql("SELECT * FROM q_bpe").collect()
+    )
