@@ -1,9 +1,18 @@
-"""Round-8 operators: the MJPEG AVI path gets real coverage
-(VERDICT r7 high/medium items) — sample_frames unpacks the widened
-5-tuple scan and dispatches per-fourcc, mjpeg_encode_frames round-trips
-RGB and grayscale through the pure-Python JPEG codec, malformed chunks
-degrade to None instead of killing the stage, and the empty-input
-encode raises a clear error."""
+"""Round-8 operators.
+
+MJPEG AVI coverage (VERDICT r7 high/medium items): sample_frames
+unpacks the widened 5-tuple scan and dispatches per-fourcc,
+mjpeg_encode_frames round-trips RGB and grayscale through the
+pure-Python JPEG codec, malformed chunks degrade to None instead of
+killing the stage, the empty-input encode raises a clear error, and
+the video-hash family works on compressed payloads.
+
+Plus the round's post-verdict additions: the dense-corpus best-match
+recall gate for the sketch ANN tier, and the BPE tokenizer family
+(merge learning driver/distributed equivalence, the classic Sennrich
+worked example, non-overlapping merge-fold semantics, encode
+segmentation + monotone-compression properties, and the streaming
+tokenizer twin)."""
 
 from __future__ import annotations
 
