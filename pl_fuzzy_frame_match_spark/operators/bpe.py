@@ -74,10 +74,13 @@ def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _driver_bpe(word_counts: List[Tuple[str, int]], n_merges: int):
+def _driver_bpe(
+    word_counts: List[Tuple[str, int]], n_merges: int, min_freq: int = 1
+):
     """Classic dict BPE over a collected word-frequency table. Exact
     twin of the distributed rounds: max pair count, ties broken by
-    (left, right) lexicographic order."""
+    (left, right) lexicographic order; stops when the best pair drops
+    under ``min_freq`` (the standard rare-merge cutoff)."""
     vocab = {}
     for word, cnt in word_counts:
         syms = tuple(word)
@@ -94,6 +97,8 @@ def _driver_bpe(word_counts: List[Tuple[str, int]], n_merges: int):
             break
         best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
         freq = pair_counts[best]
+        if freq < min_freq:
+            break
         a, b = best
         merged = a + b
         new_vocab: dict = {}
@@ -141,16 +146,22 @@ def learn_bpe_merges(
     text_col: str,
     n_merges: int = 20,
     max_driver_words: int = MAX_DRIVER_WORDS,
+    min_freq: int = 1,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges over ``text_col``;
     returns ``(rank, left, right, merged, freq)`` ordered by rank —
     the merge table a tokenizer ships. Deterministic: max corpus pair
-    frequency, ties broken lexicographically on (left, right)."""
+    frequency, ties broken lexicographically on (left, right); stops
+    early when the best remaining pair's corpus frequency drops under
+    ``min_freq`` (Sennrich's rare-merge cutoff — a vocab learned on a
+    sample shouldn't memorize hapax pairs)."""
     spark = df.sparkSession
     wf = word_frequencies(df, text_col).localCheckpoint(eager=True)
     if wf.count() <= max_driver_words:
         merges = _driver_bpe(
-            [(r["word"], r["cnt"]) for r in wf.collect()], n_merges
+            [(r["word"], r["cnt"]) for r in wf.collect()],
+            n_merges,
+            min_freq,
         )
         return spark.createDataFrame(merges or [], _MERGES_SCHEMA)
 
@@ -180,6 +191,8 @@ def learn_bpe_merges(
         if not top:
             break
         a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["pcnt"])
+        if freq < min_freq:
+            break
         merges.append((rank, a, b, a + b, freq))
         # EAGER checkpoint, measured (round 8, 700K-word probe): the
         # graph loop's lazy-checkpoint trick REGRESSES here, 15.5 ->

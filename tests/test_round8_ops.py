@@ -447,3 +447,19 @@ def test_stream_bpe_tokenize_matches_batch(spark, tmp_path):
         r["n_bpe_tokens"] == len(batch[r["doc_id"]])
         for r in spark.sql("SELECT * FROM q_bpe").collect()
     )
+
+
+def test_bpe_min_freq_cutoff(spark):
+    """min_freq stops merging before hapax pairs enter the vocab —
+    identically on both paths."""
+    from pl_fuzzy_frame_match_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "aa aa aa aa xy")], ["id", "text"]
+    )
+    for kw in ({}, {"max_driver_words": 0}):
+        out = learn_bpe_merges(df, "text", 5, min_freq=2, **kw).collect()
+        assert [(r["merged"], r["freq"]) for r in out] == [("aa", 4)]
+        # without the cutoff the hapax 'xy' pair is learned too
+        full = learn_bpe_merges(df, "text", 5, **kw).collect()
+        assert any(r["merged"] == "xy" and r["freq"] == 1 for r in full)
