@@ -6242,13 +6242,17 @@ _PRIORITY = [
     "kernel_levenshtein", "kernel_jaro", "kernel_jaro_winkler",
     "kernel_damerau_levenshtein", "kernel_hamming", "kernel_indel",
     # TPC-H shapes (tpch_q18, tpch_q7_shape and tpch_q10_shape rotated
-    # out to make room for the round-5 flagships below; all three stay
+    # out in rounds 4-5; tpch_q3_shape, tpch_q5 and tpch_q6 rotated out
+    # in round 9 for the round-8 flagships below — tpch_q1 stays as the
+    # canonical scan-agg representative; all rotated shapes stay
     # pytest- and judge-replayed)
-    "tpch_q1", "tpch_q3_shape", "tpch_q5", "tpch_q6",
-    # LLM-pipeline dedup family
+    "tpch_q1",
+    # LLM-pipeline dedup family (docs_dup_span_removal rotated out in
+    # round 9: it shares the hash->window->dedup pipeline with
+    # docs_dup_spans, which stays; removal remains pytest-oracled)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding",
     "dedup_clusters", "dedup_corpus_canonical", "dedup_containment",
-    "dedup_incremental", "docs_dup_spans", "docs_dup_span_removal",
+    "dedup_incremental", "docs_dup_spans",
     # quality / text analytics
     "docs_quality_logreg", "text_bigram_pmi", "pipeline_pretrain_corpus",
     # events family
@@ -6276,6 +6280,12 @@ _PRIORITY = [
     # the end-to-end value-checked pipeline: dedup -> leakage-safe
     # split -> temperature mixture -> shard routing, one oracle
     "pipeline_training_data",
+    # round-8 flagships (rotated in round 9, VERDICT r8 #1): the
+    # repaired AVI frame sampler, the end-to-end MJPEG codec oracle,
+    # and the two BPE tokenizer-induction oracles (full encode
+    # value-check + the distributed round's argmax replayed in SQL)
+    "multimodal_frame_sample", "multimodal_mjpeg_frames",
+    "text_bpe_encode_fixed", "text_bpe_first_merge",
 ]
 
 
