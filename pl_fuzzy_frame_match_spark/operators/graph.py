@@ -42,12 +42,12 @@ from pyspark.sql import functions as F
 # measured before the 2x symmetrize.)
 SMALL_GRAPH_EDGE_LIMIT = 2_000_000
 
-# Rounds the last distributed connected_components call took to
-# converge (driver union-find path leaves it at 0). Probe/test
-# instrumentation only — scripts/probe_graph_scale.py and the
-# O(log diameter) iteration-count assertion read it; no engine logic
-# depends on it.
-LAST_DISTRIBUTED_ROUNDS = 0
+# Round-count instrumentation is returned from connected_components
+# via ``return_rounds=True`` (a (df, rounds) tuple) — the former
+# module-level LAST_DISTRIBUTED_ROUNDS global raced under concurrent
+# callers (ADVICE r8) and was removed in round 9;
+# scripts/probe_graph_scale.py and the O(log diameter) iteration
+# assertion now read the returned count.
 
 
 def _driver_union_find(sym: DataFrame) -> DataFrame:
@@ -88,11 +88,22 @@ def connected_components(
     left_col: str = "left_id",
     right_col: str = "right_id",
     max_rounds: int = 50,
-) -> DataFrame:
+    return_rounds: bool = False,
+    small_edge_limit: "int | None" = None,
+):
     """``(node, component)`` for every node incident to an edge, where
     ``component`` is the minimum node id reachable from ``node``
     (undirected). Deterministic: min-id labeling has a unique fixpoint.
-    """
+
+    ``return_rounds=True`` returns ``(df, rounds)`` where ``rounds`` is
+    the number of pointer-jumping iterations the distributed loop ran
+    (0 on the driver union-find path) — thread-safe, unlike the former
+    module global (ADVICE r8). ``small_edge_limit`` overrides the
+    module-level driver/distributed crossover (probe/test hook)."""
+    limit = (
+        SMALL_GRAPH_EDGE_LIMIT if small_edge_limit is None
+        else small_edge_limit
+    )
     raw = edges.select(
         F.col(left_col).cast("long").alias("u"),
         F.col(right_col).cast("long").alias("v"),
@@ -102,12 +113,11 @@ def connected_components(
     # whole upstream pair-search plan TWICE inside one checkpoint job
     # (measured on the semantic-dedup keep path, VERDICT r5 #5)
     raw = raw.localCheckpoint(eager=True)
-    global LAST_DISTRIBUTED_ROUNDS
-    LAST_DISTRIBUTED_ROUNDS = 0
-    if raw.count() <= SMALL_GRAPH_EDGE_LIMIT // 2:  # free: checkpointed
+    if raw.count() <= limit // 2:  # free: checkpointed
         # union-find is orientation-agnostic and dup-tolerant: skip the
         # symmetrize + distinct shuffle entirely on the driver path
-        return _driver_union_find(raw)
+        out = _driver_union_find(raw)
+        return (out, 0) if return_rounds else out
     sym = raw.union(
         raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
@@ -156,16 +166,17 @@ def connected_components(
             .count()
         )
         labels = new_labels
-        LAST_DISTRIBUTED_ROUNDS = _round + 1
+        rounds = _round + 1
         if changed == 0:
             break
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )
-    return labels.select(
+    out = labels.select(
         F.col("u").alias("node"), F.col("label").alias("component")
     )
+    return (out, rounds) if return_rounds else out
 
 
 def dedup_components(

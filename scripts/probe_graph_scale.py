@@ -82,22 +82,24 @@ def main() -> None:
     for name, (edges, n_edges, diameter) in scenarios.items():
         edges = edges.localCheckpoint(eager=True)  # exclude synth cost
         t0 = time.perf_counter()
-        out = graph.connected_components(edges)
+        out, rounds = graph.connected_components(
+            edges, return_rounds=True
+        )
         n_components = out.select("component").distinct().count()
         wall = round(time.perf_counter() - t0, 2)
         rec = {
             "scenario": name,
             "edges": n_edges,
             "diameter": diameter,
-            "rounds": graph.LAST_DISTRIBUTED_ROUNDS,
+            "rounds": rounds,
             "log2_diameter_plus3": math.ceil(math.log2(max(diameter, 2))) + 3,
             "n_components": n_components,
             "wall_sec": wall,
             "sec_per_round": round(
-                wall / max(graph.LAST_DISTRIBUTED_ROUNDS, 1), 2
+                wall / max(rounds, 1), 2
             ),
             "path": "distributed"
-            if graph.LAST_DISTRIBUTED_ROUNDS > 0
+            if rounds > 0
             else "driver_union_find",
         }
         print(json.dumps(rec), flush=True)

@@ -115,14 +115,18 @@ def test_distributed_rounds_log_bound(spark, monkeypatch):
     from pl_fuzzy_frame_match_spark.operators import graph as G
 
     monkeypatch.setattr(G, "SMALL_GRAPH_EDGE_LIMIT", -1)
+
+    def cc_rounds(edges):
+        df = spark.createDataFrame(edges, ["left_id", "right_id"])
+        out, rounds = connected_components(df, return_rounds=True)
+        return {(r["node"], r["component"]) for r in out.collect()}, rounds
+
     for n in (64, 511):
-        got = _cc(spark, [(i, i + 1) for i in range(n - 1)])
+        got, rounds = cc_rounds([(i, i + 1) for i in range(n - 1)])
         assert got == {(i, 0) for i in range(n)}
         bound = math.ceil(math.log2(n - 1)) + 3
-        assert 0 < G.LAST_DISTRIBUTED_ROUNDS <= bound, (
-            n, G.LAST_DISTRIBUTED_ROUNDS, bound
-        )
+        assert 0 < rounds <= bound, (n, rounds, bound)
     # star cluster: diameter 2 -> constant rounds regardless of size
-    got = _cc(spark, [(0, i) for i in range(1, 40)])
+    got, rounds = cc_rounds([(0, i) for i in range(1, 40)])
     assert got == {(i, 0) for i in range(40)}
-    assert G.LAST_DISTRIBUTED_ROUNDS <= 3
+    assert rounds <= 3
