@@ -190,6 +190,7 @@ def main() -> None:
         sorted(timings, key=timings.get, reverse=True)[:5]
     )
     retimed = {}
+    retime_errors = {}
     for name in names:
         if name not in retime_names:
             continue
@@ -202,7 +203,13 @@ def main() -> None:
                 df = registry[name](spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
             except Exception as exc:  # noqa: BLE001 - keep other re-times
-                errors[name] = f"retime {type(exc).__name__}: {exc}"[:300]
+                # ADVICE r8: a transient retime failure must NOT trip
+                # the ship gate — the query already has a valid median
+                # from the main pass. Record it separately; the
+                # original timing stands.
+                retime_errors[name] = (
+                    f"retime {type(exc).__name__}: {exc}"[:300]
+                )
                 ok = False
                 break
             samples.append(time.perf_counter() - t0)
@@ -221,6 +228,12 @@ def main() -> None:
                 mins[name] = new_min
 
     total = round(sum(timings.values()), 3)
+    # Contention-robust headline (VERDICT r8 #5): the sum of per-query
+    # MINS is stable under uniform session contention (every judge
+    # isolated re-time in rounds 7-8 landed at or near the min), so it
+    # ships in the compact record alongside the median total — rounds
+    # compare on sum_of_mins without needing isolated re-times.
+    sum_of_mins = round(sum(mins.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Driver contract (VERDICT r5 #1): the compact headline record must be
     # the LAST stdout line and stay small enough for the driver's tail
@@ -236,6 +249,7 @@ def main() -> None:
         "queries_median": timings,
         "queries_min": mins,
         "retimed": retimed,
+        "retime_errors": retime_errors,
         "errors": errors,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -247,6 +261,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sum_of_mins": sum_of_mins,
         "sf": sf_val,
     }
     spark.stop()
@@ -258,6 +273,12 @@ def main() -> None:
     # acted on it. A non-empty errors map now makes the process exit
     # non-zero AFTER printing the headline line (the driver still gets
     # its JSON; scripts/ship_check.py and any CI treat it as a failure).
+    if retime_errors:
+        print(
+            f"BENCH RETIME WARNINGS ({len(retime_errors)}): "
+            + ", ".join(sorted(retime_errors)),
+            file=sys.stderr,
+        )
     if errors:
         print(
             f"BENCH ERRORS ({len(errors)}): " + ", ".join(sorted(errors)),

@@ -2897,6 +2897,90 @@ def text_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(docs, "text", 1, max_driver_words=0)
 
 
+@register(
+    "text_bpe_first3_merges",
+    r"""
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wf AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+    v0 AS (
+      SELECT chr(31) || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substring(word, i, 1)),
+               chr(31) || chr(31)) || chr(31) AS s, cnt
+      FROM wf
+    ),
+    p0 AS (
+      SELECT sl[i] AS a, sl[i + 1] AS b, cnt
+      FROM (SELECT string_split(trim(s, chr(31)), chr(31) || chr(31))
+                   AS sl, cnt FROM v0),
+           unnest(range(1, len(sl))) AS t(i)
+    ),
+    b0 AS (SELECT a, b, sum(cnt) AS pcnt FROM p0 GROUP BY a, b
+           ORDER BY pcnt DESC, a, b LIMIT 1),
+    v1 AS (
+      SELECT replace(s, chr(31)||b0.a||chr(31)||chr(31)||b0.b||chr(31),
+                     chr(31)||b0.a||b0.b||chr(31)) AS s, cnt
+      FROM v0, b0
+    ),
+    p1 AS (
+      SELECT sl[i] AS a, sl[i + 1] AS b, cnt
+      FROM (SELECT string_split(trim(s, chr(31)), chr(31) || chr(31))
+                   AS sl, cnt FROM v1),
+           unnest(range(1, len(sl))) AS t(i)
+    ),
+    b1 AS (SELECT a, b, sum(cnt) AS pcnt FROM p1 GROUP BY a, b
+           ORDER BY pcnt DESC, a, b LIMIT 1),
+    v2 AS (
+      SELECT replace(s, chr(31)||b1.a||chr(31)||chr(31)||b1.b||chr(31),
+                     chr(31)||b1.a||b1.b||chr(31)) AS s, cnt
+      FROM v1, b1
+    ),
+    p2 AS (
+      SELECT sl[i] AS a, sl[i + 1] AS b, cnt
+      FROM (SELECT string_split(trim(s, chr(31)), chr(31) || chr(31))
+                   AS sl, cnt FROM v2),
+           unnest(range(1, len(sl))) AS t(i)
+    ),
+    b2 AS (SELECT a, b, sum(cnt) AS pcnt FROM p2 GROUP BY a, b
+           ORDER BY pcnt DESC, a, b LIMIT 1)
+    SELECT * FROM (
+      SELECT CAST(0 AS INT) AS rank, a AS "left", b AS "right",
+             a || b AS merged, CAST(pcnt AS BIGINT) AS freq FROM b0
+      UNION ALL
+      SELECT CAST(1 AS INT), a, b, a || b, CAST(pcnt AS BIGINT) FROM b1
+      UNION ALL
+      SELECT CAST(2 AS INT), a, b, a || b, CAST(pcnt AS BIGINT) FROM b2
+    ) ORDER BY rank
+    """,
+)
+def text_bpe_first3_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three FULL rounds of the distributed BPE learn loop,
+    value-checked (round 9, VERDICT r8 #7): forced onto the
+    distributed path (``max_driver_words=0``), so ranks 1 and 2
+    exercise the round-9 INCREMENTAL pair-count maintenance — the
+    map-only adjacency flag, the ± delta explode of affected words,
+    and the persisted pair-frame fold — not just the rank-0 full
+    count that text_bpe_first_merge gates. The DuckDB oracle unrolls
+    the same three rounds in plain SQL: symbolize each word with the
+    delimiter-wrapped representation from the text_bpe_encode_fixed
+    oracle, count adjacent pairs (every scan position — overlaps
+    counted, exactly the Sennrich pair stats), take the
+    (freq desc, left, right) argmax, and apply the merge with SQL
+    ``replace`` (left-to-right non-overlapping — classic BPE scan
+    order). Hash-comparing all three (rank, left, right, merged,
+    freq) rows pins the delta maintenance against a from-scratch
+    replay."""
+    from .operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    return learn_bpe_merges(docs, "text", 3, max_driver_words=0)
+
+
 @register("text_bpe_fertility", None)  # downstream of iterative learn
 def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-fertility report (round 8): learn 24 BPE merges on
