@@ -176,14 +176,24 @@ def promote_exact_mappings(
     ) * max(right_uniq.get(lead.right_col, right_count), 1)
     if fuzzy_pairs < PROMOTE_MIN_FUZZY_PAIRS:
         return list(fuzzy_maps)  # extra round costs more than it saves
-    est = min(
-        cart
-        // max(
+    # selectivity of the best exact key: its distinct-value count
+    # (uniform-key estimate divides survivor volume by this)
+    best_key_distinct = max(
+        max(
             left_uniq.get(m.left_col, 1), right_uniq.get(m.right_col, 1), 1
         )
         for m in exact
     )
-    if est <= EXACT_FIRST_PAIR_CAP and est <= fuzzy_pairs // 2:
+    # materialization guard in ROW units — the promoted plan
+    # checkpoints the surviving ROW pairs of the equi-join
+    est_rows = cart // best_key_distinct
+    # shrink test in DISTINCT-pair units (ADVICE r8): fuzzy_pairs is
+    # the distinct-name cartesian (O2 scores per distinct pair), so
+    # the survivor estimate it is compared against must be too — the
+    # row-based estimate inflated with duplicated names (rows >>
+    # distinct) and suppressed beneficial promotion
+    est_distinct = fuzzy_pairs // best_key_distinct
+    if est_rows <= EXACT_FIRST_PAIR_CAP and est_distinct <= fuzzy_pairs // 2:
         return exact + fuzzy  # each block keeps its selectivity order
     return list(fuzzy_maps)
 

@@ -159,6 +159,44 @@ def test_bpe_adjacent_pair_pred(spark):
 
 
 # ---------------------------------------------------------------------------
+# O10 promotion: shrink test in distinct-pair units (ADVICE r8)
+# ---------------------------------------------------------------------------
+
+
+def test_promote_fires_with_duplicated_names():
+    """Heavily duplicated names (rows >> distinct): the row-based
+    survivor estimate (2e9 rows / 25 keys = 8e7) dwarfed the
+    distinct-pair fuzzy volume (2e7) and suppressed promotion under
+    the old mixed-unit gate; in distinct units the survivors (8e5)
+    are a 25x shrink and promotion correctly fires."""
+    from pl_fuzzy_frame_match_spark.models import FuzzyMapping
+    from pl_fuzzy_frame_match_spark.plans.planner import (
+        promote_exact_mappings,
+    )
+
+    fz = FuzzyMapping("name", "name_r", threshold_score=65.0)
+    ex = FuzzyMapping("nk", "nk_r", threshold_score=100.0)
+    out = promote_exact_mappings(
+        [fz, ex],
+        {"name": 20_000, "nk": 25},
+        {"name_r": 1_000, "nk_r": 25},
+        40_000,
+        50_000,
+    )
+    assert [m.left_col for m in out] == ["nk", "name"]
+    # row-unit materialization cap still guards the checkpoint: same
+    # shape but a huge row cartesian (4e12 / 25 = 1.6e11 rows > 1e8)
+    out = promote_exact_mappings(
+        [fz, ex],
+        {"name": 20_000, "nk": 25},
+        {"name_r": 1_000, "nk_r": 25},
+        4_000_000,
+        1_000_000,
+    )
+    assert [m.left_col for m in out] == ["name", "nk"]
+
+
+# ---------------------------------------------------------------------------
 # Graph: round-count without the racy module global (ADVICE r8)
 # ---------------------------------------------------------------------------
 
