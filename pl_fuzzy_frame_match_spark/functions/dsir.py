@@ -1,0 +1,182 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS 2023) over hashed n-gram features.
+
+The data-selection stage of a pretraining pipeline: given a RAW pool
+and a (much smaller) TARGET corpus that exemplifies the desired
+distribution, estimate per-document importance weights
+``log p_target(x) - log p_raw(x)`` under a bag-of-hashed-n-grams
+model, then select documents by Gumbel top-k — a single pass that
+provably samples from the importance-weighted distribution (the
+Gumbel-max trick).
+
+Spark-first shape, engine-portable math:
+
+- features: word unigrams + bigrams WITH multiplicity
+  (:func:`..functions.text.word_ngrams_all` — bag counts are the
+  model), hashed into ``buckets`` slots via the md5-u32 idiom the
+  sampling family already uses (``functions/sampling.py:shard_of``),
+  so DuckDB replays every hash exactly;
+- fit: two gram-count aggregations (one shuffle each, map-side
+  partial) + two scalar totals; the model is a ``buckets``-row frame
+  (add-one smoothing over the full bucket universe) — BROADCAST
+  everywhere it is used, never shuffled;
+- weights: explode grams -> broadcast-join the model -> one
+  ``groupBy(doc)`` sum. The only full shuffle is keyed on the
+  document id — the same cardinality as the input;
+- selection: ``log_w + Gumbel(md5-u32(doc_id))`` and a TakeOrdered
+  top-k (per-partition heads, no global sort). Deterministic: the
+  Gumbel draw is pure integer-hash arithmetic, so runs, engines, and
+  partitionings agree on the selected set.
+
+At 100 TB: fitting touches each corpus once (the target corpus is
+small by definition); scoring is map-only per doc plus the one
+doc-keyed shuffle; the model never exceeds ``buckets`` rows. No
+driver-side iteration anywhere.
+
+The reference (a fuzzy string matcher) has no data-selection surface;
+this extends the training-data family (`functions/sampling.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_ngrams_all
+
+# DSIR's published setup hashes into 10k buckets; 4096 keeps the
+# broadcast model tiny while leaving collisions rare at test scale.
+DSIR_BUCKETS = 4096
+
+
+def _md5_u32(col: Column) -> Column:
+    """First 32 bits of md5 as a bigint — the engine-portable uniform
+    hash shared with the sampling family."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def gram_bucket(gram: Column, buckets: int = DSIR_BUCKETS) -> Column:
+    """Hashed-n-gram feature slot of one gram string."""
+    return (_md5_u32(gram) % F.lit(buckets)).cast("int")
+
+
+def _doc_buckets(
+    df: DataFrame, text_col: str, id_col: str | None, buckets: int
+) -> DataFrame:
+    """(id?, bucket) — one row per gram occurrence (unigrams +
+    bigrams, multiplicity kept). Empty/whitespace-only docs emit no
+    rows, matching the SQL oracle's unnest."""
+    grams = F.concat(
+        word_ngrams_all(F.col(text_col), 1),
+        word_ngrams_all(F.col(text_col), 2),
+    )
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.explode(grams).alias("g")
+    ]
+    out = df.select(*cols)
+    keep = ([id_col] if id_col else []) + [
+        gram_bucket(F.col("g"), buckets).alias("bucket")
+    ]
+    return out.select(*keep)
+
+
+def dsir_bucket_model(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Fit the hashed-n-gram importance model: one row per bucket in
+    ``[0, buckets)`` with ``log_ratio = ln p_target(b) - ln p_raw(b)``
+    under add-one smoothing — so buckets unseen in either corpus get
+    a finite, engine-reproducible ratio. Two corpus passes total."""
+    spark = raw.sparkSession
+    rc = (
+        _doc_buckets(raw, text_col, None, buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("rcnt"))
+    )
+    tc = (
+        _doc_buckets(target, text_col, None, buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+    )
+    # scalar totals as literals: the model must not carry a lineage
+    # dependency on two more aggregations every time it is joined
+    rtot = rc.agg(F.sum("rcnt")).collect()[0][0] or 0
+    ttot = tc.agg(F.sum("tcnt")).collect()[0][0] or 0
+    universe = spark.range(buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    return (
+        universe.join(rc, "bucket", "left")
+        .join(tc, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tcnt"), F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(ttot + buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("rcnt"), F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(rtot + buckets))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(id, dsir_logw): per-document log importance weight — the sum
+    of its grams' bucket log-ratios. Docs with no grams (null or
+    whitespace-only text) emit no row. One doc-keyed shuffle; the
+    model side is broadcast."""
+    gb = _doc_buckets(df, text_col, id_col, buckets)
+    return (
+        gb.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("log_ratio").alias("dsir_logw"))
+    )
+
+
+def dsir_gumbel_key(id_col: Column, logw: Column) -> Column:
+    """Gumbel-max selection key: ``logw - ln(-ln(u))`` with
+    ``u = (md5_u32(id) + 0.5) / 2^32`` — a deterministic uniform draw
+    per id, identical across engines (the Gumbel-top-k trick samples
+    k docs proportionally to exp(logw) without replacement)."""
+    u = (_md5_u32(id_col.cast("string")) + F.lit(0.5)) / F.lit(
+        4294967296.0
+    )
+    return logw - F.log(-F.log(u))
+
+
+def dsir_select(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Gumbel top-k importance resampling: (id, dsir_logw, sel_key)
+    for the k selected documents. TakeOrdered top-k — no global
+    sort."""
+    w = dsir_log_weights(df, model, text_col, id_col, buckets)
+    keyed = w.select(
+        id_col,
+        "dsir_logw",
+        dsir_gumbel_key(F.col(id_col), F.col("dsir_logw")).alias(
+            "sel_key"
+        ),
+    )
+    return keyed.orderBy(
+        F.desc("sel_key"), F.asc(id_col)
+    ).limit(k)

@@ -16,23 +16,25 @@ words the loop is a driver-side dict algorithm over one collect (the
 measured-fast path at bench scale); above it, each merge round is two
 narrow Spark jobs over the vocab frame:
 
+- the vocab rides in a delimiter-wrapped STRING form (each symbol
+  wrapped in U+001F — the same encoding the SQL oracles replay), so
+  the two hot per-round operations are whole-stage-codegen string
+  primitives: adjacency = ``contains``, merge application = JVM
+  ``replace`` (left-to-right non-overlapping — the exact classic-BPE
+  scan order, and a no-op on unaffected words);
 - pair counts are maintained INCREMENTALLY (round 9): the full
   ``posexplode`` + hash-aggregate runs ONCE, before round 0; after
   each merge only the words that actually contain the merged pair
-  change, so each round flags those words with a pure-Catalyst
-  adjacent-pair predicate (map-only, no shuffle), re-explodes JUST the
-  affected rows (old symbols negative, merged symbols positive), and
-  folds the deltas into the persisted pair-count frame — the shuffle
-  volume per round tracks the affected fraction, not the vocab;
+  change, so each round filters them with the codegen ``contains``,
+  re-explodes JUST those rows (old symbols negative, merged symbols
+  positive), and folds the deltas into the persisted pair-count
+  frame — the shuffle volume per round tracks the affected fraction,
+  not the vocab;
 - argmax: ``orderBy(count desc, left, right).limit(1)`` over the
   persisted pair frame — a driver scalar, the same bounded-collect
   shape as the planner's own stats;
-- merge application: a pure Catalyst ``aggregate`` fold over each
-  AFFECTED symbol array (left-to-right, non-overlapping — the fold's
-  accumulator tail is the MERGED token after a merge, so ``aaa`` under
-  merge (a,a) correctly yields ``[aa, a]``), behind a ``localCheckpoint``
-  so round k never recomputes rounds 1..k-1; unaffected rows pass
-  through the round untouched.
+- the vocab update is a LAZY codegen string map, compacted to a
+  checkpoint every few rounds to bound lineage depth.
 
 For production vocab budgets (32K-100K merges) the standard trainer
 shape is the DRIVER loop over a frequency-capped word table — pass
@@ -77,6 +79,12 @@ MAX_DRIVER_WORDS = 500_000
 # characters, so any multi-char symbol is unambiguous; no marker is
 # needed inside symbols (merges are tracked by rank, not by parsing).
 _MERGES_SCHEMA = "rank int, left string, right string, merged string, freq bigint"
+
+# Compact the lazily-chained vocab string maps to a checkpoint every
+# this many distributed merge rounds: each round adds one codegen
+# `replace` to the lineage (cheap), but unbounded chains grow plan
+# compile time, so bound the depth.
+_COMPACT_EVERY = 8
 
 
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
@@ -157,13 +165,46 @@ def _apply_merge_col(syms, a: str, b: str):
     )
 
 
+# Symbol delimiter for the distributed loop's STRING representation:
+# a word's symbol sequence [s1, s2, ...] is spelled
+# US||s1||US US||s2||US ... (each symbol wrapped in U+001F on both
+# sides, so adjacent symbols share no characters). The same encoding
+# the SQL oracles use (text_bpe_encode_fixed / text_bpe_first3_merges)
+# — and it makes the two hot per-round operations whole-stage-codegen
+# string primitives instead of per-row array builders:
+#   adjacency test  = s CONTAINS US||a||US||US||b||US
+#   merge (a,b)->ab = replace(s, US||a||US||US||b||US, US||a||b||US),
+# where JVM string replace is left-to-right non-overlapping — exactly
+# the classic-BPE scan order ('aaa' under (a,a) -> [aa, a]), and a
+# no-op on strings without the pair. Assumption (shared with the SQL
+# oracles): U+001F does not occur inside words — it is a control
+# character, never a word character in a natural corpus.
+_US = "\x1f"
+
+
+def _wrap_word(word):
+    """word string -> delimiter-wrapped single-character symbols."""
+    return F.concat(
+        F.lit(_US), F.concat_ws(_US + _US, F.split(word, "")), F.lit(_US)
+    )
+
+
+def _syms_of_s():
+    """Symbol array of the wrapped string column ``s`` (strip the one
+    leading + trailing US, split on the doubled delimiter)."""
+    return F.split(
+        F.substring(F.col("s"), F.lit(2), F.length("s") - 2), _US + _US
+    )
+
+
 def _pair_deltas(frame: DataFrame, sign: int) -> DataFrame:
-    """Explode a (syms, cnt) frame into (a, b, ±cnt) adjacent-pair
-    rows — every adjacent position counted (overlaps included), the
-    classic Sennrich pair count. ``sign=-1`` retracts a word's old
-    pairs; ``sign=+1`` asserts its post-merge pairs."""
+    """Explode a wrapped-string (s, cnt) frame into (a, b, ±cnt)
+    adjacent-pair rows — every adjacent position counted (overlaps
+    included), the classic Sennrich pair count. ``sign=-1`` retracts a
+    word's old pairs; ``sign=+1`` asserts its post-merge pairs."""
     return (
-        frame.select(
+        frame.select(_syms_of_s().alias("syms"), "cnt")
+        .select(
             F.posexplode(F.slice(F.col("syms"), 1, F.size("syms") - 1))
             .alias("i", "a"),
             F.col("syms"),
@@ -174,21 +215,6 @@ def _pair_deltas(frame: DataFrame, sign: int) -> DataFrame:
             F.element_at(F.col("syms"), F.col("i") + 2).alias("b"),
             (F.col("cnt") * F.lit(sign)).alias("pcnt"),
         )
-    )
-
-
-def _adjacent_pair_pred(syms, a: str, b: str):
-    """Pure-Catalyst predicate: does the symbol array contain ``a``
-    immediately followed by ``b``? zip_with over the array and its
-    1-shifted self, then exists — map-only, no shuffle."""
-    n = F.size(syms)
-    return F.exists(
-        F.zip_with(
-            F.slice(syms, 1, n - 1),
-            F.slice(syms, 2, n - 1),
-            lambda x, y: (x == F.lit(a)) & (y == F.lit(b)),
-        ),
-        lambda v: v,
     )
 
 
@@ -246,18 +272,28 @@ def learn_bpe_merges(
         )
         return spark.createDataFrame(merges or [], _MERGES_SCHEMA)
 
-    # Distributed rounds with INCREMENTAL pair-count maintenance
-    # (round 9, VERDICT r8 #2): the full posexplode + hash-agg runs
-    # once; each round then (1) takes the argmax off the persisted
-    # pair frame, (2) flags the words containing the merged pair with
-    # a map-only Catalyst predicate, (3) re-explodes only those rows
-    # (old pairs negative, merged pairs positive) and folds the deltas
-    # into the pair frame. Per-round shuffle volume tracks the
-    # affected fraction instead of the whole vocab — measured 2.9x
-    # over the round-8 full-recount loop at the same 700K-word probe
-    # (see PLANS.md round 9).
+    # Distributed rounds with INCREMENTAL pair-count maintenance over
+    # the wrapped-STRING vocab form (round 9, VERDICT r8 #2): the full
+    # posexplode + hash-agg runs once; each round then is
+    #   (1) argmax off the persisted (small) pair frame — one bounded
+    #       collect;
+    #   (2) one job folding the ± pair deltas of ONLY the affected
+    #       words (codegen `contains` filter -> explode -> skinny
+    #       shuffle whose volume tracks the affected fraction, not the
+    #       vocab) into the checkpointed pair frame;
+    #   (3) a LAZY vocab update — `replace` is a no-op on unaffected
+    #       rows, so the whole update is one codegen string map,
+    #       compacted to a checkpoint every _COMPACT_EVERY rounds to
+    #       bound lineage.
+    # A/B at the 700K-word probe (scripts/probe_bpe_scale.py, PLANS.md
+    # round 9, same session, legacy first): 2.39 s/round vs the
+    # round-8 full-recount loop's 7.29 — 3.05x, identical merge
+    # tables. A first incremental attempt kept the ARRAY vocab form
+    # and LOST (9.56 vs 6.96 s/round) — the per-row zip_with flag +
+    # 3 checkpoint barriers per round cost more than the explode they
+    # saved; the string form is what makes incrementality pay.
     vocab = wf.select(
-        F.split(F.col("word"), "").alias("syms"), "cnt"
+        _wrap_word(F.col("word")).alias("s"), "cnt"
     ).localCheckpoint(eager=True)
     pair_counts = (
         _pair_deltas(vocab, 1)
@@ -276,19 +312,13 @@ def learn_bpe_merges(
         if freq < min_freq:
             break
         merges.append((rank, a, b, a + b, freq))
-        # EAGER checkpoints throughout, measured (round 8, 700K-word
-        # probe): the graph loop's lazy-checkpoint trick REGRESSES
-        # here (15.5 -> 35.0 s/round on the full-recount loop) — the
-        # merge fold is expensive per row, and deferring it into the
-        # next round's shuffle-bound stage loses to a tight map-only
-        # materialization.
-        flagged = vocab.withColumn(
-            "hit", _adjacent_pair_pred(F.col("syms"), a, b)
-        ).localCheckpoint(eager=True)
-        affected = flagged.where(F.col("hit")).drop("hit")
+        pat = _US + a + _US + _US + b + _US
+        rep = _US + a + b + _US
+        affected = vocab.where(F.col("s").contains(pat))
         merged_affected = affected.select(
-            _apply_merge_col(F.col("syms"), a, b).alias("syms"), "cnt"
-        ).localCheckpoint(eager=True)
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"),
+            "cnt",
+        )
         pair_counts = (
             pair_counts.unionByName(_pair_deltas(affected, -1))
             .unionByName(_pair_deltas(merged_affected, 1))
@@ -297,11 +327,12 @@ def learn_bpe_merges(
             .where(F.col("pcnt") > 0)
             .localCheckpoint(eager=True)
         )
-        # unaffected rows pass through untouched; both branches sit on
-        # this round's checkpoints, so lineage depth stays constant
-        vocab = flagged.where(~F.col("hit")).drop("hit").unionByName(
-            merged_affected
+        vocab = vocab.select(
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"),
+            "cnt",
         )
+        if (rank + 1) % _COMPACT_EVERY == 0:
+            vocab = vocab.localCheckpoint(eager=True)
     return spark.createDataFrame(merges or [], _MERGES_SCHEMA)
 
 

@@ -132,30 +132,55 @@ def test_bpe_incremental_matches_driver_long_run(spark):
     assert drv == dist and len(drv) == 16
 
 
-def test_bpe_adjacent_pair_pred(spark):
-    """The map-only flag predicate matches adjacency, not mere
-    co-presence: 'ab' in [a,b] hits, [a,x,b] misses, [b,a] misses,
-    single-symbol arrays miss."""
-    from pl_fuzzy_frame_match_spark.operators.bpe import _adjacent_pair_pred
+def test_bpe_string_form_primitives(spark):
+    """The distributed loop's wrapped-string primitives: the contains
+    pattern matches ADJACENCY only (not co-presence or reversed
+    order), replace applies left-to-right non-overlapping ('aaa'
+    under (a,a) -> [aa, a]), and _syms_of_s round-trips _wrap_word."""
+    from pl_fuzzy_frame_match_spark.operators.bpe import (
+        _US,
+        _syms_of_s,
+        _wrap_word,
+    )
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(
         [
-            (1, ["a", "b"], True),
-            (2, ["a", "x", "b"], False),
-            (3, ["b", "a"], False),
-            (4, ["a"], False),
-            (5, ["x", "a", "b", "y"], True),
+            (1, "ab", True),
+            (2, "axb", False),
+            (3, "ba", False),
+            (4, "a", False),
+            (5, "xaby", True),
         ],
-        ["id", "syms", "want"],
+        ["id", "w"],
     )
+    pat = _US + "a" + _US + _US + "b" + _US
     got = df.select(
         "id",
-        "want",
-        _adjacent_pair_pred(F.col("syms"), "a", "b").alias("hit"),
+        "w",
+        _wrap_word(F.col("w")).alias("s"),
+    ).select(
+        "id",
+        "w",
+        F.col("s").contains(pat).alias("hit"),
+        _syms_of_s().alias("syms"),
     ).collect()
     for r in got:
-        assert r["hit"] == r["want"], r["id"]
+        assert r["syms"] == list(r["w"]), r["id"]
+        assert r["hit"] == (r["id"] in (1, 5)), r["id"]
+    # non-overlapping replace: 'aaa' -> [aa, a]
+    rep = _US + "aa" + _US
+    pat_aa = _US + "a" + _US + _US + "a" + _US
+    out = (
+        spark.createDataFrame([("aaa",)], ["w"])
+        .select(_wrap_word(F.col("w")).alias("s"))
+        .select(
+            F.replace(F.col("s"), F.lit(pat_aa), F.lit(rep)).alias("s")
+        )
+        .select(_syms_of_s().alias("syms"))
+        .collect()
+    )
+    assert out[0]["syms"] == ["aa", "a"]
 
 
 # ---------------------------------------------------------------------------
