@@ -2981,6 +2981,107 @@ def text_bpe_first3_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(docs, "text", 3, max_driver_words=0)
 
 
+_DSIR_GRAMS_SQL = r"""
+    d AS (
+      SELECT doc_id, lower(text) AS t, lang FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    words AS (
+      SELECT doc_id, lang, regexp_extract_all(t, '\S+') AS wl FROM d
+    ),
+    grams AS (
+      SELECT doc_id, lang, wl[i] AS g
+      FROM words, unnest(range(1, len(wl) + 1)) AS u(i)
+      UNION ALL
+      SELECT doc_id, lang, wl[i] || ' ' || wl[i + 1] AS g
+      FROM words, unnest(range(1, len(wl))) AS u(i)
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096
+               AS bucket
+      FROM grams
+    ),
+    rc AS (SELECT bucket, count(*) AS rcnt FROM b GROUP BY bucket),
+    tc AS (SELECT bucket, count(*) AS tcnt FROM b WHERE lang = 'en'
+           GROUP BY bucket),
+    tot AS (SELECT count(*) AS rtot,
+                   count(*) FILTER (WHERE lang = 'en') AS ttot
+            FROM b),
+    w AS (
+      SELECT b.doc_id,
+             SUM(ln((coalesce(tc.tcnt, 0) + 1.0) / (tot.ttot + 4096.0))
+               - ln((coalesce(rc.rcnt, 0) + 1.0) / (tot.rtot + 4096.0)))
+               AS logw
+      FROM b LEFT JOIN rc USING (bucket) LEFT JOIN tc USING (bucket),
+           tot
+      GROUP BY b.doc_id
+    )
+"""
+
+
+@register(
+    "docs_dsir_weights",
+    "WITH " + _DSIR_GRAMS_SQL + """
+    SELECT doc_id, round(logw, 6) AS dsir_logw FROM w
+    """,
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (round 9; Xie et al. 2023): fit the
+    hashed-n-gram (unigram+bigram, md5-u32 mod 4096, add-one
+    smoothing) bucket model with raw = all documents and target = the
+    English subset, then score every document's
+    ``ln p_target - ln p_raw``. The DuckDB oracle replays every hash,
+    count, smoothing term, and log-ratio exactly — the md5-u32 bucket
+    idiom is the sampling family's engine-portable draw. One
+    doc-keyed shuffle; the 4096-row model is broadcast."""
+    from .functions.dsir import dsir_bucket_model, dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    model = dsir_bucket_model(docs, docs.where(F.col("lang") == "en"),
+                              "text")
+    w = dsir_log_weights(docs, model, "text", "doc_id")
+    return w.select("doc_id", F.round("dsir_logw", 6).alias("dsir_logw"))
+
+
+@register(
+    "docs_dsir_select",
+    "WITH " + _DSIR_GRAMS_SQL + """
+    SELECT doc_id, round(logw, 6) AS dsir_logw,
+           round(logw - ln(-ln(
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0)), 6) AS sel_key
+    FROM w
+    ORDER BY logw - ln(-ln(
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0)) DESC, doc_id
+    LIMIT 100
+    """,
+)
+def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k selection (round 9): importance-resample 100
+    documents toward the English target distribution — selection key
+    is ``logw - ln(-ln(u))`` with the deterministic md5-u32 uniform
+    draw per doc_id, so the selected SET (not just its size) is
+    engine-reproducible and the oracle hash-checks it. TakeOrdered
+    top-k: per-partition heads, no global sort."""
+    from .functions.dsir import dsir_bucket_model, dsir_select
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    model = dsir_bucket_model(docs, docs.where(F.col("lang") == "en"),
+                              "text")
+    sel = dsir_select(docs, model, "text", "doc_id", k=100)
+    return sel.select(
+        "doc_id",
+        F.round("dsir_logw", 6).alias("dsir_logw"),
+        F.round("sel_key", 6).alias("sel_key"),
+    )
+
+
 @register("text_bpe_fertility", None)  # downstream of iterative learn
 def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-fertility report (round 8): learn 24 BPE merges on

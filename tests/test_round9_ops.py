@@ -248,3 +248,99 @@ def test_graph_return_rounds(spark):
     a = {(r["node"], r["component"]) for r in df.collect()}
     b = {(r["node"], r["component"]) for r in df2.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (round 9, Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_frames(spark):
+    raw = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en"),
+            (2, "the dog ate the bone", "en"),
+            (3, "der hund frisst den knochen", "de"),
+            (4, "le chat dort sur le lit", "fr"),
+            (5, "the cat and the dog", "en"),
+            (6, "x", "de"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    return raw, raw.where("lang = 'en'")
+
+
+def test_dsir_model_shape_and_smoothing(spark):
+    """The model covers the FULL bucket universe with finite
+    log-ratios (add-one smoothing), and buckets seen only in the
+    target get positive log-ratio while target-absent buckets get
+    negative."""
+    import math
+
+    from pl_fuzzy_frame_match_spark.functions.dsir import (
+        dsir_bucket_model,
+    )
+
+    raw, target = _dsir_frames(spark)
+    model = dsir_bucket_model(raw, target, "text", buckets=64)
+    rows = model.collect()
+    assert len(rows) == 64
+    assert all(math.isfinite(r["log_ratio"]) for r in rows)
+    # unseen-anywhere buckets carry the pure smoothing ratio
+    # ln((0+1)/(ttot+64)) - ln((0+1)/(rtot+64)) = ln((rtot+64)/(ttot+64)) > 0
+    # since raw has more grams than target
+    by_bucket = {r["bucket"]: r["log_ratio"] for r in rows}
+    seen = set()
+    from pl_fuzzy_frame_match_spark.functions.dsir import _doc_buckets
+
+    for r in _doc_buckets(raw, "text", None, 64).collect():
+        seen.add(r["bucket"])
+    unseen = [b for b in range(64) if b not in seen]
+    assert unseen, "tiny corpus should not fill 64 buckets"
+    base = by_bucket[unseen[0]]
+    assert all(abs(by_bucket[b] - base) < 1e-12 for b in unseen)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """English documents (target-like gram profile) must carry higher
+    importance weights than the German/French ones, and a doc with
+    null/empty text emits no weight row."""
+    from pl_fuzzy_frame_match_spark.functions.dsir import (
+        dsir_bucket_model,
+        dsir_log_weights,
+    )
+
+    raw, target = _dsir_frames(spark)
+    extra = raw.sparkSession.createDataFrame(
+        [(7, None, "en"), (8, "   ", "en")], ["doc_id", "text", "lang"]
+    )
+    model = dsir_bucket_model(raw, target, "text", buckets=256)
+    w = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weights(
+            raw.unionByName(extra), model, "text", "doc_id", buckets=256
+        ).collect()
+    }
+    assert 7 not in w and 8 not in w
+    en = [w[1], w[2], w[5]]
+    other = [w[3], w[4]]
+    assert min(en) > max(other), w
+
+
+def test_dsir_select_is_deterministic_topk(spark):
+    """Gumbel top-k: same result on repeated runs and under a
+    different partitioning; k rows; keys non-increasing."""
+    from pl_fuzzy_frame_match_spark.functions.dsir import (
+        dsir_bucket_model,
+        dsir_select,
+    )
+
+    raw, target = _dsir_frames(spark)
+    model = dsir_bucket_model(raw, target, "text", buckets=256)
+    a = dsir_select(raw, model, "text", "doc_id", k=3, buckets=256).collect()
+    b = dsir_select(
+        raw.repartition(7), model, "text", "doc_id", k=3, buckets=256
+    ).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    keys = [r["sel_key"] for r in a]
+    assert keys == sorted(keys, reverse=True) and len(a) == 3
