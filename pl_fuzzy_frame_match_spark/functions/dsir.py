@@ -40,6 +40,10 @@ this extends the training-data family (`functions/sampling.py`).
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -145,6 +149,64 @@ def dsir_log_weights(
         .groupBy(id_col)
         .agg(F.sum("log_ratio").alias("dsir_logw"))
     )
+
+
+# Java regex \S is ASCII ([^ \t\n\x0b\f\r]); Python str.split() would
+# also split on Unicode whitespace and diverge from tokens() on e.g.
+# non-breaking spaces
+_TOKEN_RE = re.compile(r"[^ \t\n\x0b\f\r]+")
+
+
+def dsir_score_udf(model, buckets: int = DSIR_BUCKETS):
+    """Arrow-batched per-row scorer over a FROZEN model — the
+    streaming/serving shape (`streaming/stream_ops.stream_dsir_score`).
+    One document's weight depends only on its own grams, so no
+    explode/join/groupBy is needed: the (<= buckets)-row model rides
+    in the UDF closure as a dict, Python md5 reproduces the
+    engine-portable md5-u32 bucket hash exactly (Spark md5 hashes
+    UTF-8 bytes), and a per-batch gram cache amortizes hashing across
+    repeated grams. Returns null for gram-less docs (the batch path
+    emits no row — callers filter)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(model, DataFrame):
+        lookup = {r["bucket"]: r["log_ratio"] for r in model.collect()}
+    else:
+        lookup = dict(model)
+
+    def _bucket(g: str) -> int:
+        return (
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+            % buckets
+        )
+
+    @pandas_udf("double")
+    def score(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def look(g):
+            v = cache.get(g)
+            if v is None:
+                v = lookup.get(_bucket(g), 0.0)
+                cache[g] = v
+            return v
+
+        def run(t):
+            if t is None:
+                return None
+            words = _TOKEN_RE.findall(str(t).lower())
+            if not words:
+                return None
+            total = 0.0
+            for g in words:
+                total += look(g)
+            for a, b in zip(words, words[1:]):
+                total += look(a + " " + b)
+            return total
+
+        return texts.map(run)
+
+    return score
 
 
 def dsir_gumbel_key(id_col: Column, logw: Column) -> Column:

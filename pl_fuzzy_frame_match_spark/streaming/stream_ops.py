@@ -964,6 +964,39 @@ def stream_audio_dedup(
     return hashed.dropDuplicates(["afp"])
 
 
+def stream_dsir_score(
+    spark, path: str, schema, model,
+    text_col: str = "text", id_col: str = "doc_id",
+    buckets: int = 4096,
+):
+    """Streaming twin of `functions/dsir.dsir_log_weights` with a
+    FROZEN importance model (the deployment shape: the bucket model is
+    fit offline on raw+target corpora; the ingest stream scores each
+    arriving document for admission). The batch path is
+    explode -> broadcast-join -> groupBy(doc); a streaming groupBy
+    would be a stateful aggregation, but the weight of one document
+    depends only on its own grams, so the twin computes it per-row in
+    an Arrow-batched pandas UDF with the (<= buckets)-row model as a
+    plain dict in the closure — stateless, no watermark, no shuffle.
+    Python's md5/lower/split reproduce the engine-portable md5-u32
+    bucket hash exactly (Spark md5 hashes UTF-8 bytes). Docs whose
+    text yields no grams score null and are filtered, matching the
+    batch path's emit-no-row."""
+    from ..functions.dsir import dsir_score_udf
+
+    score = dsir_score_udf(model, buckets)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    return (
+        stream.withColumn("dsir_logw", score(F.col(text_col)))
+        .where(F.col("dsir_logw").isNotNull())
+        .select(id_col, "dsir_logw")
+    )
+
+
 def stream_bpe_tokenize(
     spark, path: str, schema, merges,
     text_col: str = "text", id_col: str = "doc_id",

@@ -344,3 +344,49 @@ def test_dsir_select_is_deterministic_topk(spark):
     assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
     keys = [r["sel_key"] for r in a]
     assert keys == sorted(keys, reverse=True) and len(a) == 3
+
+
+def test_stream_dsir_score_matches_batch(spark, tmp_path):
+    """The streaming DSIR scorer (frozen model, stateless per-row
+    pandas UDF) reproduces the batch explode+join+groupBy weights to
+    6 decimals on the sf0.001 documents table."""
+    from pl_fuzzy_frame_match_spark.functions.dsir import (
+        dsir_bucket_model,
+        dsir_log_weights,
+    )
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_dsir_score,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").where(
+        "text IS NOT NULL AND doc_id IS NOT NULL"
+    )
+    model = dsir_bucket_model(
+        docs, docs.where("lang = 'en'"), "text"
+    )
+    batch = {
+        r["doc_id"]: round(r["dsir_logw"], 6)
+        for r in dsir_log_weights(
+            docs, model, "text", "doc_id"
+        ).collect()
+    }
+    src = str(tmp_path / "docs_dsir_stream")
+    docs.write.parquet(src)
+    q = (
+        stream_dsir_score(
+            spark, src, spark.read.parquet(src).schema, model
+        )
+        .writeStream.format("memory")
+        .queryName("q_dsir")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: round(r["dsir_logw"], 6)
+        for r in spark.sql("SELECT * FROM q_dsir").collect()
+    }
+    assert streamed == batch and len(batch) > 0
