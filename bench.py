@@ -88,6 +88,10 @@ def main() -> None:
         "multimodal_resize_pixels",
         "multimodal_image_features",
         "multimodal_image_knn",
+        "docs_dsir_weights",
+        "docs_dsir_select",
+        "docs_char_entropy",
+        "text_bpe_first3_merges",
     ):
         if extra in registry:
             names.append(extra)

@@ -2981,6 +2981,62 @@ def text_bpe_first3_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(docs, "text", 3, max_driver_words=0)
 
 
+@register(
+    "docs_char_entropy",
+    r"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        AND length(text) > 0
+    ),
+    chars AS (
+      SELECT doc_id, substring(t, i, 1) AS c, length(t) AS n
+      FROM d, unnest(range(1, length(t) + 1)) AS u(i)
+    ),
+    cc AS (
+      SELECT doc_id, n, count(*) AS k
+      FROM chars GROUP BY doc_id, c, n
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           round(-SUM((k * 1.0 / n) * ln(k * 1.0 / n)), 6)
+             AS char_entropy
+    FROM cc GROUP BY doc_id, n
+    """,
+)
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (round 9): Shannon entropy of
+    each document's character distribution — the standard cheap
+    gibberish/repetition detector alongside the Gopher repetition
+    fractions (low entropy = repeated filler; high = random noise).
+    Spark-first: computed PER ROW with nested higher-order functions
+    (distinct chars -> counts via filter -> entropy via aggregate) —
+    a pure map over the scan, ZERO shuffles, versus the naive
+    explode + two groupBys. The DuckDB oracle takes the explode route
+    and must agree to 6 decimals."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
+    )
+    chars = F.split(F.lower(F.col("text")), "")
+    n = F.length(F.lower(F.col("text")))
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    ent = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, k: acc
+        - (k.cast("double") / n) * F.log(k.cast("double") / n),
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        F.round(ent, 6).alias("char_entropy"),
+    )
+
+
 _DSIR_GRAMS_SQL = r"""
     d AS (
       SELECT doc_id, lower(text) AS t, lang FROM documents
