@@ -147,16 +147,20 @@ def promote_exact_mappings(
     scripts/probe_o10_scale.py; 1.92 s vs 2.46 s at the 1x/15M shape).
     Conjunction semantics make the result identical in any order (the
     monotonicity property the reference pins); only the cost moves.
-    Promotion fires only when ALL hold:
+    Promotion fires only when BOTH hold (round 9, ADVICE r8: every
+    term in the benefit test is in DISTINCT-pair units — the units O2
+    actually scores in — while the materialization cap stays in ROW
+    units, the units the checkpoint writes):
 
-    - the un-promoted fuzzy round would score >= PROMOTE_MIN_FUZZY_PAIRS
-      distinct pairs (the extra round's ~0.2-0.3 s fixed cost breaks
-      even near 1e7 avoided pairs at the measured scoring rate);
-    - estimated survivors (cartesian / max distinct of the most
-      selective exact key — uniform-key estimate) fit
-      ``EXACT_FIRST_PAIR_CAP`` (the refine round checkpoints them); and
-    - survivors are at most half the fuzzy volume (a shrink worth one
-      extra round).
+    - AVOIDED volume ``fuzzy_pairs - est_survivors >=
+      PROMOTE_MIN_FUZZY_PAIRS``: the extra round's ~0.2-0.3 s fixed
+      cost breaks even near 1e7 avoided pairs at the measured scoring
+      rate, and "avoided" is exactly what the cost model prices — this
+      single condition subsumes the former absolute floor and the
+      former at-least-half shrink heuristic;
+    - estimated surviving ROWS (row cartesian / max distinct of the
+      most selective exact key — uniform-key estimate) fit
+      ``EXACT_FIRST_PAIR_CAP`` (the refine round checkpoints them).
 
     The reference's own ordering (O1, process.py uniqueness sort) has
     no exact-mapping special case because its engine scores all rounds
@@ -174,8 +178,6 @@ def promote_exact_mappings(
     fuzzy_pairs = max(
         left_uniq.get(lead.left_col, left_count), 1
     ) * max(right_uniq.get(lead.right_col, right_count), 1)
-    if fuzzy_pairs < PROMOTE_MIN_FUZZY_PAIRS:
-        return list(fuzzy_maps)  # extra round costs more than it saves
     # selectivity of the best exact key: its distinct-value count
     # (uniform-key estimate divides survivor volume by this)
     best_key_distinct = max(
@@ -187,13 +189,16 @@ def promote_exact_mappings(
     # materialization guard in ROW units — the promoted plan
     # checkpoints the surviving ROW pairs of the equi-join
     est_rows = cart // best_key_distinct
-    # shrink test in DISTINCT-pair units (ADVICE r8): fuzzy_pairs is
+    # benefit test in DISTINCT-pair units (ADVICE r8): fuzzy_pairs is
     # the distinct-name cartesian (O2 scores per distinct pair), so
-    # the survivor estimate it is compared against must be too — the
-    # row-based estimate inflated with duplicated names (rows >>
-    # distinct) and suppressed beneficial promotion
+    # the survivor estimate must be too — the old row-based estimate
+    # inflated with duplicated names (rows >> distinct) and
+    # suppressed beneficial promotion. The avoided volume is what the
+    # measured cost model prices (net gain ~= avoided / scoring rate
+    # - fixed round cost), so the floor applies to it directly.
     est_distinct = fuzzy_pairs // best_key_distinct
-    if est_rows <= EXACT_FIRST_PAIR_CAP and est_distinct <= fuzzy_pairs // 2:
+    avoided = fuzzy_pairs - est_distinct
+    if est_rows <= EXACT_FIRST_PAIR_CAP and avoided >= PROMOTE_MIN_FUZZY_PAIRS:
         return exact + fuzzy  # each block keeps its selectivity order
     return list(fuzzy_maps)
 

@@ -219,6 +219,18 @@ def test_promote_fires_with_duplicated_names():
         1_000_000,
     )
     assert [m.left_col for m in out] == ["name", "nk"]
+    # avoided-volume floor (round 9): a 2-distinct key on a 1.2e7
+    # distinct-pair volume avoids only 6e6 pairs — under the measured
+    # 1e7 break-even, so promotion correctly stays off even though
+    # the old relative-shrink test (survivors == half) would fire
+    out = promote_exact_mappings(
+        [fz, ex],
+        {"name": 12_000, "nk": 2},
+        {"name_r": 1_000, "nk_r": 2},
+        12_000,
+        1_000,
+    )
+    assert [m.left_col for m in out] == ["name", "nk"]
 
 
 # ---------------------------------------------------------------------------
