@@ -1163,6 +1163,35 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocabulary(docs, "text", "doc_id", top=100)
 
 
+@register(
+    "vocab_topk_sketch",
+    f"""
+    WITH {_TOKS_CTE},
+    t AS (SELECT unnest(w) AS g FROM toks)
+    SELECT g, count(*) AS cnt
+    FROM t GROUP BY g
+    ORDER BY cnt DESC, g ASC LIMIT 64
+    """,
+)
+def vocab_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-64 corpus terms via the Misra-Gries mergeable-summary
+    path (round 9): per-partition capacity-512 MG summaries
+    (Arrow-batched mapInPandas), candidate union, exact broadcast
+    recount, and the sum-of-undercounts certificate — provably the
+    same answer the full aggregation gives (the oracle IS the full
+    aggregation), while shuffling only candidate rows instead of the
+    whole distinct vocabulary. The 100 TB version of
+    `vocab_top_terms`'s head without the vocabulary-wide shuffle."""
+    from .functions.text import tokens
+    from .operators.heavyhitters import topk_frequent
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    items = docs.select(F.explode(tokens(F.col("text"))).alias("g"))
+    return topk_frequent(items, k=64)
+
+
 _STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
 _STRATA_DEFAULT = 0.75
 

@@ -402,3 +402,89 @@ def test_stream_dsir_score_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM q_dsir").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters + exact-verification rescore (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _zipf_items(spark, n_kinds=200, scale=40):
+    # item i appears ~scale*n_kinds/(i+1) times: heavy head, long tail
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n_kinds)
+        .select(
+            F.explode(
+                F.array_repeat(
+                    F.concat(F.lit("w"), F.col("id").cast("string")),
+                    (F.lit(scale * n_kinds) / (F.col("id") + 1)).cast(
+                        "int"
+                    ),
+                )
+            ).alias("g")
+        )
+        .repartition(8)
+    )
+
+
+def test_topk_sketch_equals_exact(spark):
+    """Sketch path (ample capacity) and full-agg fallback path
+    (capacity=1 breaks the certificate) both return the EXACT top-k,
+    identical to a driver-side recount."""
+    from collections import Counter
+
+    from pl_fuzzy_frame_match_spark.operators.heavyhitters import (
+        topk_frequent,
+    )
+
+    items = _zipf_items(spark)
+    truth = Counter(r["g"] for r in items.collect())
+    want = sorted(
+        truth.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:16]
+    for cap in (None, 1):
+        got = [
+            (r["g"], r["cnt"])
+            for r in topk_frequent(items, 16, capacity=cap).collect()
+        ]
+        assert got == want, cap
+
+
+def test_topk_sketch_fewer_items_than_k(spark):
+    """Fewer distinct items than k: all items returned, exact, in
+    (cnt desc, g asc) order."""
+    from pl_fuzzy_frame_match_spark.operators.heavyhitters import (
+        topk_frequent,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), ("c",), ("c",), (None,)],
+        ["g"],
+    )
+    got = [
+        (r["g"], r["cnt"]) for r in topk_frequent(df, 10).collect()
+    ]
+    assert got == [("c", 3), ("a", 2), ("b", 1)]
+
+
+def test_mg_summary_certificate_bound(spark):
+    """The per-partition certificate rows carry err_p, and for every
+    item ABSENT from all summaries the true frequency is <= sum(err_p)
+    — the bound topk_frequent's exactness proof rests on."""
+    from collections import Counter
+
+    from pl_fuzzy_frame_match_spark.operators.heavyhitters import (
+        _mg_summaries,
+    )
+
+    items = _zipf_items(spark, n_kinds=100, scale=10).coalesce(4)
+    truth = Counter(r["g"] for r in items.collect())
+    summ = _mg_summaries(items, capacity=8).collect()
+    e = sum(r["err"] for r in summ if r["g"] is None)
+    cands = {r["g"] for r in summ if r["g"] is not None}
+    assert e > 0 and cands
+    for g, cnt in truth.items():
+        if g not in cands:
+            assert cnt <= e, (g, cnt, e)
