@@ -1756,3 +1756,180 @@ def avi_decode_frames(data: bytes):
             return None
         out.append(frame)
     return w, h, len(out), np.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# BMP codec (round 9): uncompressed 24-bit BI_RGB DIBs — the simplest
+# real raster container, and the one whose decode bugs are all
+# LAYOUT bugs (BGR channel order, 4-byte row stride padding,
+# bottom-up vs top-down row order). The stats query therefore emits
+# per-channel sums (catches BGR swaps) and a positional weighted
+# checksum (catches stride/row-order errors) — orientation-invariant
+# whole-image sums alone would miss both.
+# ---------------------------------------------------------------------------
+
+
+def bmp_encode_rgb24(arr, topdown: bool = False) -> bytes:
+    """Encode a logical-RGB uint8 array [h, w, 3] as a 24-bit BI_RGB
+    BMP: BITMAPFILEHEADER + BITMAPINFOHEADER(40), rows padded to 4
+    bytes, pixels stored B,G,R; bottom-up unless ``topdown`` (then
+    biHeight is negative, per the DIB spec)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    rows = range(h) if topdown else range(h - 1, -1, -1)
+    body = b"".join(
+        arr[y, :, ::-1].tobytes() + pad for y in rows  # RGB -> BGR
+    )
+    bih = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, -h if topdown else h, 1, 24, 0, stride * h,
+        2835, 2835, 0, 0,
+    )
+    bfh = struct.pack("<2sIHHI", b"BM", 14 + 40 + stride * h, 0, 0, 54)
+    return bfh + bih + body
+
+
+def bmp_decode_pixels(data: bytes):
+    """Decode a 24-bit BI_RGB BMP into
+    ``(width, height, topdown, uint8 ndarray[h, w, 3] logical RGB)``
+    — stdlib struct + numpy, honoring the pixel-array offset, row
+    stride padding, BGR order, and both row orders. Returns None for
+    non-BMP / compressed / non-24-bit payloads (corrupt images must
+    never kill a stage)."""
+    import struct
+
+    import numpy as np
+
+    if (
+        not isinstance(data, (bytes, bytearray))
+        or len(data) < 54
+        or bytes(data[:2]) != b"BM"
+    ):
+        return None
+    data = bytes(data)
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hsize, w, h_raw = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, comp = struct.unpack_from("<HHI", data, 26)
+    if hsize < 40 or planes != 1 or bpp != 24 or comp != 0 or w <= 0:
+        return None
+    topdown = h_raw < 0
+    h = -h_raw if topdown else h_raw
+    if h <= 0:
+        return None
+    stride = (w * 3 + 3) & ~3
+    if offset + stride * h > len(data):
+        return None
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not topdown:
+        px = px[::-1]  # file stores bottom row first
+    return int(w), int(h), bool(topdown), np.ascontiguousarray(px)
+
+
+BMP_PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("topdown", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("wsum", LongType()),
+        StructField("min_px", IntegerType()),
+        StructField("max_px", IntegerType()),
+    ]
+)
+
+
+def bmp_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact integer pixel statistics over BMP payloads: per-channel
+    sums in LOGICAL RGB (a BGR-order bug flips sum_r/sum_b), plus the
+    positional checksum ``wsum = sum(v(x,y,c) * (y*w + x + 1))`` (a
+    stride or row-order bug reshuffles positions and flips it).
+    Undecodable payloads emit null stats. Arrow-batched map-only."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = bmp_decode_pixels(bytes(payload))
+                if dec is None:
+                    rows.append(
+                        (rid,) + (None,) * 9
+                    )
+                    continue
+                w, h, td, px = dec
+                p64 = px.astype("int64")
+                wgt = (
+                    np.arange(h)[:, None] * w + np.arange(w)[None, :] + 1
+                )
+                rows.append(
+                    (
+                        rid,
+                        w,
+                        h,
+                        int(td),
+                        int(p64[:, :, 0].sum()),
+                        int(p64[:, :, 1].sum()),
+                        int(p64[:, :, 2].sum()),
+                        int((p64.sum(axis=2) * wgt).sum()),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in BMP_PIXEL_STATS_SCHEMA.fields]
+        )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stats, schema=BMP_PIXEL_STATS_SCHEMA
+    )
+
+
+def synthesize_bmp_corpus(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Attach a deterministic real-BMP payload per row: geometry, row
+    order, and every pixel are closed-form in the id
+    (v(x, y, c) = (id*7 + y*13 + x*3 + c*29) mod 256, c = R,G,B;
+    w = id%6+3 — strides exercise every 4-byte padding residue;
+    h = id%4+2; top-down iff id odd), so a SQL oracle recomputes the
+    exact stats without decoding."""
+    import numpy as np
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(payload_col, BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                d = int(rid)
+                w = d % 6 + 3
+                h = d % 4 + 2
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3),
+                    indexing="ij",
+                )
+                arr = ((d * 7 + y * 13 + x * 3 + c * 29) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(bmp_encode_rgb24(arr, topdown=bool(d % 2)))
+            out = pdf.copy()
+            out[payload_col] = payloads
+            yield out
+
+    return df.mapInPandas(synth, out_schema)

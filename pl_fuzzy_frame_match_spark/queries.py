@@ -5347,6 +5347,69 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_bmp_pixels",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 6 + 3 AS w, doc_id % 4 + 2 AS h,
+                      CAST(doc_id % 2 AS INT) AS topdown
+               FROM documents WHERE doc_id IS NOT NULL),
+    px AS (SELECT doc_id, w, h, topdown,
+             flatten(flatten(
+               list_transform(range(0, h), y ->
+                 list_transform(range(0, w), x ->
+                   list_transform(range(0, 3), c ->
+                     (doc_id * 7 + y * 13 + x * 3 + c * 29) % 256)))))
+               AS vals,
+             flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 ((doc_id * 7 + y * 13 + x * 3) % 256
+                  + (doc_id * 7 + y * 13 + x * 3 + 29) % 256
+                  + (doc_id * 7 + y * 13 + x * 3 + 58) % 256)
+                 * (y * w + x + 1)))) AS wvals,
+             flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 (doc_id * 7 + y * 13 + x * 3) % 256))) AS rs,
+             flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 (doc_id * 7 + y * 13 + x * 3 + 29) % 256))) AS gs,
+             flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 (doc_id * 7 + y * 13 + x * 3 + 58) % 256))) AS bs
+           FROM d)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           topdown,
+           CAST(list_sum(rs) AS BIGINT) AS sum_r,
+           CAST(list_sum(gs) AS BIGINT) AS sum_g,
+           CAST(list_sum(bs) AS BIGINT) AS sum_b,
+           CAST(list_sum(wvals) AS BIGINT) AS wsum,
+           CAST(list_min(vals) AS INT) AS min_px,
+           CAST(list_max(vals) AS INT) AS max_px
+    FROM px
+    """,
+)
+def multimodal_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode, value-checked end to end (round 9): every
+    document gets a deterministic 24-bit BI_RGB DIB (geometry, row
+    order — bottom-up AND top-down — and every pixel closed-form in
+    doc_id; widths 3-8 exercise every 4-byte stride padding residue),
+    the engine re-reads it honoring the pixel-array offset, BGR
+    order, stride, and row direction
+    (`operators/multimodal.py::bmp_decode_pixels`), and the emitted
+    stats must equal the SQL closed form. Per-channel sums catch a
+    BGR swap; the positional checksum ``wsum`` catches stride or
+    row-order bugs that whole-image sums cannot see. Arrow-batched
+    map-only, no shuffle."""
+    from .operators.multimodal import (
+        bmp_pixel_stats,
+        synthesize_bmp_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    ).select("doc_id")
+    return bmp_pixel_stats(synthesize_bmp_corpus(docs))
+
+
+@register(
     "multimodal_wav_samples",
     """
     WITH d AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate,

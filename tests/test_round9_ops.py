@@ -488,3 +488,62 @@ def test_mg_summary_certificate_bound(spark):
     for g, cnt in truth.items():
         if g not in cands:
             assert cnt <= e, (g, cnt, e)
+
+
+# ---------------------------------------------------------------------------
+# BMP codec (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_both_orientations():
+    """encode -> decode is identity for bottom-up AND top-down DIBs,
+    across widths covering every stride padding residue."""
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        bmp_decode_pixels,
+        bmp_encode_rgb24,
+    )
+
+    rng = np.random.RandomState(7)
+    for w in (3, 4, 5, 6):
+        for td in (False, True):
+            arr = rng.randint(0, 256, size=(3, w, 3), dtype=np.uint8)
+            dec = bmp_decode_pixels(bmp_encode_rgb24(arr, topdown=td))
+            assert dec is not None
+            dw, dh, dtd, px = dec
+            assert (dw, dh, dtd) == (w, 3, td)
+            assert (px == arr).all(), (w, td)
+
+
+def test_bmp_handcrafted_golden():
+    """A hand-built 2x1 bottom-up BMP: one red pixel then one blue —
+    byte-level golden, no codec on the assert side."""
+    import struct
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        bmp_decode_pixels,
+    )
+
+    # 2 px wide, 1 row, stride 8 (6 data + 2 pad); pixels stored BGR:
+    # red (0,0,255)B,G,R then blue (255,0,0)
+    body = bytes([0, 0, 255, 255, 0, 0, 0, 0])
+    bih = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 8,
+                      2835, 2835, 0, 0)
+    bfh = struct.pack("<2sIHHI", b"BM", 14 + 40 + 8, 0, 0, 54)
+    dec = bmp_decode_pixels(bfh + bih + body)
+    assert dec is not None
+    w, h, td, px = dec
+    assert (w, h, td) == (2, 1, False)
+    assert px[0, 0].tolist() == [255, 0, 0]  # logical RGB: red
+    assert px[0, 1].tolist() == [0, 0, 255]  # blue
+
+
+def test_bmp_rejects_garbage():
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        bmp_decode_pixels,
+    )
+
+    assert bmp_decode_pixels(b"") is None
+    assert bmp_decode_pixels(b"BM" + b"\x00" * 20) is None
+    assert bmp_decode_pixels(b"PNG" + b"\x00" * 60) is None
