@@ -1,6 +1,9 @@
 """Round-9 additions: BPE production-vocab path (top_words cap +
-incremental distributed pair counts), graph round-count API, and the
-contention-robust bench headline."""
+incremental string-form distributed pair counts), graph round-count
+API (ADVICE r8), the O10 avoided-volume promotion gate in
+distinct-pair units, the DSIR importance-resampling family and its
+streaming twin, Misra-Gries heavy hitters with exact-verification
+rescore, and the BMP codec."""
 
 from __future__ import annotations
 
