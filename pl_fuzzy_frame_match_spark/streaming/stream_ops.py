@@ -997,6 +997,32 @@ def stream_dsir_score(
     )
 
 
+def stream_ann_probe(
+    spark, path: str, schema, corpus,
+    vec_col: str = "embedding", id_col: str = "vec_id", k: int = 5,
+):
+    """Streaming twin of `operators/similarity.brute_force_topk`'s
+    broadcast arm: exact top-k cosine neighbors for a STREAM of query
+    vectors against a frozen corpus (the online-serving shape — the
+    index is built offline, arriving vectors are matched at ingest).
+    The broadcast scorer is a stateless Arrow-batched ``mapInPandas``
+    (one GEMM per batch), so it applies unchanged per microbatch — no
+    state store, no watermark, no shuffle; the twin literally calls
+    the batch operator on the streaming frame with the strategy
+    pinned to the broadcast arm (``corpus_blocks=1`` — the blocked
+    GEMM path needs a static-side join, not a streaming map)."""
+    from ..operators.similarity import brute_force_topk
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    return brute_force_topk(
+        stream, corpus, vec_col, id_col, k=k, corpus_blocks=1
+    )
+
+
 def stream_bpe_tokenize(
     spark, path: str, schema, merges,
     text_col: str = "text", id_col: str = "doc_id",

@@ -550,3 +550,48 @@ def test_bmp_rejects_garbage():
     assert bmp_decode_pixels(b"") is None
     assert bmp_decode_pixels(b"BM" + b"\x00" * 20) is None
     assert bmp_decode_pixels(b"PNG" + b"\x00" * 60) is None
+
+
+def test_stream_ann_probe_matches_batch(spark, tmp_path):
+    """Streaming exact ANN probe (frozen corpus, broadcast GEMM per
+    microbatch) equals the batch brute-force top-k on the sf0.001
+    embeddings table."""
+    from pl_fuzzy_frame_match_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_ann_probe,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        "embedding IS NOT NULL AND vec_id IS NOT NULL"
+    )
+    probes = emb.limit(40)
+    batch = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"],
+                                     round(r["cosine_sim"], 9))
+        for r in brute_force_topk(
+            probes, emb, "embedding", "vec_id", k=3, corpus_blocks=1
+        ).collect()
+    }
+    src = str(tmp_path / "ann_probes")
+    probes.write.parquet(src)
+    q = (
+        stream_ann_probe(
+            spark, src, spark.read.parquet(src).schema, emb,
+            k=3,
+        )
+        .writeStream.format("memory")
+        .queryName("q_ann")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"],
+                                     round(r["cosine_sim"], 9))
+        for r in spark.sql("SELECT * FROM q_ann").collect()
+    }
+    assert streamed == batch and len(batch) > 0
