@@ -3037,27 +3037,54 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document's character distribution — the standard cheap
     gibberish/repetition detector alongside the Gopher repetition
     fractions (low entropy = repeated filler; high = random noise).
-    Spark-first: computed PER ROW with nested higher-order functions
-    (distinct chars -> counts via filter -> entropy via aggregate) —
-    a pure map over the scan, ZERO shuffles, versus the naive
-    explode + two groupBys. The DuckDB oracle takes the explode route
-    and must agree to 6 decimals."""
+    Spark-first: computed PER ROW — a pure map over the scan, ZERO
+    shuffles — as a run-length fold over the SORTED character array
+    (struct accumulator carries the current run; each run boundary
+    adds its -(k/n)ln(k/n) term). Measured at sf0.1 (PLANS.md r9):
+    1.55 s vs 3.0 s for the distinct->filter-count HOF form and
+    4.7 s for explode + two groupBys — O(len log len) per row beats
+    both the O(distinct x len) rescans and the shuffle. The DuckDB
+    oracle takes the explode route and must agree to 6 decimals."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id").isNotNull()
         & F.col("text").isNotNull()
         & (F.length("text") > 0)
     )
-    chars = F.split(F.lower(F.col("text")), "")
-    n = F.length(F.lower(F.col("text")))
-    counts = F.transform(
-        F.array_distinct(chars),
-        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    chars = F.array_sort(F.split(F.lower(F.col("text")), ""))
+    n = F.length(F.lower(F.col("text"))).cast("double")
+
+    def term(k):
+        kd = k.cast("double")
+        return (kd / n) * F.log(kd / n)
+
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0.0).alias("s"),
     )
     ent = F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, k: acc
-        - (k.cast("double") / n) * F.log(k.cast("double") / n),
+        chars,
+        acc0,
+        lambda acc, x: F.when(
+            x == acc["prev"],
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["s"].alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).alias("run"),
+                (
+                    acc["s"]
+                    - F.when(acc["run"] > 0, term(acc["run"])).otherwise(
+                        F.lit(0.0)
+                    )
+                ).alias("s"),
+            )
+        ),
+        lambda acc: acc["s"]
+        - F.when(acc["run"] > 0, term(acc["run"])).otherwise(F.lit(0.0)),
     )
     return docs.select(
         "doc_id",
