@@ -1,0 +1,231 @@
+"""Exact duplicated-substring detection — prefix-doubling ranks
+(suffix-array machinery, Lee et al. 2022 "Deduplicating Training Data
+Makes Language Models Better" §4.1 exact-substring dedup).
+
+`functions/text.py`'s span family finds duplicated k-TOKEN windows via
+int64 gram hashes — collision-free in practice but not by
+construction, and it shuffles the hashed grams. This module finds
+duplicated length-L CHARACTER substrings EXACTLY (string equality, no
+hashes anywhere) without ever shuffling substrings:
+
+1. one ``posexplode`` turns the corpus into (doc, off, char) rows;
+2. ``global_dense_rank`` replaces each single character by its global
+   dense rank — after this round NO string leaves an executor;
+3. prefix doubling (Manber-Myers): ceil(log2(L)) rounds, each an
+   integer equi-join on (doc, off + 2^r) plus a global dense rank of
+   the (rank, next_rank) pair — rank_{2^(r+1)}[i] identifies the
+   substring of length 2^(r+1) at i, exactly;
+4. two-level combination: the length-L substring at i is identified
+   by (rank_{2^a}[i], rank_{2^a}[i + L - 2^a]) with 2^a the largest
+   power of two <= L (the sparse-table O(1) comparison trick), so a
+   groupBy on that INT PAIR finds every duplicated length-L substring
+   corpus-wide.
+
+Scale shape: every shuffle after step 2 carries fixed-width integers
+regardless of L — at L = 1000 the naive L-gram groupBy ships ~1 KB
+per position, this ships 16 bytes; and the rank levels are shared by
+every L, so sweeping window sizes reuses the doubling work. The
+oracle CAN take the naive route (DuckDB groups the substrings
+themselves), which is exactly what makes the integer path
+hash-checkable end to end.
+
+``global_dense_rank`` is the reusable primitive: a total-order dense
+rank with NO single-task window — repartitionByRange puts equal keys
+in one partition (range boundaries are key values), a per-partition
+distinct-count pass sizes the offsets, and an Arrow-batched
+``mapInPandas`` assigns local dense ranks + the partition's offset.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# partitions for the range-partitioned rank sort; modest default so
+# tiny test frames do not fragment (driver collects one offset row
+# per partition — 64 rows)
+RANK_PARTITIONS = 64
+
+
+def global_dense_rank(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    rank_col: str = "rank",
+    num_partitions: int = RANK_PARTITIONS,
+    dense: bool = True,
+) -> DataFrame:
+    """Append a global rank (0-based, ties share a rank) over
+    ``key_cols`` ascending — without ``Window.orderBy`` (whose
+    no-partition form is a single-task bottleneck). Three steps, all
+    distributed: range-repartition + local sort (equal keys cannot
+    straddle a range boundary), one tiny per-partition count
+    aggregation collected to the driver (one row per partition), and
+    a map-only pass adding a local rank + the partition's offset.
+
+    ``dense=True`` gives the exact ``dense_rank() - 1`` contract
+    (offsets from per-partition DISTINCT counts). ``dense=False``
+    gives ordinal-of-run-start ranks — equal keys still share one
+    rank and ranks still order like the keys, but with gaps; offsets
+    come from plain per-partition ROW counts, whose aggregation is a
+    64-row map-side-combined shuffle instead of a distinct-hash pass.
+    Consumers that only need equality/order (the prefix-doubling
+    loop) use the cheap form."""
+    keys = list(key_cols)
+    parts = (
+        df.repartitionByRange(num_partitions, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    agg = (
+        F.countDistinct(*keys) if dense else F.count(F.lit(1))
+    ).alias("__n")
+    counts = parts.groupBy("__pid").agg(agg).collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__n"]
+    out_schema = parts.drop("__pid").schema.add(rank_col, "long")
+    cols = [f.name for f in out_schema.fields]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive sorted within the partition; dense: rank =
+        # number of key CHANGES so far; ordinal: rank = row index of
+        # the current run's first row — both plus the global offset.
+        # Fully VECTORIZED (shift-compare + cumsum/cummax): the
+        # row-at-a-time loop was the bottleneck at 5M+ positions.
+        import numpy as np
+
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0].reset_index(drop=True)
+        )
+        base = offsets[int(pdf["__pid"].iloc[0])]
+        kdf = pdf[keys]
+        change = (kdf != kdf.shift()).any(axis=1).to_numpy()
+        change[0] = True
+        if dense:
+            local = np.cumsum(change) - 1
+        else:
+            idx = np.arange(len(pdf), dtype=np.int64)
+            local = np.maximum.accumulate(np.where(change, idx, 0))
+        out = pdf.drop(columns=["__pid"])
+        out[rank_col] = base + local
+        yield out[cols]
+
+    return parts.mapInPandas(assign, out_schema)
+
+
+def duplicated_char_spans(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_len: int = 16,
+) -> DataFrame:
+    """Per-document exact duplicated-substring stats at character
+    granularity: for every length-``span_len`` window start, is the
+    EXACT substring repeated anywhere in the corpus (``n_dup_starts``)
+    and does it also appear in a DIFFERENT document
+    (``n_cross_starts``)? Lowercased text, no tokenization, no
+    hashing — collision-free by construction. Returns
+    (id, n_starts, n_dup_starts, n_cross_starts) for docs with at
+    least one full window."""
+    if span_len < 2:
+        raise ValueError("span_len must be >= 2")
+    t = F.lower(F.col(text_col))
+    # base rank over width-4 grams when the span allows (halves the
+    # doubling rounds vs single chars; a 4-byte key is as cheap to
+    # shuffle as one char). Near the doc end substring() returns the
+    # SHORT tail, which can only equal other short tails of the same
+    # content+length — the same end semantics as the -1 padding in
+    # the doubling rounds, and irrelevant to full-window starts.
+    base_w = 4 if span_len >= 4 else 1
+    # length guard: Spark's sequence(0, -1) would yield a DESCENDING
+    # [0, -1] for empty text, not an empty array
+    pos = docs.select(
+        F.col(id_col).alias("doc"), t.alias("__t")
+    ).where(F.length("__t") > 0).select(
+        "doc",
+        F.explode(
+            F.sequence(F.lit(0), F.length("__t") - 1)
+        ).alias("off"),
+        F.col("__t"),
+    ).select(
+        "doc",
+        "off",
+        F.substring(
+            F.col("__t"), F.col("off") + 1, F.lit(base_w)
+        ).alias("g"),
+    )
+    # empty-text docs emit no rows (sequence(0, -1) is empty)
+    cur = global_dense_rank(pos, ["g"], "r", dense=False).select(
+        "doc", "off", "r"
+    )
+    width = base_w
+    # prefix doubling to the largest power of two <= span_len; ranks
+    # only need equality/order, so every round uses the cheap
+    # ordinal-rank form (dense=False). global_dense_rank checkpoints
+    # internally — no extra materialization per round.
+    while width * 2 <= span_len:
+        nxt = cur.select(
+            F.col("doc"),
+            (F.col("off") - F.lit(width)).alias("off"),
+            F.col("r").alias("r2"),
+        )
+        pair = cur.join(nxt, ["doc", "off"], "left").select(
+            "doc", "off", "r", F.coalesce("r2", F.lit(-1)).alias("r2")
+        )
+        cur = global_dense_rank(
+            pair, ["r", "r2"], "nr", dense=False
+        ).select("doc", "off", F.col("nr").alias("r"))
+        width *= 2
+    # two-level combine: length-L key = (rank_w[i], rank_w[i + L - w])
+    shift = span_len - width
+    if shift > 0:
+        tail = cur.select(
+            F.col("doc"),
+            (F.col("off") - F.lit(shift)).alias("off"),
+            F.col("r").alias("rt"),
+        )
+        keyed = cur.join(tail, ["doc", "off"], "inner").select(
+            "doc", "off", "r", "rt"
+        )
+    else:
+        keyed = cur.select("doc", "off", "r", F.col("r").alias("rt"))
+    # only true window STARTS (a full L fits): off <= len - L; the
+    # inner joins above already guarantee off + L - 1 is in range
+    # when shift > 0; for shift == 0 (L a power of two) the doubling
+    # left-joins padded with -1, so drop starts whose key contains a
+    # -1-derived rank by re-checking reachability via doc length
+    lens = docs.select(
+        F.col(id_col).alias("doc"),
+        F.length(F.lower(F.col(text_col))).alias("__len"),
+    )
+    keyed = keyed.join(lens, "doc").where(
+        F.col("off") <= F.col("__len") - F.lit(span_len)
+    )
+    groups = keyed.groupBy("r", "rt").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("doc").alias("dmin"),
+        F.max("doc").alias("dmax"),
+    )
+    marked = keyed.join(groups, ["r", "rt"]).select(
+        "doc",
+        (F.col("cnt") > 1).cast("int").alias("is_dup"),
+        ((F.col("cnt") > 1) & (F.col("dmin") != F.col("dmax")))
+        .cast("int")
+        .alias("is_cross"),
+    )
+    return marked.groupBy(F.col("doc").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_starts"),
+        F.sum("is_dup").cast("long").alias("n_dup_starts"),
+        F.sum("is_cross").cast("long").alias("n_cross_starts"),
+    )

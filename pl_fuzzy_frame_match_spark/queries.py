@@ -1164,6 +1164,51 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_dup_char_spans_exact",
+    """
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                 AND length(text) >= 16),
+    s AS (SELECT doc_id, substring(t, i, 16) AS g
+          FROM d, unnest(range(1, length(t) - 16 + 2)) AS u(i)),
+    grp AS (SELECT g, count(*) AS cnt, min(doc_id) AS dmin,
+                   max(doc_id) AS dmax
+            FROM s GROUP BY g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_starts,
+           CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_starts,
+           CAST(sum(CASE WHEN cnt > 1 AND dmin <> dmax THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_cross_starts
+    FROM s JOIN grp USING (g)
+    GROUP BY doc_id
+    """,
+)
+def docs_dup_char_spans_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT duplicated-substring stats via prefix-doubling ranks
+    (round 9; the suffix-array machinery of Lee et al. 2022 exact
+    substring dedup): for every length-16 character window, whether
+    the exact substring repeats corpus-wide and whether it crosses
+    documents — string equality by construction, NO hashes. The
+    engine path never shuffles a substring: one global dense rank of
+    single characters, then log2(16) = 4 integer doubling rounds
+    (each an equi-join on (doc, off+2^r) + a distributed dense rank
+    with no single-task window), then a groupBy on the 16-byte rank
+    pair. The DuckDB oracle takes the naive route — grouping the
+    raw substrings themselves — and every per-doc count must match.
+    Complements docs_dup_spans (token windows, int64 hashes) with
+    the collision-free character-level variant."""
+    from .operators.suffixdedup import duplicated_char_spans
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    return duplicated_char_spans(docs, "text", "doc_id", span_len=16)
+
+
+@register(
     "vocab_topk_sketch",
     f"""
     WITH {_TOKS_CTE},

@@ -595,3 +595,99 @@ def test_stream_ann_probe_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM q_ann").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated substrings via prefix-doubling ranks (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_global_dense_rank_matches_window(spark):
+    """global_dense_rank == Window.orderBy dense_rank (0-based) on
+    data with heavy ties, regardless of input partitioning."""
+    import random
+
+    from pl_fuzzy_frame_match_spark.operators.suffixdedup import (
+        global_dense_rank,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 30), rng.choice("abc")) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "k1", "k2"]).repartition(13)
+    got = {
+        r["id"]: r["rank"]
+        for r in global_dense_rank(
+            df, ["k1", "k2"], num_partitions=7
+        ).collect()
+    }
+    want = {
+        r["id"]: r["dr"] - 1
+        for r in df.withColumn(
+            "dr",
+            F.dense_rank().over(Window.orderBy("k1", "k2")),
+        ).collect()
+    }
+    assert got == want
+
+
+def _brute_char_spans(texts: dict, L: int):
+    from collections import Counter, defaultdict
+
+    occ = Counter()
+    docs_of = defaultdict(set)
+    for d, t in texts.items():
+        t = t.lower()
+        for i in range(len(t) - L + 1):
+            s = t[i : i + L]
+            occ[s] += 1
+            docs_of[s].add(d)
+    out = {}
+    for d, t in texts.items():
+        t = t.lower()
+        n = len(t) - L + 1
+        if n <= 0:
+            continue
+        dup = cross = 0
+        for i in range(n):
+            s = t[i : i + L]
+            if occ[s] > 1:
+                dup += 1
+                if len(docs_of[s]) > 1:
+                    cross += 1
+        out[d] = (n, dup, cross)
+    return out
+
+
+def test_duplicated_char_spans_matches_bruteforce(spark):
+    """Exact length-L duplicated-substring stats equal a brute-force
+    Python recount — within-doc repeats, cross-doc shares, overlap
+    ('aaaa...'), case folding, and a doc shorter than L."""
+    from pl_fuzzy_frame_match_spark.operators.suffixdedup import (
+        duplicated_char_spans,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "THE QUICK BROWN cat sleeps. the lazy dog again naps",
+        3: "aaaaaaaaaaaaaaaaaaaaaa",
+        4: "short",
+        5: "unique zebra xylophone quartz vivid jumble",
+    }
+    for L in (6, 8, 16):
+        want = _brute_char_spans(texts, L)
+        df = spark.createDataFrame(
+            list(texts.items()), ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_starts"],
+                r["n_dup_starts"],
+                r["n_cross_starts"],
+            )
+            for r in duplicated_char_spans(
+                df, "text", "doc_id", span_len=L
+            ).collect()
+        }
+        assert got == want, L
