@@ -96,15 +96,20 @@ def dsir_bucket_model(
     under add-one smoothing — so buckets unseen in either corpus get
     a finite, engine-reproducible ratio. Two corpus passes total."""
     spark = raw.sparkSession
+    # eager checkpoints: the totals collect below and the model
+    # output both read these (<= buckets)-row frames; without the
+    # materialization each reference re-runs its corpus pass
     rc = (
         _doc_buckets(raw, text_col, None, buckets)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("rcnt"))
+        .localCheckpoint(eager=True)
     )
     tc = (
         _doc_buckets(target, text_col, None, buckets)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("tcnt"))
+        .localCheckpoint(eager=True)
     )
     # scalar totals as literals: the model must not carry a lineage
     # dependency on two more aggregations every time it is joined
@@ -116,6 +121,60 @@ def dsir_bucket_model(
     return (
         universe.join(rc, "bucket", "left")
         .join(tc, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tcnt"), F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(ttot + buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("rcnt"), F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(rtot + buckets))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_bucket_model_flagged(
+    df: DataFrame,
+    target_flag: Column,
+    text_col: str,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Single-pass fit for the common case where the target corpus is
+    a SUBSET of the raw pool selected by a predicate (e.g.
+    ``lang == 'en'``): one gram explode with the flag carried along,
+    one bucket-keyed aggregation computing raw and target counts
+    together — half the corpus passes of :func:`dsir_bucket_model`,
+    identical model (equivalence-tested)."""
+    spark = df.sparkSession
+    flagged = df.select(
+        target_flag.cast("boolean").alias("__t"), F.col(text_col)
+    )
+    grams = F.concat(
+        word_ngrams_all(F.col(text_col), 1),
+        word_ngrams_all(F.col(text_col), 2),
+    )
+    gb = flagged.select(
+        "__t", F.explode(grams).alias("g")
+    ).select("__t", gram_bucket(F.col("g"), buckets).alias("bucket"))
+    # checkpoint the (<= buckets)-row count frame BEFORE the totals
+    # collect: both the totals and the model output read it, and
+    # without the materialization each would re-run the corpus pass
+    counts = gb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rcnt"),
+        F.count_if(F.col("__t")).alias("tcnt"),
+    ).localCheckpoint(eager=True)
+    totals = counts.agg(F.sum("rcnt"), F.sum("tcnt")).collect()[0]
+    rtot = totals[0] or 0
+    ttot = totals[1] or 0
+    universe = spark.range(buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    return (
+        universe.join(counts, "bucket", "left")
         .select(
             "bucket",
             (

@@ -3192,13 +3192,16 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, smoothing term, and log-ratio exactly — the md5-u32 bucket
     idiom is the sampling family's engine-portable draw. One
     doc-keyed shuffle; the 4096-row model is broadcast."""
-    from .functions.dsir import dsir_bucket_model, dsir_log_weights
+    from .functions.dsir import (
+        dsir_bucket_model_flagged,
+        dsir_log_weights,
+    )
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
-    model = dsir_bucket_model(docs, docs.where(F.col("lang") == "en"),
-                              "text")
+    # target = the English subset of the pool -> single-pass fit
+    model = dsir_bucket_model_flagged(docs, F.col("lang") == "en", "text")
     w = dsir_log_weights(docs, model, "text", "doc_id")
     return w.select("doc_id", F.round("dsir_logw", 6).alias("dsir_logw"))
 
@@ -3224,13 +3227,12 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     draw per doc_id, so the selected SET (not just its size) is
     engine-reproducible and the oracle hash-checks it. TakeOrdered
     top-k: per-partition heads, no global sort."""
-    from .functions.dsir import dsir_bucket_model, dsir_select
+    from .functions.dsir import dsir_bucket_model_flagged, dsir_select
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
-    model = dsir_bucket_model(docs, docs.where(F.col("lang") == "en"),
-                              "text")
+    model = dsir_bucket_model_flagged(docs, F.col("lang") == "en", "text")
     sel = dsir_select(docs, model, "text", "doc_id", k=100)
     return sel.select(
         "doc_id",

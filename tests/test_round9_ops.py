@@ -691,3 +691,27 @@ def test_duplicated_char_spans_matches_bruteforce(spark):
             ).collect()
         }
         assert got == want, L
+
+
+def test_dsir_flagged_fit_equals_two_frame_fit(spark):
+    """Single-pass flagged fit == the general two-frame fit when the
+    target is a predicate subset of the pool."""
+    from pl_fuzzy_frame_match_spark.functions.dsir import (
+        dsir_bucket_model,
+        dsir_bucket_model_flagged,
+    )
+    from pyspark.sql import functions as F
+
+    raw, target = _dsir_frames(spark)
+    a = {
+        r["bucket"]: r["log_ratio"]
+        for r in dsir_bucket_model(raw, target, "text", buckets=128).collect()
+    }
+    b = {
+        r["bucket"]: r["log_ratio"]
+        for r in dsir_bucket_model_flagged(
+            raw, F.col("lang") == "en", "text", buckets=128
+        ).collect()
+    }
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
