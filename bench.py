@@ -92,6 +92,9 @@ def main() -> None:
         "docs_dsir_select",
         "docs_char_entropy",
         "text_bpe_first3_merges",
+        "vocab_topk_sketch",
+        "docs_dup_char_spans_exact",
+        "multimodal_bmp_pixels",
     ):
         if extra in registry:
             names.append(extra)
