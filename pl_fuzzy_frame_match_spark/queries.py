@@ -6693,6 +6693,13 @@ _PRIORITY = [
     # value-check + the distributed round's argmax replayed in SQL)
     "multimodal_frame_sample", "multimodal_mjpeg_frames",
     "text_bpe_encode_fixed", "text_bpe_first_merge",
+    # ROUND-10 ROTATION CANDIDATES (policy in COVERAGE.md round 9 —
+    # promote the newest flagships, displace category-4 ballast):
+    # text_bpe_first3_merges (incremental-delta rounds value-check),
+    # docs_dsir_weights / docs_dsir_select (DSIR family),
+    # docs_dup_char_spans_exact (prefix-doubling exact spans),
+    # vocab_topk_sketch (MG certificate path), docs_char_entropy,
+    # multimodal_bmp_pixels — all oracled and pytest-green at sf0.01.
 ]
 
 
