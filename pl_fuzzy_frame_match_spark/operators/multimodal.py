@@ -903,6 +903,32 @@ def _le24(payload, pos: int):
     ).cast("int") * 65536
 
 
+def _le32(payload, pos: int):
+    """Little-endian uint32 at 1-indexed byte position (Catalyst)."""
+    return _le16(payload, pos).cast("bigint") + _le16(
+        payload, pos + 2
+    ).cast("bigint") * 65536
+
+
+def bmp_dimensions(payload):
+    """PURE-CATALYST BMP dimensions: signature ``BM``, then
+    BITMAPINFOHEADER biWidth / biHeight as int32 LE at file offsets
+    18 / 22 (1-indexed 19 / 23). biHeight is SIGNED — negative for
+    top-down DIBs — so heights past 2^31 wrap to their absolute
+    value. Returns (bmp_width, bmp_height) Columns, null for non-BMP
+    payloads; map-only codegen like :func:`gif_dimensions`."""
+    is_bmp = F.substring(payload, 1, 2).cast("string") == "BM"
+    w = _le32(payload, 19)
+    h_raw = _le32(payload, 23)
+    h = F.when(
+        h_raw >= F.lit(2147483648), F.lit(4294967296) - h_raw
+    ).otherwise(h_raw)
+    return (
+        F.when(is_bmp, w.cast("int")).alias("bmp_width"),
+        F.when(is_bmp, h.cast("int")).alias("bmp_height"),
+    )
+
+
 def gif_dimensions(payload):
     """PURE-CATALYST GIF logical-screen dimensions: signature
     ``GIF87a``/``GIF89a`` then width/height as little-endian uint16 at

@@ -4197,10 +4197,10 @@ def docs_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parsers — a full construct->parse round trip checked per row.
     """
     SELECT doc_id,
-           CASE CAST(doc_id % 5 AS INT)
+           CASE CAST(doc_id % 6 AS INT)
              WHEN 0 THEN 'gif' WHEN 1 THEN 'webp_x'
              WHEN 2 THEN 'webp_vp8' WHEN 3 THEN 'webp_vp8l'
-             ELSE 'png' END AS fmt,
+             WHEN 4 THEN 'png' ELSE 'bmp' END AS fmt,
            CAST(64 + doc_id % 4000 AS INT) AS width,
            CAST(64 + (doc_id * 7) % 3000 AS INT) AS height
     FROM documents
@@ -4210,16 +4210,18 @@ def docs_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-format dimension extraction at corpus scale: synthesize a
     deterministic binary header per document (format cycles through
-    GIF / WebP-VP8X / WebP-VP8 / WebP-VP8L / PNG; dimensions derived
+    GIF / WebP-VP8X / WebP-VP8 / WebP-VP8L / PNG / BMP — BMP top-down
+    for odd ids, exercising the signed-biHeight path; dimensions derived
     from doc_id), then recover (width, height) with the pure-Catalyst
     header parsers (`operators/multimodal.py` gif_dimensions /
-    webp_dimensions / png_dimensions). Header construction is an
+    webp_dimensions / png_dimensions / bmp_dimensions). Header construction is an
     Arrow-batched mapInPandas (stand-in for reading real payloads off
     the lakehouse); parsing is whole-stage codegen — the same map-only
     scan shape that headers 10^9 stored images."""
     import pandas as pd
 
     from .operators.multimodal import (
+        bmp_dimensions,
         gif_dimensions,
         png_dimensions,
         webp_dimensions,
@@ -4238,7 +4240,7 @@ def multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did = int(did)
                 w = 64 + did % 4000
                 h = 64 + (did * 7) % 3000
-                kind = did % 5
+                kind = did % 6
                 if kind == 0:
                     p = (
                         b"GIF89a"
@@ -4276,13 +4278,22 @@ def multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + b"WEBP"
                         + chunk
                     )
-                else:
+                elif kind == 4:
                     p = (
                         b"\x89PNG\r\n\x1a\x0a"
                         + (13).to_bytes(4, "big")
                         + b"IHDR"
                         + struct.pack(">II", w, h)
                         + bytes(5)
+                    )
+                else:
+                    # BMP header only; top-down (negative biHeight)
+                    # for odd ids so the sign handling is exercised
+                    hh = -h if did % 2 else h
+                    p = (
+                        struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+                        + struct.pack("<IiiHHIIiiII", 40, w, hh, 1, 24,
+                                      0, 0, 2835, 2835, 0, 0)
                     )
                 payloads.append(p)
             yield pd.DataFrame(
@@ -4295,21 +4306,25 @@ def multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         *gif_dimensions(F.col("payload")),
         *webp_dimensions(F.col("payload")),
         *png_dimensions(F.col("payload")),
+        *bmp_dimensions(F.col("payload")),
     )
     fmt = (
-        F.when(F.col("doc_id") % 5 == 0, "gif")
-        .when(F.col("doc_id") % 5 == 1, "webp_x")
-        .when(F.col("doc_id") % 5 == 2, "webp_vp8")
-        .when(F.col("doc_id") % 5 == 3, "webp_vp8l")
-        .otherwise("png")
+        F.when(F.col("doc_id") % 6 == 0, "gif")
+        .when(F.col("doc_id") % 6 == 1, "webp_x")
+        .when(F.col("doc_id") % 6 == 2, "webp_vp8")
+        .when(F.col("doc_id") % 6 == 3, "webp_vp8l")
+        .when(F.col("doc_id") % 6 == 4, "png")
+        .otherwise("bmp")
     )
     return parsed.select(
         "doc_id",
         fmt.alias("fmt"),
-        F.coalesce("gif_width", "webp_width", "png_width").alias("width"),
-        F.coalesce("gif_height", "webp_height", "png_height").alias(
-            "height"
-        ),
+        F.coalesce(
+            "gif_width", "webp_width", "png_width", "bmp_width"
+        ).alias("width"),
+        F.coalesce(
+            "gif_height", "webp_height", "png_height", "bmp_height"
+        ).alias("height"),
     )
 
 

@@ -715,3 +715,37 @@ def test_dsir_flagged_fit_equals_two_frame_fit(spark):
     }
     assert a.keys() == b.keys()
     assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def test_bmp_dimensions_catalyst(spark):
+    """Pure-Catalyst BMP header parser: bottom-up and top-down
+    (negative biHeight) dimensions, null for non-BMP."""
+    import struct
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        bmp_dimensions,
+    )
+    from pyspark.sql import functions as F
+
+    def hdr(w, h):
+        return struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 2835, 2835, 0, 0
+        )
+
+    rows = [
+        (1, hdr(640, 480), 640, 480),
+        (2, hdr(31, -77), 31, 77),
+        (3, b"\x89PNG" + bytes(50), None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p, _, _ in rows],
+        "id long, payload binary",
+    )
+    got = {
+        r["id"]: (r["bmp_width"], r["bmp_height"])
+        for r in df.select(
+            "id", *bmp_dimensions(F.col("payload"))
+        ).collect()
+    }
+    for i, _, w, h in rows:
+        assert got[i] == (w, h), i
