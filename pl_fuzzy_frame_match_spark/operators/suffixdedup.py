@@ -138,6 +138,21 @@ def duplicated_char_spans(
     hashing — collision-free by construction. Returns
     (id, n_starts, n_dup_starts, n_cross_starts) for docs with at
     least one full window."""
+    marked = _window_start_flags(docs, text_col, id_col, span_len)
+    return marked.groupBy(F.col("doc").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_starts"),
+        F.sum("is_dup").cast("long").alias("n_dup_starts"),
+        F.sum("is_cross").cast("long").alias("n_cross_starts"),
+    )
+
+
+def _window_start_flags(
+    docs: DataFrame, text_col: str, id_col: str, span_len: int
+) -> DataFrame:
+    """(doc, off, is_dup, is_cross) per full length-``span_len``
+    window start — the shared core of the stats and removal ops:
+    base-gram rank, prefix doubling, two-level combine, group
+    marking."""
     if span_len < 2:
         raise ValueError("span_len must be >= 2")
     t = F.lower(F.col(text_col))
@@ -217,15 +232,62 @@ def duplicated_char_spans(
         F.min("doc").alias("dmin"),
         F.max("doc").alias("dmax"),
     )
-    marked = keyed.join(groups, ["r", "rt"]).select(
+    return keyed.join(groups, ["r", "rt"]).select(
         "doc",
+        "off",
         (F.col("cnt") > 1).cast("int").alias("is_dup"),
         ((F.col("cnt") > 1) & (F.col("dmin") != F.col("dmax")))
         .cast("int")
         .alias("is_cross"),
     )
-    return marked.groupBy(F.col("doc").alias(id_col)).agg(
-        F.count(F.lit(1)).alias("n_starts"),
-        F.sum("is_dup").cast("long").alias("n_dup_starts"),
-        F.sum("is_cross").cast("long").alias("n_cross_starts"),
+
+
+def remove_duplicated_char_spans(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_len: int = 16,
+) -> DataFrame:
+    """The REMOVAL form (Lee et al. 2022 exact-substring dedup, the
+    delete step): cut every character covered by a CROSS-DOCUMENT
+    duplicated length-``span_len`` window and emit
+    (id, n_chars, n_removed, cleaned_md5) — counts plus a fingerprint
+    of the cleaned text, value-checkable cross-engine without moving
+    document bodies (the same output contract as the token-level
+    `functions/text.py:remove_duplicate_spans`). Duplicate detection
+    is the exact rank machinery — no hashes; coverage runs as a
+    Catalyst higher-order filter over each doc's sorted dup-start
+    array (one per-doc collect_list, no extra shuffle)."""
+    flags = _window_start_flags(docs, text_col, id_col, span_len)
+    starts = (
+        flags.where(F.col("is_cross") == 1)
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list("off")).alias("__starts"))
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.lower(F.col(text_col)).alias("__t"),
+    ).where(F.col(id_col).isNotNull() & (F.length("__t") > 0))
+    joined = base.join(
+        starts, base[id_col] == starts["doc"], "left"
+    ).select(
+        F.col(id_col),
+        "__t",
+        F.coalesce(F.col("__starts"), F.array().cast("array<int>")).alias(
+            "__starts"
+        ),
+    )
+    chars = F.split(F.col("__t"), "")
+    kept = F.filter(
+        chars,
+        lambda c, pos: ~F.exists(
+            F.col("__starts"),
+            lambda s: (s <= pos) & (pos < s + F.lit(span_len)),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.length("__t").cast("long").alias("n_chars"),
+        (F.length("__t") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.concat_ws("", kept)).alias("cleaned_md5"),
     )

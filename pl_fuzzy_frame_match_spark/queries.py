@@ -1209,6 +1209,58 @@ def docs_dup_char_spans_exact(
 
 
 @register(
+    "docs_dup_char_span_removal",
+    """
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                 AND length(text) > 0),
+    s AS (SELECT doc_id, i, substring(t, i, 16) AS g
+          FROM d, unnest(range(1, length(t) - 16 + 2)) AS u(i)),
+    grp AS (SELECT g, count(*) AS cnt, min(doc_id) AS dmin,
+                   max(doc_id) AS dmax
+            FROM s GROUP BY g),
+    st AS (SELECT doc_id, i FROM s JOIN grp USING (g)
+           WHERE cnt > 1 AND dmin <> dmax),
+    cover AS (SELECT DISTINCT doc_id, i + j AS p
+              FROM st, unnest(range(0, 16)) AS v(j)),
+    poss AS (SELECT doc_id, t, i AS p
+             FROM d, unnest(range(1, length(t) + 1)) AS w(i)),
+    keptc AS (SELECT poss.doc_id, poss.p,
+                     substring(poss.t, poss.p, 1) AS c
+              FROM poss LEFT JOIN cover
+                ON poss.doc_id = cover.doc_id AND poss.p = cover.p
+              WHERE cover.p IS NULL),
+    k AS (SELECT doc_id, count(*) AS nk,
+                 string_agg(c, '' ORDER BY p) AS cs
+          FROM keptc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(length(d.t) AS BIGINT) AS n_chars,
+           CAST(length(d.t) - coalesce(k.nk, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(k.cs, '')) AS cleaned_md5
+    FROM d LEFT JOIN k ON d.doc_id = k.doc_id
+    """,
+)
+def docs_dup_char_span_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The delete step of exact-substring dedup (round 9; Lee et al.
+    2022): cut every character covered by a cross-document duplicated
+    length-16 window — detection via the collision-free
+    prefix-doubling ranks (docs_dup_char_spans_exact), removal as a
+    Catalyst higher-order filter over each doc's sorted dup-start
+    array. The oracle re-derives coverage by grouping raw substrings
+    and re-splicing the kept characters in SQL, and
+    md5(cleaned text) must match for EVERY document — the cleaned
+    bodies never leave the engines."""
+    from .operators.suffixdedup import remove_duplicated_char_spans
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    return remove_duplicated_char_spans(docs, "text", "doc_id", 16)
+
+
+@register(
     "vocab_topk_sketch",
     f"""
     WITH {_TOKS_CTE},

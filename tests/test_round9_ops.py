@@ -749,3 +749,51 @@ def test_bmp_dimensions_catalyst(spark):
     }
     for i, _, w, h in rows:
         assert got[i] == (w, h), i
+
+
+def test_remove_duplicated_char_spans_bruteforce(spark):
+    """Char-span removal equals a brute-force Python recount: every
+    char covered by a cross-doc duplicated length-L window deleted,
+    others kept in order."""
+    import hashlib
+
+    from pl_fuzzy_frame_match_spark.operators.suffixdedup import (
+        remove_duplicated_char_spans,
+    )
+
+    texts = {
+        1: "alpha beta SHARED SECRET PHRASE gamma",
+        2: "delta shared secret phrase epsilon",
+        3: "no duplication in this one at all",
+        4: "aaaaaaaaaaaaaaaaaaaaaaaa",  # self-dup only: NOT removed
+    }
+    L = 12
+    lowered = {d: t.lower() for d, t in texts.items()}
+    from collections import defaultdict
+
+    occ = defaultdict(set)
+    for d, t in lowered.items():
+        for i in range(len(t) - L + 1):
+            occ[t[i : i + L]].add(d)
+    want = {}
+    for d, t in lowered.items():
+        covered = set()
+        for i in range(len(t) - L + 1):
+            if len(occ[t[i : i + L]]) > 1:
+                covered.update(range(i, i + L))
+        kept = "".join(c for j, c in enumerate(t) if j not in covered)
+        want[d] = (
+            len(t),
+            len(t) - len(kept),
+            hashlib.md5(kept.encode()).hexdigest(),
+        )
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_removed"], r["cleaned_md5"])
+        for r in remove_duplicated_char_spans(
+            df, "text", "doc_id", span_len=L
+        ).collect()
+    }
+    assert got == want
+    assert got[4][1] == 0  # within-doc repeats survive (cross-doc only)
+    assert got[2][1] > 0  # the shared phrase was cut
