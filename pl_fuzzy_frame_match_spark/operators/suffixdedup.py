@@ -297,3 +297,110 @@ def remove_duplicated_char_spans(
         (F.length("__t") - F.size(kept)).cast("long").alias("n_removed"),
         F.md5(F.concat_ws("", kept)).alias("cleaned_md5"),
     )
+
+
+def duplicated_char_spans_sweep(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_lens: Sequence[int],
+) -> DataFrame:
+    """Per-document exact duplicated-substring stats for SEVERAL
+    window lengths in one pass — the sweep a dedup-tuning run does
+    (pick L by looking at the dup-fraction curve). The doubling
+    levels are built ONCE up to the largest width any L needs; each
+    L then reads its two ranks off an existing level
+    (w with L/2 <= w <= L always exists among the power-of-two
+    levels), so adding another L costs one combine join + one
+    groupBy, never another rank pass — the shared-levels property the
+    module docstring claims, exercised. Output:
+    (span_len, id, n_starts, n_dup_starts, n_cross_starts)."""
+    lens_sorted = sorted(set(int(x) for x in span_lens))
+    if not lens_sorted or lens_sorted[0] < 4:
+        raise ValueError("span_lens must all be >= 4")
+    lmax = lens_sorted[-1]
+    t = F.lower(F.col(text_col))
+    pos = docs.select(
+        F.col(id_col).alias("doc"), t.alias("__t")
+    ).where(F.length("__t") > 0).select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.length("__t") - 1)).alias("off"),
+        F.col("__t"),
+    ).select(
+        "doc",
+        "off",
+        F.substring(F.col("__t"), F.col("off") + 1, F.lit(4)).alias("g"),
+    )
+    levels = {}
+    cur = global_dense_rank(pos, ["g"], "r", dense=False).select(
+        "doc", "off", "r"
+    )
+    levels[4] = cur
+    width = 4
+    while width * 2 < lmax:
+        nxt = cur.select(
+            F.col("doc"),
+            (F.col("off") - F.lit(width)).alias("off"),
+            F.col("r").alias("r2"),
+        )
+        pair = cur.join(nxt, ["doc", "off"], "left").select(
+            "doc", "off", "r", F.coalesce("r2", F.lit(-1)).alias("r2")
+        )
+        cur = global_dense_rank(
+            pair, ["r", "r2"], "nr", dense=False
+        ).select("doc", "off", F.col("nr").alias("r"))
+        width *= 2
+        levels[width] = cur
+    lens = docs.select(
+        F.col(id_col).alias("doc"),
+        F.length(F.lower(F.col(text_col))).alias("__len"),
+    ).localCheckpoint(eager=True)
+    out = None
+    for L in lens_sorted:
+        w = max(lv for lv in levels if lv <= L and 2 * lv >= L)
+        lvl = levels[w]
+        shift = L - w
+        if shift > 0:
+            tail = lvl.select(
+                F.col("doc"),
+                (F.col("off") - F.lit(shift)).alias("off"),
+                F.col("r").alias("rt"),
+            )
+            keyed = lvl.join(tail, ["doc", "off"], "inner").select(
+                "doc", "off", "r", "rt"
+            )
+        else:
+            keyed = lvl.select("doc", "off", "r", F.col("r").alias("rt"))
+        keyed = keyed.join(lens, "doc").where(
+            F.col("off") <= F.col("__len") - F.lit(L)
+        )
+        groups = keyed.groupBy("r", "rt").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("doc").alias("dmin"),
+            F.max("doc").alias("dmax"),
+        )
+        stats = (
+            keyed.join(groups, ["r", "rt"])
+            .select(
+                "doc",
+                (F.col("cnt") > 1).cast("int").alias("is_dup"),
+                ((F.col("cnt") > 1) & (F.col("dmin") != F.col("dmax")))
+                .cast("int")
+                .alias("is_cross"),
+            )
+            .groupBy(F.col("doc").alias(id_col))
+            .agg(
+                F.count(F.lit(1)).alias("n_starts"),
+                F.sum("is_dup").cast("long").alias("n_dup_starts"),
+                F.sum("is_cross").cast("long").alias("n_cross_starts"),
+            )
+            .select(
+                F.lit(L).cast("int").alias("span_len"),
+                F.col(id_col),
+                "n_starts",
+                "n_dup_starts",
+                "n_cross_starts",
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out

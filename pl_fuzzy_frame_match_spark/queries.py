@@ -1261,6 +1261,96 @@ def docs_dup_char_span_removal(
 
 
 @register(
+    "docs_dup_char_spans_sweep",
+    """
+    SELECT CAST(8 AS INT) AS span_len, doc_id,
+           CAST(count(*) AS BIGINT) AS n_starts,
+           CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_starts,
+           CAST(sum(CASE WHEN cnt > 1 AND dmin <> dmax THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_cross_starts
+    FROM (SELECT doc_id, substring(t, i, 8) AS g
+          FROM (SELECT doc_id, lower(text) AS t FROM documents
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  AND length(text) >= 8) d,
+               unnest(range(1, length(t) - 8 + 2)) AS u(i)) s
+    JOIN (SELECT g, count(*) AS cnt, min(doc_id) AS dmin,
+                 max(doc_id) AS dmax
+          FROM (SELECT doc_id, substring(t, i, 8) AS g
+                FROM (SELECT doc_id, lower(text) AS t FROM documents
+                      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                        AND length(text) >= 8) d2,
+                     unnest(range(1, length(t) - 8 + 2)) AS u2(i)) s2
+          GROUP BY g) grp USING (g)
+    GROUP BY doc_id
+
+    UNION ALL
+    SELECT CAST(16 AS INT) AS span_len, doc_id,
+           CAST(count(*) AS BIGINT) AS n_starts,
+           CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_starts,
+           CAST(sum(CASE WHEN cnt > 1 AND dmin <> dmax THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_cross_starts
+    FROM (SELECT doc_id, substring(t, i, 16) AS g
+          FROM (SELECT doc_id, lower(text) AS t FROM documents
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  AND length(text) >= 16) d,
+               unnest(range(1, length(t) - 16 + 2)) AS u(i)) s
+    JOIN (SELECT g, count(*) AS cnt, min(doc_id) AS dmin,
+                 max(doc_id) AS dmax
+          FROM (SELECT doc_id, substring(t, i, 16) AS g
+                FROM (SELECT doc_id, lower(text) AS t FROM documents
+                      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                        AND length(text) >= 16) d2,
+                     unnest(range(1, length(t) - 16 + 2)) AS u2(i)) s2
+          GROUP BY g) grp USING (g)
+    GROUP BY doc_id
+
+    UNION ALL
+    SELECT CAST(32 AS INT) AS span_len, doc_id,
+           CAST(count(*) AS BIGINT) AS n_starts,
+           CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_starts,
+           CAST(sum(CASE WHEN cnt > 1 AND dmin <> dmax THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_cross_starts
+    FROM (SELECT doc_id, substring(t, i, 32) AS g
+          FROM (SELECT doc_id, lower(text) AS t FROM documents
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  AND length(text) >= 32) d,
+               unnest(range(1, length(t) - 32 + 2)) AS u(i)) s
+    JOIN (SELECT g, count(*) AS cnt, min(doc_id) AS dmin,
+                 max(doc_id) AS dmax
+          FROM (SELECT doc_id, substring(t, i, 32) AS g
+                FROM (SELECT doc_id, lower(text) AS t FROM documents
+                      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                        AND length(text) >= 32) d2,
+                     unnest(range(1, length(t) - 32 + 2)) AS u2(i)) s2
+          GROUP BY g) grp USING (g)
+    GROUP BY doc_id
+    """,
+)
+def docs_dup_char_spans_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-window exact duplicated-substring sweep (round 9): the
+    L = 8 / 16 / 32 dup-fraction curve in ONE engine pass — doubling
+    levels built once, each L read off an existing level (one combine
+    join + one groupBy per L, no extra rank passes; the shared-levels
+    property that makes the rank machinery cheaper than naive
+    substring grouping for sweeps). The DuckDB oracle runs the naive
+    substring grouping THREE separate times and every
+    (span_len, doc) row must match."""
+    from .operators.suffixdedup import duplicated_char_spans_sweep
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    return duplicated_char_spans_sweep(
+        docs, "text", "doc_id", (8, 16, 32)
+    )
+
+
+@register(
     "vocab_topk_sketch",
     f"""
     WITH {_TOKS_CTE},

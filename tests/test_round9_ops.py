@@ -797,3 +797,43 @@ def test_remove_duplicated_char_spans_bruteforce(spark):
     assert got == want
     assert got[4][1] == 0  # within-doc repeats survive (cross-doc only)
     assert got[2][1] > 0  # the shared phrase was cut
+
+
+def test_char_spans_sweep_equals_per_l(spark):
+    """One-pass multi-L sweep == running duplicated_char_spans per L
+    (levels shared, results identical)."""
+    from pl_fuzzy_frame_match_spark.operators.suffixdedup import (
+        duplicated_char_spans,
+        duplicated_char_spans_sweep,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "THE QUICK BROWN cat sleeps. the lazy dog again naps here",
+        3: "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        4: "completely unique content with zero overlap anywhere",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    Ls = (6, 8, 16, 24)
+    swept = {
+        (r["span_len"], r["doc_id"]): (
+            r["n_starts"], r["n_dup_starts"], r["n_cross_starts"]
+        )
+        for r in duplicated_char_spans_sweep(
+            df, "text", "doc_id", Ls
+        ).collect()
+    }
+    for L in Ls:
+        per = {
+            (L, r["doc_id"]): (
+                r["n_starts"], r["n_dup_starts"], r["n_cross_starts"]
+            )
+            for r in duplicated_char_spans(
+                df, "text", "doc_id", span_len=L
+            ).collect()
+        }
+        for k, v in per.items():
+            assert swept[k] == v, k
+    assert len(swept) == sum(
+        1 for L in Ls for d, t in texts.items() if len(t) >= L
+    )
