@@ -95,6 +95,7 @@ def main() -> None:
         "vocab_topk_sketch",
         "docs_dup_char_spans_exact",
         "multimodal_bmp_pixels",
+        "fuzzy_join_phonetic",
     ):
         if extra in registry:
             names.append(extra)

@@ -6782,6 +6782,86 @@ def pipeline_training_data(
 
 
 # ---------------------------------------------------------------------------
+# Phonetic blocking (round 9; engine-original — functions/phonetic.py)
+# ---------------------------------------------------------------------------
+# The DuckDB oracle implements the SAME Knuth Soundex spec as the
+# Catalyst expression. RE2 (DuckDB's regex engine) has no pattern
+# backreferences, so the adjacent-run collapse is one regexp per digit
+# there, vs the single '([0-9])\1+' Java regex Spark-side.
+
+def _soundex_sql(letters_expr: str) -> str:
+    collapse = (
+        f"translate({letters_expr}, 'abcdefghijklmnopqrstuvwxyz',"
+        " '01230120022455012623010202')"
+    )
+    for d in "0123456":
+        collapse = f"regexp_replace({collapse}, '{d}{d}+', '{d}', 'g')"
+    return (
+        f"CASE WHEN {letters_expr} = '' THEN NULL ELSE"
+        f" rpad(upper(substr({letters_expr}, 1, 1)) ||"
+        f" substr(replace(substr({collapse}, 2), '0', ''), 1, 3),"
+        " 4, '0') END"
+    )
+
+
+@register(
+    "fn_soundex",
+    f"""
+    WITH p AS (SELECT p_partkey, p_name,
+                      regexp_replace(lower(p_name), '[^a-z]', '', 'g')
+                          AS letters
+               FROM part)
+    SELECT p_partkey, p_name, {_soundex_sql('letters')} AS name_soundex
+    FROM p
+    """,
+)
+def fn_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row phonetic code: map-only, zero shuffle, pure Catalyst
+    (translate + regexp_replace inside whole-stage codegen)."""
+    from .functions.phonetic import with_soundex
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return with_soundex(part, "p_name", "name_soundex")
+
+
+@register(
+    "fuzzy_join_phonetic",
+    f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part
+                   WHERE p_name IS NOT NULL),
+    p AS (SELECT p_name,
+                 regexp_replace(lower(p_name), '[^a-z]', '', 'g')
+                     AS letters
+          FROM names),
+    k AS (SELECT p_name, {_soundex_sql('letters')} AS code FROM p)
+    SELECT a.p_name AS left_name, b.p_name AS right_name,
+           round(jaro_winkler_similarity(lower(a.p_name),
+                                         lower(b.p_name)), 6)
+               AS similarity
+    FROM k a JOIN k b
+      ON a.code = b.code AND a.p_name < b.p_name
+    WHERE a.code IS NOT NULL
+      AND jaro_winkler_similarity(lower(a.p_name), lower(b.p_name))
+          >= 0.88
+    """,
+)
+def fuzzy_join_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex-blocked within-corpus fuzzy pairs: distinct names ->
+    4-char phonetic code equi-join (no cartesian) -> jaro_winkler
+    score -> threshold. The 0.88 threshold splits the blocked pairs
+    11/16 at sf0.01-0.1 with >=3e-3 margins on both sides, so the
+    oracle checks that the filter really cuts (nearest sims 0.8673
+    below / 0.8833 above)."""
+    from .functions.phonetic import phonetic_blocked_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    out = phonetic_blocked_pairs(
+        part, "p_name", metric="jaro_winkler", threshold=0.88
+    )
+    return _round6(out, "similarity")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry slots

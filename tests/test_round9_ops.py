@@ -837,3 +837,121 @@ def test_char_spans_sweep_equals_per_l(spark):
     assert len(swept) == sum(
         1 for L in Ls for d, t in texts.items() if len(t) >= L
     )
+
+
+# ---------------------------------------------------------------------------
+# Phonetic blocking (round 9, session B): Knuth-variant Soundex
+# ---------------------------------------------------------------------------
+
+
+def _soundex_spec(s):
+    """Driver-side reference implementation of the documented spec
+    (functions/phonetic.py module docstring) — the same algorithm the
+    Catalyst expression and the DuckDB oracle implement."""
+    import re
+
+    letters = re.sub(r"[^a-z]", "", (s or "").lower())
+    if not letters:
+        return None
+    table = str.maketrans(
+        "abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202"
+    )
+    collapsed = re.sub(r"([0-9])\1+", r"\1", letters.translate(table))
+    tail = collapsed[1:].replace("0", "")
+    return (letters[0].upper() + tail[:3]).ljust(4, "0")
+
+
+def test_soundex_goldens(spark):
+    from pl_fuzzy_frame_match_spark.functions.phonetic import with_soundex
+
+    cases = {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "Ashcraft": "A226",
+        "Ashcroft": "A226",
+        "Tymczak": "T522",
+        "Pfister": "P236",
+        "Honeyman": "H555",
+        "Hwang": "H520",   # h/w separate like vowels in this variant
+        "Aeiou": "A000",
+        "h": "H000",
+        "O'Brien 23": "O165",
+        "": None,
+        "42!?": None,      # no letters at all
+        None: None,
+    }
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(cases)], ["i", "name"]
+    )
+    got = {
+        r["name"]: r["sdx"]
+        for r in with_soundex(df, "name", "sdx").collect()
+    }
+    for name, want in cases.items():
+        assert got[name] == want, (name, got[name], want)
+        assert _soundex_spec(name) == want, name
+
+
+def test_soundex_catalyst_matches_spec_fuzz(spark):
+    """500 random strings (letters, digits, punctuation, empty):
+    the Catalyst expression equals the documented spec everywhere."""
+    import random
+    import string as _string
+
+    from pl_fuzzy_frame_match_spark.functions.phonetic import with_soundex
+
+    rng = random.Random(20260816)
+    alphabet = _string.ascii_letters + " '-0123456789"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 14))))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["i", "name"])
+    for r in with_soundex(df, "name", "sdx").collect():
+        assert r["sdx"] == _soundex_spec(r["name"]), r["name"]
+
+
+def test_phonetic_blocked_pairs_semantics(spark):
+    """Blocking recalls sound-alike pairs only; output is distinct
+    ordered name pairs; threshold filters; rows with duplicate names
+    do not duplicate pairs."""
+    from pl_fuzzy_frame_match_spark.functions.phonetic import (
+        phonetic_blocked_pairs,
+        soundex_code,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "Robert"),
+        (2, "Rupert"),
+        (3, "Rupert"),   # duplicate row: must not duplicate the pair
+        (4, "Ashcraft"),
+        (5, "Ashcroft"),
+        (6, "Honeyman"),  # blockless: no sound-alike partner
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = phonetic_blocked_pairs(df, "name", threshold=0.0).collect()
+    pairs = {(r["left_name"], r["right_name"]) for r in out}
+    assert pairs == {("Ashcraft", "Ashcroft"), ("Robert", "Rupert")}
+    assert len(out) == len(pairs)  # exactly once each
+    for r in out:
+        assert r["left_name"] < r["right_name"]
+        assert 0.0 <= r["similarity"] <= 1.0
+    # a threshold above the Robert/Rupert score drops that pair
+    sim = {
+        (r["left_name"], r["right_name"]): r["similarity"] for r in out
+    }
+    cut = (sim[("Robert", "Rupert")] + sim[("Ashcraft", "Ashcroft")]) / 2
+    lo, hi = sorted(sim.values())
+    assert lo < cut < hi
+    kept = phonetic_blocked_pairs(df, "name", threshold=cut).collect()
+    assert len(kept) == 1
+    # sanity: the blocked pair really shares a code
+    coded = df.where(F.col("name").isNotNull()).select(
+        "name", soundex_code(F.col("name")).alias("c")
+    ).collect()
+    codes = {r["name"]: r["c"] for r in coded}
+    assert codes["Robert"] == codes["Rupert"]
+    assert codes["Ashcraft"] == codes["Ashcroft"]
+    assert codes["Honeyman"] not in {codes["Robert"], codes["Ashcraft"]}
