@@ -96,6 +96,8 @@ def main() -> None:
         "docs_dup_char_spans_exact",
         "multimodal_bmp_pixels",
         "fuzzy_join_phonetic",
+        "graph_pagerank_copurchase",
+        "graph_triangles_copurchase",
     ):
         if extra in registry:
             names.append(extra)

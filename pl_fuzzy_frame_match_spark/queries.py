@@ -6862,6 +6862,97 @@ def fuzzy_join_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Graph analytics over the co-purchase graph (round 9, session B):
+# PageRank (fixed rounds, unrolled in the oracle) and degree-ordered
+# triangle counting. Edge set: parts sharing an order (lineitem
+# self-join on l_orderkey), canonical u < v, distinct.
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_EDGES_SQL = """
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey IS NOT NULL AND b.l_partkey IS NOT NULL),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS node, count(*) AS outdeg FROM sym GROUP BY u)
+"""
+
+
+def _pagerank_oracle_sql(iterations: int, damping: float) -> str:
+    rounds = [
+        "r0 AS (SELECT node, 1.0 / nn.c AS rank FROM deg CROSS JOIN nn)"
+    ]
+    for i in range(iterations):
+        rounds.append(
+            f"""r{i + 1} AS (
+      SELECT d.node,
+             (1.0 - {damping}) / nn.c + {damping} * coalesce(s.mass, 0.0)
+                 AS rank
+      FROM deg d CROSS JOIN nn
+      LEFT JOIN (SELECT sym.v AS node, sum(r.rank / du.outdeg) AS mass
+                 FROM sym JOIN r{i} r ON sym.u = r.node
+                          JOIN deg du ON sym.u = du.node
+                 GROUP BY sym.v) s ON d.node = s.node)"""
+        )
+    return (
+        "WITH " + _COPURCHASE_EDGES_SQL + ",\n"
+        "    nn AS (SELECT count(*) AS c FROM deg),\n    "
+        + ",\n    ".join(rounds)
+        + f"\n    SELECT node AS part, round(rank, 6) AS rank"
+        f" FROM r{iterations}"
+    )
+
+
+@register("graph_pagerank_copurchase", _pagerank_oracle_sql(3, 0.85))
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round damped PageRank over the co-purchase graph. The oracle
+    unrolls the identical rounds in SQL (uniform 1/N init; vertex set
+    = edge-incident nodes, so no dangling mass); agreement to 6
+    decimals pins both the per-round join+sum and the float path."""
+    from .operators.graph import cooccurrence_edges, pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = pagerank(edges, iterations=3, damping=0.85)
+    return out.select(F.col("node").alias("part"), F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "graph_triangles_copurchase",
+    "WITH " + _COPURCHASE_EDGES_SQL + """,
+    tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+            FROM e ab JOIN e bc ON ab.v = bc.u
+                      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+    corners AS (SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri),
+    pn AS (SELECT node, count(*) AS t FROM corners GROUP BY node)
+    SELECT d.node, d.outdeg AS degree,
+           coalesce(pn.t, 0) AS triangles,
+           round(CASE WHEN d.outdeg >= 2
+                      THEN 2.0 * coalesce(pn.t, 0)
+                           / (d.outdeg * (d.outdeg - 1.0))
+                      ELSE 0.0 END, 6) AS clustering
+    FROM deg d LEFT JOIN pn ON d.node = pn.node
+    """,
+)
+def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient via
+    degree-ordered enumeration (Suri & Vassilvitskii) — the oracle
+    enumerates triangles the naive id-ordered way; both count each
+    triangle exactly once, so the per-node totals must agree."""
+    from .operators.graph import cooccurrence_edges, triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_stats(edges)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry slots

@@ -955,3 +955,109 @@ def test_phonetic_blocked_pairs_semantics(spark):
     assert codes["Robert"] == codes["Rupert"]
     assert codes["Ashcraft"] == codes["Ashcroft"]
     assert codes["Honeyman"] not in {codes["Robert"], codes["Ashcraft"]}
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics (round 9, session B): PageRank + triangle counting
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_edges_semantics(spark):
+    from pl_fuzzy_frame_match_spark.operators.graph import cooccurrence_edges
+
+    rows = [
+        (1, 10), (1, 20), (1, 30),   # triangle of items in basket 1
+        (2, 10), (2, 20),            # repeat co-purchase: edge once
+        (2, 20),                     # duplicate line: ignored
+        (3, 40),                     # singleton basket: no edges
+        (4, None), (None, 50),       # nulls rejected
+    ]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    got = {
+        (r["u"], r["v"])
+        for r in cooccurrence_edges(df, "g", "item").collect()
+    }
+    assert got == {(10, 20), (10, 30), (20, 30)}
+
+
+def test_pagerank_driver_replay(spark):
+    """Distributed PageRank equals a driver-side replay of the same
+    spec on a small asymmetric graph, and total mass stays 1."""
+    from pl_fuzzy_frame_match_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (5, 1)]  # star + chord + tail
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    n = len(adj)
+    ranks = {x: 1.0 / n for x in adj}
+    for _ in range(4):
+        nxt = {x: (1 - 0.85) / n for x in adj}
+        for u, nbrs in adj.items():
+            for v in nbrs:
+                nxt[v] += 0.85 * ranks[u] / len(nbrs)
+        ranks = nxt
+    assert set(got) == set(ranks)
+    for x in ranks:
+        assert abs(got[x] - ranks[x]) < 1e-9, (x, got[x], ranks[x])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the hub out-scores the leaves
+    assert got[1] == max(got.values())
+
+
+def test_pagerank_empty_and_zero_iterations(spark):
+    from pl_fuzzy_frame_match_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "u long, v long")
+    assert pagerank(empty, iterations=2).count() == 0
+    df = spark.createDataFrame([(1, 2)], ["u", "v"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=0).collect()}
+    assert got == {1: 0.5, 2: 0.5}
+
+
+def test_triangle_stats_bruteforce(spark):
+    """Degree-ordered enumeration equals brute force on a random
+    graph; clustering coefficient formula checked per node."""
+    import itertools
+    import random
+
+    from pl_fuzzy_frame_match_spark.operators.graph import triangle_stats
+
+    rng = random.Random(99)
+    nodes = list(range(18))
+    edges = sorted(
+        {
+            (u, v)
+            for u, v in itertools.combinations(nodes, 2)
+            if rng.random() < 0.3
+        }
+    )
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_stats(df).collect()
+    }
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    for x, nb in nbrs.items():
+        t = sum(
+            1 for a, b in itertools.combinations(sorted(nb), 2) if b in nbrs[a]
+        )
+        d = len(nb)
+        cc = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert got[x] == (d, t, cc), (x, got[x], (d, t, cc))
+
+
+def test_triangle_stats_triangle_free(spark):
+    from pl_fuzzy_frame_match_spark.operators.graph import triangle_stats
+
+    # a 4-cycle: every node degree 2, zero triangles
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], ["u", "v"])
+    for r in triangle_stats(df).collect():
+        assert r["triangles"] == 0 and r["degree"] == 2 and r["clustering"] == 0.0
