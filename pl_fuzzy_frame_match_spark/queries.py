@@ -6953,6 +6953,62 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-order layout (round 9, session B): Morton keys for multi-column
+# scan pruning. The oracle evaluates the identical shift/mask
+# arithmetic in DuckDB — double ops in the same order, so the floats
+# agree bit-for-bit before the integer floor.
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle_sql(bits: int) -> str:
+    top = float(2**bits - 1)
+
+    def scaled(col: str, tag: str) -> str:
+        return (
+            f"CASE WHEN (mx_{tag} - mn_{tag}) > 0 THEN"
+            f" CAST(floor((CAST({col} AS DOUBLE) - mn_{tag})"
+            f" / (mx_{tag} - mn_{tag}) * {top} + 0.5) AS BIGINT)"
+            " ELSE 0 END"
+        )
+
+    terms = []
+    for i in range(bits):
+        for j, tag in enumerate(["o", "p"]):
+            terms.append(f"(((s_{tag} >> {i}) & 1) << {i * 2 + j})")
+    return f"""
+    WITH b AS (SELECT CAST(min(l_orderkey) AS DOUBLE) AS mn_o,
+                      CAST(max(l_orderkey) AS DOUBLE) AS mx_o,
+                      CAST(min(l_partkey) AS DOUBLE) AS mn_p,
+                      CAST(max(l_partkey) AS DOUBLE) AS mx_p
+               FROM lineitem),
+    s AS (SELECT l_orderkey, l_partkey, l_linenumber,
+                 {scaled('l_orderkey', 'o')} AS s_o,
+                 {scaled('l_partkey', 'p')} AS s_p
+          FROM lineitem CROSS JOIN b)
+    SELECT l_orderkey, l_partkey, l_linenumber,
+           {' + '.join(terms)} AS zvalue
+    FROM s
+    """
+
+
+@register("layout_zorder_lineitem", _zorder_oracle_sql(12))
+def layout_zorder_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row Morton key over (l_orderkey, l_partkey), 12 bits per
+    dimension: one min/max agg pass broadcast back, then a map-only
+    pure-Catalyst interleave. The write-side companion
+    (`zorder_write`) range-partitions + sorts by this key so every
+    output file covers a compact (orderkey, partkey) rectangle —
+    layout quality is pinned by the row-group pruning test in
+    tests/test_round9_ops.py."""
+    from .functions.zorder import zorder_key_frame
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    return zorder_key_frame(li, ["l_orderkey", "l_partkey"], bits=12)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry slots
