@@ -1169,3 +1169,48 @@ def test_zorder_write_prunes_secondary_dim(spark, tmp_path):
         .count()
     )
     assert a == b and a > 0
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (round 9, session B)
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_matches_bruteforce_window(spark):
+    """Pairs == all (i, j) with 1 <= rank_j - rank_i < w over the
+    sorted distinct keys; duplicates collapse; nulls drop."""
+    from pl_fuzzy_frame_match_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    names = ["delta", "alpha", "echo", "bravo", "charlie", "alpha", None]
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)], ["i", "name"])
+    out = sorted_neighborhood_pairs(df, "name", window=3).collect()
+    got = {(r["left_name"], r["right_name"]) for r in out}
+    ordered = sorted({n for n in names if n})
+    want = {
+        (ordered[i], ordered[j])
+        for i in range(len(ordered))
+        for j in range(i + 1, min(i + 3, len(ordered)))
+    }
+    assert got == want
+    assert len(out) == len(want)
+    for r in out:
+        assert r["left_name"] < r["right_name"]
+
+
+def test_sorted_neighborhood_threshold_and_window_guard(spark):
+    import pytest as _pytest
+
+    from pl_fuzzy_frame_match_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "kitte"), (3, "zebra")], ["i", "name"]
+    )
+    out = sorted_neighborhood_pairs(df, "name", window=2, threshold=0.9).collect()
+    # kitte/kitten adjacent and similar; kitten/zebra adjacent but cut
+    assert {(r["left_name"], r["right_name"]) for r in out} == {("kitte", "kitten")}
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "name", window=1)
