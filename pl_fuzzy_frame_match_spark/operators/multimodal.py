@@ -1959,3 +1959,78 @@ def synthesize_bmp_corpus(
             yield out
 
     return df.mapInPandas(synth, out_schema)
+
+
+def tiff_dimensions(payload):
+    """PURE-CATALYST TIFF dimensions — a real (bounded) IFD walk, both
+    byte orders, no Python:
+
+    - header: ``II``/``MM`` + magic 42 in the declared endianness,
+      then the uint32 offset of IFD0;
+    - IFD0: uint16 entry count, then 12-byte entries
+      (tag u16, type u16, count u32, value-or-offset u32);
+    - ImageWidth = tag 256, ImageLength = tag 257; inline values read
+      as SHORT (type 3, first two bytes of the value field in file
+      byte order) or LONG (type 4, all four bytes).
+
+    Every read is ``conv(hex(substring(payload, pos, 1)))`` at a
+    DYNAMIC position (the IFD offset and entry index are Columns), the
+    entry walk is a higher-order ``transform`` over
+    ``sequence(0, n-1)`` capped at 64 entries, and tag lookup is a
+    ``filter`` over the resulting struct array — the whole parse stays
+    a map-only expression, the same scan shape as
+    :func:`png_dimensions`. Returns (tiff_width, tiff_height), null
+    for non-TIFF payloads or dimension tags outside SHORT/LONG."""
+    def byte_at(pos):
+        return F.conv(
+            F.hex(F.substring(payload, pos, F.lit(1))), 16, 10
+        ).cast("bigint")
+
+    sig = F.substring(payload, 1, 2).cast("string")
+    is_le = sig == "II"
+    is_order = is_le | (sig == "MM")
+
+    def u16(pos):
+        return F.when(
+            is_le, byte_at(pos) + byte_at(pos + 1) * 256
+        ).otherwise(byte_at(pos) * 256 + byte_at(pos + 1))
+
+    def u32(pos):
+        return F.when(is_le, u16(pos) + u16(pos + 2) * 65536).otherwise(
+            u16(pos) * 65536 + u16(pos + 2)
+        )
+
+    magic_ok = u16(F.lit(3)) == 42
+    base = u32(F.lit(5)) + 1  # 1-indexed file position of the count
+    n = u16(base)
+    n_capped = F.least(n, F.lit(64)).cast("int")
+    valid = (
+        is_order
+        & magic_ok
+        & (F.octet_length(payload) >= base + 1)
+        & (n > 0)
+    )
+
+    def entry(e):
+        at = base + 2 + e.cast("bigint") * 12
+        typ = u16(at + 2)
+        val = (
+            F.when(typ == 3, u16(at + 8))
+            .when(typ == 4, u32(at + 8))
+            .otherwise(F.lit(None).cast("bigint"))
+        )
+        return F.struct(u16(at).alias("tag"), val.alias("val"))
+
+    entries = F.when(
+        valid,
+        F.transform(F.sequence(F.lit(0), n_capped - 1), entry),
+    )
+
+    def tag_value(tag):
+        hits = F.filter(entries, lambda x: x["tag"] == tag)
+        return F.when(F.size(hits) > 0, F.element_at(hits, 1)["val"])
+
+    return (
+        F.when(valid, tag_value(256)).cast("int").alias("tiff_width"),
+        F.when(valid, tag_value(257)).cast("int").alias("tiff_height"),
+    )

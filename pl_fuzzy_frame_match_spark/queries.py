@@ -4339,10 +4339,11 @@ def docs_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parsers — a full construct->parse round trip checked per row.
     """
     SELECT doc_id,
-           CASE CAST(doc_id % 6 AS INT)
+           CASE CAST(doc_id % 8 AS INT)
              WHEN 0 THEN 'gif' WHEN 1 THEN 'webp_x'
              WHEN 2 THEN 'webp_vp8' WHEN 3 THEN 'webp_vp8l'
-             WHEN 4 THEN 'png' ELSE 'bmp' END AS fmt,
+             WHEN 4 THEN 'png' WHEN 5 THEN 'bmp'
+             WHEN 6 THEN 'tiff_le' ELSE 'tiff_be' END AS fmt,
            CAST(64 + doc_id % 4000 AS INT) AS width,
            CAST(64 + (doc_id * 7) % 3000 AS INT) AS height
     FROM documents
@@ -4352,20 +4353,25 @@ def docs_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-format dimension extraction at corpus scale: synthesize a
     deterministic binary header per document (format cycles through
-    GIF / WebP-VP8X / WebP-VP8 / WebP-VP8L / PNG / BMP — BMP top-down
-    for odd ids, exercising the signed-biHeight path; dimensions derived
-    from doc_id), then recover (width, height) with the pure-Catalyst
-    header parsers (`operators/multimodal.py` gif_dimensions /
-    webp_dimensions / png_dimensions / bmp_dimensions). Header construction is an
-    Arrow-batched mapInPandas (stand-in for reading real payloads off
-    the lakehouse); parsing is whole-stage codegen — the same map-only
-    scan shape that headers 10^9 stored images."""
+    GIF / WebP-VP8X / WebP-VP8 / WebP-VP8L / PNG / BMP / TIFF-LE /
+    TIFF-BE — BMP top-down for odd ids exercising the signed-biHeight
+    path; the two TIFFs exercise both byte orders, SHORT vs LONG
+    dimension tags, and a dimension tag that is NOT the first IFD
+    entry; dimensions derived from doc_id), then recover
+    (width, height) with the pure-Catalyst header parsers
+    (`operators/multimodal.py` gif_dimensions / webp_dimensions /
+    png_dimensions / bmp_dimensions / tiff_dimensions). Header
+    construction is an Arrow-batched mapInPandas (stand-in for
+    reading real payloads off the lakehouse); parsing is whole-stage
+    codegen — the same map-only scan shape that headers 10^9 stored
+    images."""
     import pandas as pd
 
     from .operators.multimodal import (
         bmp_dimensions,
         gif_dimensions,
         png_dimensions,
+        tiff_dimensions,
         webp_dimensions,
     )
 
@@ -4382,7 +4388,7 @@ def multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did = int(did)
                 w = 64 + did % 4000
                 h = 64 + (did * 7) % 3000
-                kind = did % 6
+                kind = did % 8
                 if kind == 0:
                     p = (
                         b"GIF89a"
@@ -4428,7 +4434,7 @@ def multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + struct.pack(">II", w, h)
                         + bytes(5)
                     )
-                else:
+                elif kind == 5:
                     # BMP header only; top-down (negative biHeight)
                     # for odd ids so the sign handling is exercised
                     hh = -h if did % 2 else h
@@ -4436,6 +4442,36 @@ def multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
                         + struct.pack("<IiiHHIIiiII", 40, w, hh, 1, 24,
                                       0, 0, 2835, 2835, 0, 0)
+                    )
+                else:
+                    # TIFF, both byte orders; width/height tag types
+                    # differ per endian (SHORT vs LONG) and the
+                    # dimension tags are not the first IFD entries
+                    le = kind == 6
+                    e = "<" if le else ">"
+
+                    def ent(tag, typ, val):
+                        v = (
+                            struct.pack(e + "H", val) + bytes(2)
+                            if typ == 3
+                            else struct.pack(e + "I", val)
+                        )
+                        return struct.pack(e + "HHI", tag, typ, 1) + v
+
+                    wt, ht = (3, 4) if le else (4, 3)
+                    entries = [
+                        ent(259, 3, 1),       # Compression first
+                        ent(256, wt, w),
+                        ent(257, ht, h),
+                        ent(277, 3, 3),       # SamplesPerPixel
+                    ]
+                    p = (
+                        (b"II" if le else b"MM")
+                        + struct.pack(e + "H", 42)
+                        + struct.pack(e + "I", 8)
+                        + struct.pack(e + "H", len(entries))
+                        + b"".join(entries)
+                        + bytes(4)
                     )
                 payloads.append(p)
             yield pd.DataFrame(
@@ -4449,23 +4485,28 @@ def multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         *webp_dimensions(F.col("payload")),
         *png_dimensions(F.col("payload")),
         *bmp_dimensions(F.col("payload")),
+        *tiff_dimensions(F.col("payload")),
     )
     fmt = (
-        F.when(F.col("doc_id") % 6 == 0, "gif")
-        .when(F.col("doc_id") % 6 == 1, "webp_x")
-        .when(F.col("doc_id") % 6 == 2, "webp_vp8")
-        .when(F.col("doc_id") % 6 == 3, "webp_vp8l")
-        .when(F.col("doc_id") % 6 == 4, "png")
-        .otherwise("bmp")
+        F.when(F.col("doc_id") % 8 == 0, "gif")
+        .when(F.col("doc_id") % 8 == 1, "webp_x")
+        .when(F.col("doc_id") % 8 == 2, "webp_vp8")
+        .when(F.col("doc_id") % 8 == 3, "webp_vp8l")
+        .when(F.col("doc_id") % 8 == 4, "png")
+        .when(F.col("doc_id") % 8 == 5, "bmp")
+        .when(F.col("doc_id") % 8 == 6, "tiff_le")
+        .otherwise("tiff_be")
     )
     return parsed.select(
         "doc_id",
         fmt.alias("fmt"),
         F.coalesce(
-            "gif_width", "webp_width", "png_width", "bmp_width"
+            "gif_width", "webp_width", "png_width", "bmp_width",
+            "tiff_width",
         ).alias("width"),
         F.coalesce(
-            "gif_height", "webp_height", "png_height", "bmp_height"
+            "gif_height", "webp_height", "png_height", "bmp_height",
+            "tiff_height",
         ).alias("height"),
     )
 

@@ -1214,3 +1214,65 @@ def test_sorted_neighborhood_threshold_and_window_guard(spark):
     assert {(r["left_name"], r["right_name"]) for r in out} == {("kitte", "kitten")}
     with _pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "name", window=1)
+
+
+# ---------------------------------------------------------------------------
+# TIFF dimension sniffing (round 9, session B): pure-Catalyst IFD walk
+# ---------------------------------------------------------------------------
+
+
+def _tiff_bytes(le, w, h, wtype=3, htype=4, width_first=False):
+    import struct
+
+    e = "<" if le else ">"
+
+    def ent(tag, typ, val):
+        v = (
+            struct.pack(e + "H", val) + bytes(2)
+            if typ == 3
+            else struct.pack(e + "I", val)
+        )
+        return struct.pack(e + "HHI", tag, typ, 1) + v
+
+    entries = []
+    if not width_first:
+        entries += [ent(259, 3, 1), ent(258, 3, 8)]
+    entries += [ent(256, wtype, w), ent(257, htype, h)]
+    if width_first:
+        entries += [ent(259, 3, 1), ent(258, 3, 8)]
+    entries.append(ent(277, 3, 3))
+    return (
+        (b"II" if le else b"MM")
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", 8)
+        + struct.pack(e + "H", len(entries))
+        + b"".join(entries)
+        + bytes(4)
+    )
+
+
+def test_tiff_dimensions_goldens(spark):
+    from pl_fuzzy_frame_match_spark.operators.multimodal import tiff_dimensions
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, _tiff_bytes(True, 800, 600)),            # LE, SHORT w / LONG h
+        (1, _tiff_bytes(False, 1234, 77)),           # BE
+        (2, _tiff_bytes(True, 70000, 5, wtype=4)),   # LONG width > 65535
+        (3, _tiff_bytes(False, 9, 8, width_first=True)),  # entry order
+        (4, b"II*\x00junk"),                         # truncated
+        (5, b"GIF89a\x10\x00\x10\x00"),              # wrong signature
+        (6, b"MM\x00\x2b" + bytes(16)),              # BigTIFF magic 43
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["tiff_width"], r["tiff_height"])
+        for r in df.select("doc_id", *tiff_dimensions(F.col("payload"))).collect()
+    }
+    assert got[0] == (800, 600)
+    assert got[1] == (1234, 77)
+    assert got[2] == (70000, 5)
+    assert got[3] == (9, 8)
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
+    assert got[6] == (None, None)
