@@ -697,3 +697,84 @@ def remove_duplicate_spans(df, text_col: str, id_col: str, k: int = 5):
         (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.md5(F.concat_ws(" ", kept)).alias("cleaned_md5"),
     )
+
+
+def kn_bigram_cross_entropy(
+    df, text_col: str, id_col: str, discount: float = 0.75
+):
+    """Interpolated Kneser-Ney bigram LM, fit and scored on the corpus
+    in one lazy plan — the smoothing the n-gram LM literature actually
+    recommends over Jelinek-Mercer (Chen & Goodman 1999; KenLM's
+    default), and the natural next rung after
+    ``docs_lm_bigram_perplexity``:
+
+        P(w2 | w1) = max(c(w1 w2) - d, 0) / c(w1 ·)
+                     + d · N1+(w1 ·) / c(w1 ·) · Pcont(w2)
+        Pcont(w2)  = N1+(· w2) / |bigram types|
+
+    where c(w1 ·) is the total count of bigrams starting with w1,
+    N1+(w1 ·) the number of distinct continuations of w1, and
+    N1+(· w2) the number of distinct contexts w2 follows — the
+    "how promiscuous is this word" continuation prior that makes KN
+    beat raw-frequency backoff.
+
+    Scale shape: three aggregations over the exploded bigram frame
+    (bigram counts; per-context totals+fanout; per-word context
+    fanout), one scalar (type count) broadcast, then the scoring join
+    keyed on the bigram — the same join skeleton as the JM scorer, one
+    extra (small) dimension join. Everything stays in Catalyst; the
+    arithmetic is association-ordered identically to the DuckDB
+    oracle so the only cross-engine noise is per-doc sum order,
+    absorbed by round-6.
+
+    Output: (id_col, n_bigrams, cross_entropy_kn).
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__w")
+    ).where(F.size("__w") >= 2)
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - 1),
+                lambda i: F.struct(
+                    F.element_at("__w", i).alias("w1"),
+                    F.element_at("__w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("__b"),
+    ).select(id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    b2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = b2.groupBy("w1").agg(
+        F.sum("c2").alias("cdot"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = b2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    types = b2.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    d = float(discount)
+    scored = (
+        bg.join(b2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.greatest(F.col("c2") - F.lit(d), F.lit(0.0)) / F.col("cdot")
+                + F.lit(d)
+                * F.col("n1p_fwd")
+                / F.col("cdot")
+                * (F.col("n1p_bwd") / F.col("tt"))
+            ).alias("__lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.sum("__lp") / F.count(F.lit(1)), 6).alias(
+                "cross_entropy_kn"
+            ),
+        )
+    )

@@ -1276,3 +1276,77 @@ def test_tiff_dimensions_goldens(spark):
     assert got[4] == (None, None)
     assert got[5] == (None, None)
     assert got[6] == (None, None)
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM (round 9, session B)
+# ---------------------------------------------------------------------------
+
+
+def _kn_driver(docs, d=0.75):
+    """Reference KN on the driver: returns per-doc cross-entropy and
+    the model tables for property checks."""
+    import math
+    from collections import Counter, defaultdict
+
+    bgs = {}
+    for did, text in docs:
+        w = text.lower().split()
+        bgs[did] = list(zip(w, w[1:]))
+    b2 = Counter(b for lst in bgs.values() for b in lst)
+    cdot = defaultdict(float)
+    n1p_fwd = defaultdict(int)
+    n1p_bwd = defaultdict(int)
+    for (w1, w2), c in b2.items():
+        cdot[w1] += c
+        n1p_fwd[w1] += 1
+        n1p_bwd[w2] += 1
+    tt = float(len(b2))
+
+    def p(w1, w2):
+        return max(b2.get((w1, w2), 0) - d, 0.0) / cdot[w1] + d * n1p_fwd[
+            w1
+        ] / cdot[w1] * (n1p_bwd[w2] / tt)
+
+    ce = {
+        did: -sum(math.log(p(w1, w2)) for w1, w2 in lst) / len(lst)
+        for did, lst in bgs.items()
+        if lst
+    }
+    return ce, p, cdot, n1p_bwd
+
+def test_kn_bigram_matches_driver_replay(spark):
+    from pl_fuzzy_frame_match_spark.functions.text import (
+        kn_bigram_cross_entropy,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog"),
+        (4, "single"),               # <2 tokens: no row
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy_kn"])
+        for r in kn_bigram_cross_entropy(df, "text", "doc_id").collect()
+    }
+    ce, _, _, _ = _kn_driver(docs)
+    assert set(got) == set(ce)
+    for did in ce:
+        assert abs(got[did][1] - round(ce[did], 6)) <= 1e-6, did
+
+
+def test_kn_probabilities_sum_to_one():
+    """The KN distribution is proper: for every observed context w1,
+    sum over the whole event vocabulary of P(w2|w1) == 1."""
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log the cat"),
+        (3, "a cat and a dog and a mat"),
+    ]
+    _, p, cdot, n1p_bwd = _kn_driver(docs)
+    vocab2 = list(n1p_bwd)  # every word observed as a bigram RHS
+    for w1 in cdot:
+        total = sum(p(w1, w2) for w2 in vocab2)
+        assert abs(total - 1.0) < 1e-12, (w1, total)
