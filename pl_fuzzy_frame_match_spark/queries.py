@@ -7126,6 +7126,70 @@ def docs_lm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_bigram_cross_entropy(docs, "text", "doc_id")
 
 
+@register(
+    "blocking_quality_report",
+    f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part
+                   WHERE p_name IS NOT NULL),
+    p AS (SELECT p_name,
+                 regexp_replace(lower(p_name), '[^a-z]', '', 'g')
+                     AS letters
+          FROM names),
+    k AS (SELECT p_name, {_soundex_sql('letters')} AS code FROM p),
+    r AS (SELECT p_name, dense_rank() OVER (ORDER BY p_name) AS rn
+          FROM names),
+    pf AS (SELECT p_name, substr(lower(p_name), 1, 3) AS pfx FROM names),
+    truth AS (SELECT a.p_name AS ln, b.p_name AS rn2
+              FROM names a JOIN names b ON a.p_name < b.p_name
+              WHERE jaro_winkler_similarity(lower(a.p_name),
+                                            lower(b.p_name)) >= 0.88),
+    cands AS (
+      SELECT 'phonetic' AS tier, a.p_name AS ln, b.p_name AS rn2
+      FROM k a JOIN k b ON a.code = b.code AND a.p_name < b.p_name
+      WHERE a.code IS NOT NULL
+      UNION ALL
+      SELECT 'sorted_neighborhood', a.p_name, b.p_name
+      FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+      UNION ALL
+      SELECT 'prefix', a.p_name, b.p_name
+      FROM pf a JOIN pf b ON a.pfx = b.pfx AND a.p_name < b.p_name),
+    tot AS (SELECT CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+                AS total FROM names),
+    nt AS (SELECT count(*) AS n_true FROM truth),
+    per AS (SELECT tier, count(*) AS n_candidates,
+                   CAST(sum(CASE WHEN t.ln IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_found
+            FROM cands c LEFT JOIN truth t
+              ON c.ln = t.ln AND c.rn2 = t.rn2
+            GROUP BY tier),
+    tiers AS (SELECT * FROM (VALUES ('phonetic'),
+              ('sorted_neighborhood'), ('prefix')) v(tier))
+    SELECT tiers.tier,
+           coalesce(per.n_candidates, 0) AS n_candidates,
+           coalesce(per.n_found, 0) AS n_found, nt.n_true,
+           round(coalesce(per.n_found, 0) * 1.0 / nt.n_true, 6) AS recall,
+           round(1.0 - coalesce(per.n_candidates, 0) * 1.0 / tot.total, 6)
+               AS reduction_ratio
+    FROM tiers LEFT JOIN per ON tiers.tier = per.tier
+    CROSS JOIN nt CROSS JOIN tot
+    """,
+)
+def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage blocking evaluation (pairs-completeness +
+    reduction ratio, Christen 2012): the three candidate tiers —
+    Soundex, sorted-neighborhood (w=4), 3-char prefix — scored
+    against the brute-force jaro_winkler >= 0.88 truth set on
+    distinct part names, in ONE lazy plan. The oracle rebuilds every
+    tier and the truth in SQL, so tier membership, recall and
+    reduction ratio are all value-checked."""
+    from .operators.blocking import blocking_quality
+
+    part = load_table(spark, sf_dir, "part")
+    return blocking_quality(
+        part, "p_name", threshold=0.88, window=4, prefix_len=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

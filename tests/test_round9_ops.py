@@ -1350,3 +1350,33 @@ def test_kn_probabilities_sum_to_one():
     for w1 in cdot:
         total = sum(p(w1, w2) for w2 in vocab2)
         assert abs(total - 1.0) < 1e-12, (w1, total)
+
+
+def test_blocking_quality_hand_computed(spark):
+    """Recall and reduction ratio hand-checked on a 5-name corpus."""
+    from pl_fuzzy_frame_match_spark.operators.blocking import blocking_quality
+
+    # truth at jw >= 0.9: (kitten, kittens) and (kitten, kitte)+(kitte, kittens)
+    names = ["kitten", "kittens", "kitte", "zebra", "apple"]
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)], ["i", "n"])
+    rows = {r["tier"]: r for r in blocking_quality(
+        df, "n", threshold=0.9, window=2, prefix_len=4
+    ).collect()}
+    assert set(rows) == {"phonetic", "sorted_neighborhood", "prefix"}
+    total_pairs = 5 * 4 // 2
+    for r in rows.values():
+        assert r["n_true"] == 3
+        assert 0 <= r["n_found"] <= r["n_candidates"]
+        assert abs(r["reduction_ratio"] - round(1 - r["n_candidates"] / total_pairs, 6)) < 1e-9
+        assert abs(r["recall"] - round(r["n_found"] / 3, 6)) < 1e-9
+    # prefix 'kitt' blocks all three kitten-variants: perfect recall
+    p = rows["prefix"]
+    assert p["n_candidates"] == 3 and p["n_found"] == 3 and p["recall"] == 1.0
+    # soundex: K350/K352/K300 all DIFFER (trailing s changes the code)
+    # -> the phonetic tier is empty but must still report a row
+    ph = rows["phonetic"]
+    assert ph["n_candidates"] == 0 and ph["n_found"] == 0
+    assert ph["recall"] == 0.0 and ph["reduction_ratio"] == 1.0
+    # window-2 sorted neighborhood: kitte<kitten<kittens adjacent pairs
+    sn = rows["sorted_neighborhood"]
+    assert sn["n_candidates"] == 4 and sn["n_found"] == 2
