@@ -244,9 +244,14 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 5,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over an undirected edge list (treated as a symmetric
     digraph), fixed iteration count, uniform init 1/N.
+
+    With ``weight_col`` the walk is weighted: a node distributes its
+    rank to neighbors proportionally to edge weight (duplicate (u, v)
+    rows have their weights summed). Unweighted behaves as all-ones.
 
     Vertex set = nodes incident to at least one edge, so every vertex
     has out-degree >= 1 and the dangling-mass term vanishes — the spec
@@ -263,11 +268,30 @@ def pagerank(
         raise ValueError("iterations must be >= 0")
     spark = edges.sparkSession
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sym = _symmetrized(edges)
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = (
+        edges.select("u", "v", w.alias("_w"))
+        .where(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "_w")
+    )
+    deg = sym.groupBy("u").agg(F.sum("_w").alias("wsum"))
     adj = (
         sym.join(deg, "u")
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"), "outdeg")
+        .select(
+            F.col("u").alias("src"), F.col("v").alias("dst"), "_w", "wsum"
+        )
         .repartition(shuffle, "src")
         .persist()
     )
@@ -281,7 +305,10 @@ def pagerank(
     for i in range(iterations):
         contrib = (
             adj.join(ranks, adj["src"] == ranks["node"])
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("share"))
+            .select(
+                "dst",
+                (F.col("rank") * F.col("_w") / F.col("wsum")).alias("share"),
+            )
             .groupBy("dst")
             .agg(F.sum("share").alias("mass"))
         )
@@ -377,21 +404,23 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
 
 
 def cooccurrence_edges(
-    df: DataFrame, group_col: str, item_col: str
+    df: DataFrame, group_col: str, item_col: str, weighted: bool = False
 ) -> DataFrame:
     """Market-basket edges: one undirected edge (u < v) per pair of
     distinct items sharing a group (e.g. parts co-ordered in the same
     order). The self-join is an equi-join on the group key — per-group
     fan-out is quadratic in basket size, which is small and bounded in
-    basket-shaped data; the distinct() collapses repeat co-purchases
-    so downstream graph ops see each edge once."""
+    basket-shaped data. Unweighted: repeat co-purchases collapse to
+    one edge. ``weighted=True`` adds ``w`` = the number of groups the
+    pair shares (co-purchase strength), the natural input for the
+    weighted PageRank walk."""
     items = df.select(
         F.col(group_col).alias("g"), F.col(item_col).alias("u")
     ).where(F.col(group_col).isNotNull() & F.col(item_col).isNotNull()).distinct()
     other = items.select(F.col("g"), F.col("u").alias("v"))
-    return (
-        items.join(other, "g")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    pairs = items.join(other, "g").where(F.col("u") < F.col("v"))
+    if weighted:
+        return pairs.groupBy("u", "v").agg(
+            F.count(F.lit(1)).cast("double").alias("w")
+        )
+    return pairs.select("u", "v").distinct()

@@ -6960,6 +6960,67 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("part"), F.round("rank", 6).alias("rank"))
 
 
+_COPURCHASE_WEIGHTED_SQL = """
+    ew AS (SELECT u, v, CAST(count(*) AS DOUBLE) AS w FROM (
+             SELECT DISTINCT a.l_orderkey AS g,
+                    a.l_partkey AS u, b.l_partkey AS v
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+             WHERE a.l_partkey IS NOT NULL AND b.l_partkey IS NOT NULL)
+           GROUP BY u, v),
+    sym AS (SELECT u, v, w FROM ew
+            UNION ALL SELECT v AS u, u AS v, w FROM ew),
+    deg AS (SELECT u AS node, sum(w) AS wsum FROM sym GROUP BY u)
+"""
+
+
+def _pagerank_weighted_oracle_sql(iterations: int, damping: float) -> str:
+    rounds = [
+        "r0 AS (SELECT node, 1.0 / nn.c AS rank FROM deg CROSS JOIN nn)"
+    ]
+    for i in range(iterations):
+        rounds.append(
+            f"""r{i + 1} AS (
+      SELECT d.node,
+             (1.0 - {damping}) / nn.c + {damping} * coalesce(s.mass, 0.0)
+                 AS rank
+      FROM deg d CROSS JOIN nn
+      LEFT JOIN (SELECT sym.v AS node,
+                        sum(r.rank * sym.w / du.wsum) AS mass
+                 FROM sym JOIN r{i} r ON sym.u = r.node
+                          JOIN deg du ON sym.u = du.node
+                 GROUP BY sym.v) s ON d.node = s.node)"""
+        )
+    return (
+        "WITH " + _COPURCHASE_WEIGHTED_SQL + ",\n"
+        "    nn AS (SELECT count(*) AS c FROM deg),\n    "
+        + ",\n    ".join(rounds)
+        + f"\n    SELECT node AS part, round(rank, 6) AS rank"
+        f" FROM r{iterations}"
+    )
+
+
+@register(
+    "graph_pagerank_weighted", _pagerank_weighted_oracle_sql(3, 0.85)
+)
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: the walk follows co-purchase STRENGTH (the
+    number of orders a part pair shares) instead of mere adjacency —
+    rank flows proportionally to w / Σw per source. Oracle unrolls
+    the same weighted rounds in SQL."""
+    from .operators.graph import cooccurrence_edges, pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", weighted=True)
+    out = pagerank(edges, iterations=3, damping=0.85, weight_col="w")
+    return out.select(
+        F.col("node").alias("part"), F.round("rank", 6).alias("rank")
+    )
+
+
 @register(
     "graph_triangles_copurchase",
     "WITH " + _COPURCHASE_EDGES_SQL + """,

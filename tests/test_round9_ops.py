@@ -1380,3 +1380,46 @@ def test_blocking_quality_hand_computed(spark):
     # window-2 sorted neighborhood: kitte<kitten<kittens adjacent pairs
     sn = rows["sorted_neighborhood"]
     assert sn["n_candidates"] == 4 and sn["n_found"] == 2
+
+
+def test_weighted_pagerank_driver_replay(spark):
+    """Weighted walk: rank flows proportionally to edge weight; the
+    distributed result equals a driver replay, mass stays 1, and a
+    heavier edge pulls more rank than a lighter one."""
+    from pl_fuzzy_frame_match_spark.operators.graph import pagerank
+
+    edges = [(1, 2, 10.0), (1, 3, 1.0), (2, 3, 1.0)]
+    df = spark.createDataFrame(edges, ["u", "v", "w"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=5, weight_col="w").collect()
+    }
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, {})[v] = adj.setdefault(u, {}).get(v, 0) + w
+        adj.setdefault(v, {})[u] = adj.setdefault(v, {}).get(u, 0) + w
+    n = len(adj)
+    ranks = {x: 1.0 / n for x in adj}
+    for _ in range(5):
+        nxt = {x: 0.15 / n for x in adj}
+        for u, nbrs in adj.items():
+            wsum = sum(nbrs.values())
+            for v, w in nbrs.items():
+                nxt[v] += 0.85 * ranks[u] * w / wsum
+        ranks = nxt
+    for x in ranks:
+        assert abs(got[x] - ranks[x]) < 1e-9, (x, got[x], ranks[x])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # 1 and 2 bound by the heavy edge: both out-rank 3
+    assert got[3] == min(got.values())
+    # duplicate weighted rows sum their weights
+    df2 = spark.createDataFrame(
+        [(1, 2, 4.0), (1, 2, 6.0), (1, 3, 1.0), (2, 3, 1.0)],
+        ["u", "v", "w"],
+    )
+    got2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(df2, iterations=5, weight_col="w").collect()
+    }
+    for x in got:
+        assert abs(got2[x] - got[x]) < 1e-12
