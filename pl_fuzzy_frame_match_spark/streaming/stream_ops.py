@@ -1047,3 +1047,58 @@ def stream_bpe_tokenize(
         F.size("bpe_tokens").alias("n_bpe_tokens"),
         "bpe_tokens",
     )
+
+
+def phonetic_probe_batch(
+    queries, corpus, name_col: str = "name",
+    metric: str = "jaro_winkler", threshold: float = 0.0,
+):
+    """Shared batch/stream body for the phonetic probe: incoming
+    names equi-join a frozen Soundex-blocked index of DISTINCT corpus
+    names, then kernel-score within the block. Works unchanged on a
+    streaming frame (stateless stream-static equi-join)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.kernels import distance_column
+    from ..functions.phonetic import soundex_code
+
+    index = (
+        corpus.select(F.col(name_col).alias("match_name"))
+        .where(F.col("match_name").isNotNull())
+        .distinct()
+        .withColumn("_icode", soundex_code(F.col("match_name")))
+        .where(F.col("_icode").isNotNull())
+    )
+    probes = queries.select(
+        F.col(name_col).alias("query_name")
+    ).withColumn("_qcode", soundex_code(F.col("query_name")))
+    sim = F.lit(1.0) - distance_column(
+        metric, F.lower(F.col("query_name")), F.lower(F.col("match_name"))
+    )
+    return (
+        probes.join(index, probes["_qcode"] == index["_icode"])
+        .withColumn("similarity", F.round(sim, 6))
+        .where(F.col("similarity") >= F.lit(threshold))
+        .select("query_name", "match_name", "similarity")
+    )
+
+
+def stream_phonetic_probe(
+    spark, path: str, schema, corpus, name_col: str = "name",
+    metric: str = "jaro_winkler", threshold: float = 0.0,
+):
+    """Streaming twin of the phonetic blocking tier
+    (`functions/phonetic.py`): the online record-linkage shape — the
+    Soundex index over the reference corpus is built once (static
+    side), arriving names are coded map-side and equi-joined against
+    their block per microbatch. Stateless: no watermark, no state
+    store; the per-batch work is one broadcastable hash join + a
+    codegen'd kernel score."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    return phonetic_probe_batch(
+        stream, corpus, name_col=name_col, metric=metric, threshold=threshold
+    )

@@ -1423,3 +1423,43 @@ def test_weighted_pagerank_driver_replay(spark):
     }
     for x in got:
         assert abs(got2[x] - got[x]) < 1e-12
+
+
+def test_stream_phonetic_probe_matches_batch(spark, tmp_path):
+    """Streaming phonetic probe (frozen Soundex index) == the same
+    body run as a batch query; 20th streaming twin."""
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        phonetic_probe_batch,
+        stream_phonetic_probe,
+    )
+
+    from pyspark.sql import functions as F
+
+    part = load_table(spark, "/root/testdata/sf0.001", "part").select(
+        F.col("p_name").alias("name")
+    )
+    corpus = part
+    probes = part.limit(30)
+    batch = {
+        (r["query_name"], r["match_name"], r["similarity"])
+        for r in phonetic_probe_batch(probes, corpus, "name").collect()
+    }
+    src = str(tmp_path / "phon_probes")
+    probes.write.parquet(src)
+    q = (
+        stream_phonetic_probe(
+            spark, src, spark.read.parquet(src).schema, corpus, "name"
+        )
+        .writeStream.format("memory")
+        .queryName("q_phon")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["query_name"], r["match_name"], r["similarity"])
+        for r in spark.sql("SELECT * FROM q_phon").collect()
+    }
+    assert streamed == batch and len(batch) > 0
