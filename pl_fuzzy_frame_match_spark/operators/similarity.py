@@ -908,3 +908,113 @@ def query_pq_index(
         code_table, p_ids, _pq_luts(p_mat, books), k * refine
     )
     return _exact_rerank(probes, corpus, vec_col, id_col, cands, k)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """EXACT all-pairs TF-IDF cosine similarity self-join (Bayardo,
+    Ma & Srikant's AllPairs, WWW 2007) — the sparse-vector sibling of
+    the dense-embedding dedup and the n-gram Jaccard SSJoin: every
+    document pair (i < j) whose L2-normalized tf-idf vectors have
+    dot product >= ``threshold``, with no quadratic stage.
+
+    Model spec (replayed verbatim by the DuckDB oracle):
+    tf = within-doc token count; idf = ln(N / df); w = tf * idf;
+    v = w / ||w||; docs with zero norm (every token in every doc)
+    are excluded.
+
+    Prefix filter, suffix-norm form: order each doc's terms by
+    (corpus df ASC, term ASC) — rarest first — and index a term only
+    while the REMAINING suffix norm-squared exceeds t - eps. If a
+    pair shares no indexed term, every shared term lies in both
+    suffixes, so dot <= ||suf_x|| * ||suf_y|| <= t - eps < t: the
+    filter provably loses nothing. Because indexed terms are the
+    rarest, posting lists stay short and skew-safe — frequent terms
+    never become join keys (same argument as
+    `dedup.prefix_filter_jaccard_pairs`).
+
+    Plan shape: tokenize/tf agg -> df agg -> per-doc window cumsum
+    (keyed by doc, distributed) -> index⋈postings equi-join on term
+    -> pair distinct -> verify join (shared terms only) -> threshold.
+    All shuffles are linear-volume hash equi-joins; the one driver
+    scalar is the corpus doc count (planner-style).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+        .where(F.col(id_col).isNotNull())
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = tf.select(id_col).distinct().count()
+    dft = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    w = tf.join(dft, "__t").select(
+        id_col,
+        "__t",
+        "__df",
+        (F.col("__tf") * F.log(F.lit(float(n_docs)) / F.col("__df"))).alias(
+            "__w"
+        ),
+    )
+    nrm = (
+        w.groupBy(id_col)
+        .agg(F.sum(F.col("__w") * F.col("__w")).alias("__ss"))
+        .where(F.col("__ss") > 0)
+        .select(id_col, F.sqrt("__ss").alias("__nv"))
+    )
+    v = (
+        w.join(nrm, id_col)
+        .select(
+            id_col, "__t", "__df", (F.col("__w") / F.col("__nv")).alias("__vw")
+        )
+        .localCheckpoint(eager=True)
+    )
+    t_eff = float(threshold) - eps
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("__df").asc(), F.col("__t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    csum = F.sum(F.col("__vw") * F.col("__vw")).over(win)
+    index = (
+        v.withColumn("__pre", csum - F.col("__vw") * F.col("__vw"))
+        .where(F.lit(1.0) - F.col("__pre") > F.lit(t_eff))
+        .select(F.col(id_col).alias("__xi"), "__t")
+    )
+    probe = v.select(F.col(id_col).alias("__yi"), "__t")
+    cand = (
+        index.join(probe, "__t")
+        .where(F.col("__xi") != F.col("__yi"))
+        .select(
+            F.least("__xi", "__yi").alias("left_id"),
+            F.greatest("__xi", "__yi").alias("right_id"),
+        )
+        .distinct()
+    )
+    vx = v.select(
+        F.col(id_col).alias("left_id"), "__t", F.col("__vw").alias("__xw")
+    )
+    vy = v.select(
+        F.col(id_col).alias("right_id"), "__t", F.col("__vw").alias("__yw")
+    )
+    return (
+        cand.join(vx, "left_id")
+        .join(vy, ["right_id", "__t"])
+        .groupBy("left_id", "right_id")
+        .agg(F.sum(F.col("__xw") * F.col("__yw")).alias("__cos"))
+        .where(F.col("__cos") >= F.lit(float(threshold)))
+        .select(
+            "left_id",
+            "right_id",
+            F.round("__cos", 6).alias("cosine_sim"),
+        )
+    )

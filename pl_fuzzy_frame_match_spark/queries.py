@@ -7251,6 +7251,45 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_tfidf_cosine",
+    r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(regexp_extract_all(lower(text), '\S+')) AS t
+                 FROM documents
+                 WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+    dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+    w AS (SELECT doc_id, t, tf * ln(nn.n / dft.df) AS wgt
+          FROM tf JOIN dft USING (t) CROSS JOIN nn),
+    nrm AS (SELECT doc_id, sqrt(sum(wgt * wgt)) AS nv FROM w
+            GROUP BY doc_id HAVING sum(wgt * wgt) > 0),
+    v AS (SELECT w.doc_id, t, wgt / nv AS vw FROM w JOIN nrm USING (doc_id)),
+    p AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                 sum(a.vw * b.vw) AS c
+          FROM v a JOIN v b ON a.t = b.t AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+    SELECT left_id, right_id, round(c, 6) AS cosine_sim
+    FROM p WHERE c >= 0.92
+    """,
+)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs TF-IDF cosine near-dup pairs (AllPairs prefix
+    filter; `operators/similarity.tfidf_cosine_pairs`). The oracle is
+    the UNFILTERED quadratic formulation — agreement proves the
+    suffix-norm prefix filter loses nothing. Threshold 0.92 has
+    margins 0.0036 / 0.00033 to the nearest cosine at sf0.001 /
+    sf0.01, so round-6 float noise cannot flip a pair."""
+    from .functions.text import widen_narrow_scan
+    from .operators.similarity import tfidf_cosine_pairs
+
+    docs = widen_narrow_scan(load_table(spark, sf_dir, "documents")).where(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    return tfidf_cosine_pairs(docs, "text", "doc_id", threshold=0.92)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

@@ -1463,3 +1463,82 @@ def test_stream_phonetic_probe_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM q_phon").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+# ---------------------------------------------------------------------------
+# Exact all-pairs TF-IDF cosine (round 9, session B)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_cosine_pairs_matches_bruteforce(spark):
+    """Prefix-filtered result == driver brute force over the same
+    tf-idf spec, at several thresholds, on a random corpus."""
+    import math
+    import random
+    from collections import Counter
+
+    from pl_fuzzy_frame_match_spark.operators.similarity import (
+        tfidf_cosine_pairs,
+    )
+
+    rng = random.Random(424242)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(5, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    tf = {i: Counter(t.split()) for i, t in docs}
+    dft = Counter(t for c in tf.values() for t in c)
+    n = len(tf)
+    vecs = {}
+    for i, c in tf.items():
+        w = {t: cnt * math.log(n / dft[t]) for t, cnt in c.items()}
+        nv = math.sqrt(sum(x * x for x in w.values()))
+        if nv > 0:
+            vecs[i] = {t: x / nv for t, x in w.items()}
+
+    def cos(a, b):
+        return sum(va * vecs[b].get(t, 0.0) for t, va in vecs[a].items())
+
+    ids = sorted(vecs)
+    for thr in (0.3, 0.6, 0.85):
+        want = {
+            (a, b): round(cos(a, b), 6)
+            for ai, a in enumerate(ids)
+            for b in ids[ai + 1 :]
+            if cos(a, b) >= thr
+        }
+        got = {
+            (r["left_id"], r["right_id"]): r["cosine_sim"]
+            for r in tfidf_cosine_pairs(df, "text", "doc_id", thr).collect()
+        }
+        assert set(got) == set(want), (
+            thr,
+            sorted(set(want) - set(got))[:5],
+            sorted(set(got) - set(want))[:5],
+        )
+        for k in want:
+            assert abs(got[k] - want[k]) <= 1e-6, (k, got[k], want[k])
+
+
+def test_tfidf_cosine_handles_degenerate_docs(spark):
+    """Docs whose every token appears in every doc have zero norm and
+    drop out; identical docs score 1.0."""
+    from pl_fuzzy_frame_match_spark.operators.similarity import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = [
+        (1, "common alpha beta"),
+        (2, "common alpha beta"),
+        (3, "common gamma delta"),
+        (4, "common"),            # idf(common)=0 -> zero norm -> dropped
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["left_id"], r["right_id"]): r["cosine_sim"]
+        for r in tfidf_cosine_pairs(df, "text", "doc_id", 0.99).collect()
+    }
+    assert got == {(1, 2): 1.0}
