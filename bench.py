@@ -98,6 +98,9 @@ def main() -> None:
         "fuzzy_join_phonetic",
         "graph_pagerank_copurchase",
         "graph_triangles_copurchase",
+        "fuzzy_join_sorted_neighborhood",
+        "docs_lm_kn_perplexity",
+        "dedup_tfidf_cosine",
     ):
         if extra in registry:
             names.append(extra)

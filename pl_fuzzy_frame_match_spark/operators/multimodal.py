@@ -1961,9 +1961,9 @@ def synthesize_bmp_corpus(
     return df.mapInPandas(synth, out_schema)
 
 
-def tiff_dimensions(payload):
-    """PURE-CATALYST TIFF dimensions — a real (bounded) IFD walk, both
-    byte orders, no Python:
+def tiff_struct(payload):
+    """PURE-CATALYST TIFF dimensions as ONE struct<w int, h int>
+    Column — a real (bounded) IFD walk, both byte orders, no Python:
 
     - header: ``II``/``MM`` + magic 42 in the declared endianness,
       then the uint32 offset of IFD0;
@@ -1973,14 +1973,15 @@ def tiff_dimensions(payload):
       as SHORT (type 3, first two bytes of the value field in file
       byte order) or LONG (type 4, all four bytes).
 
-    Every read is ``conv(hex(substring(payload, pos, 1)))`` at a
-    DYNAMIC position (the IFD offset and entry index are Columns), the
-    entry walk is a higher-order ``transform`` over
-    ``sequence(0, n-1)`` capped at 64 entries, and tag lookup is a
-    ``filter`` over the resulting struct array — the whole parse stays
-    a map-only expression, the same scan shape as
-    :func:`png_dimensions`. Returns (tiff_width, tiff_height), null
-    for non-TIFF payloads or dimension tags outside SHORT/LONG."""
+    Dynamic-position subtrees (the IFD offset, the entry count, the
+    entry array) are LET-BOUND via single-element ``transform``
+    lambdas so each is evaluated once per row — without the binding
+    the ``base`` tree is re-evaluated at every one of the ~50
+    references and the parse costs ~1.3 ms/row (measured; PLANS.md
+    round 9 session B). The entry walk is a higher-order transform
+    over ``sequence(0, n-1)`` capped at 64 entries; tag lookup is a
+    ``filter`` over the struct array. Null for non-TIFF payloads or
+    dimension tags outside SHORT/LONG."""
     def byte_at(pos):
         return F.conv(
             F.hex(F.substring(payload, pos, F.lit(1))), 16, 10
@@ -2001,36 +2002,62 @@ def tiff_dimensions(payload):
         )
 
     magic_ok = u16(F.lit(3)) == 42
-    base = u32(F.lit(5)) + 1  # 1-indexed file position of the count
-    n = u16(base)
-    n_capped = F.least(n, F.lit(64)).cast("int")
-    valid = (
-        is_order
-        & magic_ok
-        & (F.octet_length(payload) >= base + 1)
-        & (n > 0)
-    )
+    base_expr = u32(F.lit(5)) + 1  # 1-indexed file position of the count
 
-    def entry(e):
-        at = base + 2 + e.cast("bigint") * 12
-        typ = u16(at + 2)
-        val = (
-            F.when(typ == 3, u16(at + 8))
-            .when(typ == 4, u32(at + 8))
-            .otherwise(F.lit(None).cast("bigint"))
-        )
-        return F.struct(u16(at).alias("tag"), val.alias("val"))
+    def let(value, body):
+        # let-binding: evaluate ``value`` once, reference it many times
+        return F.element_at(F.transform(F.array(value), body), 1)
 
-    entries = F.when(
-        valid,
-        F.transform(F.sequence(F.lit(0), n_capped - 1), entry),
-    )
+    def with_base(base):
+        def with_n(n):
+            n_capped = F.least(n, F.lit(64)).cast("int")
+            valid = (
+                is_order
+                & magic_ok
+                & (F.octet_length(payload) >= base + 1)
+                & (n > 0)
+            )
 
-    def tag_value(tag):
-        hits = F.filter(entries, lambda x: x["tag"] == tag)
-        return F.when(F.size(hits) > 0, F.element_at(hits, 1)["val"])
+            def entry(e):
+                at = base + 2 + e.cast("bigint") * 12
+                typ = u16(at + 2)
+                val = (
+                    F.when(typ == 3, u16(at + 8))
+                    .when(typ == 4, u32(at + 8))
+                    .otherwise(F.lit(None).cast("bigint"))
+                )
+                return F.struct(u16(at).alias("tag"), val.alias("val"))
 
+            entries = F.when(
+                valid,
+                F.transform(F.sequence(F.lit(0), n_capped - 1), entry),
+            )
+
+            def with_entries(ents):
+                def tag_value(tag):
+                    hits = F.filter(ents, lambda x: x["tag"] == tag)
+                    return F.when(F.size(hits) > 0, F.element_at(hits, 1)["val"])
+
+                return F.struct(
+                    tag_value(256).cast("int").alias("w"),
+                    tag_value(257).cast("int").alias("h"),
+                )
+
+            return let(entries, with_entries)
+
+        return let(u16(base), with_n)
+
+    return let(base_expr, with_base)
+
+
+def tiff_dimensions(payload):
+    """(tiff_width, tiff_height) Column pair over :func:`tiff_struct`
+    — see there for the parse spec. Prefer selecting ``tiff_struct``
+    once and extracting fields when both dimensions are needed on a
+    hot path (each call here carries its own copy of the parse
+    tree)."""
+    st = tiff_struct(payload)
     return (
-        F.when(valid, tag_value(256)).cast("int").alias("tiff_width"),
-        F.when(valid, tag_value(257)).cast("int").alias("tiff_height"),
+        st["w"].alias("tiff_width"),
+        st["h"].alias("tiff_height"),
     )

@@ -4371,7 +4371,7 @@ def multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bmp_dimensions,
         gif_dimensions,
         png_dimensions,
-        tiff_dimensions,
+        tiff_struct,
         webp_dimensions,
     )
 
@@ -4479,13 +4479,19 @@ def multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     with_payload = docs.mapInPandas(build, "doc_id long, payload binary")
-    parsed = with_payload.select(
+    # the TIFF walk is materialized as ONE struct column, then split
+    # — two tiff_dimensions() expressions would carry two copies of
+    # the (let-bound but still large) parse tree
+    parsed = with_payload.withColumn(
+        "__tiff", tiff_struct(F.col("payload"))
+    ).select(
         "doc_id",
         *gif_dimensions(F.col("payload")),
         *webp_dimensions(F.col("payload")),
         *png_dimensions(F.col("payload")),
         *bmp_dimensions(F.col("payload")),
-        *tiff_dimensions(F.col("payload")),
+        F.col("__tiff.w").alias("tiff_width"),
+        F.col("__tiff.h").alias("tiff_height"),
     )
     fmt = (
         F.when(F.col("doc_id") % 8 == 0, "gif")
