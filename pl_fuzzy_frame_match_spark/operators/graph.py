@@ -424,3 +424,74 @@ def cooccurrence_edges(
             F.count(F.lit(1)).cast("double").alias("w")
         )
     return pairs.select("u", "v").distinct()
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    length: int = 4,
+    seed: str = "w",
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Uniform random walks over an undirected graph with a
+    DETERMINISTIC pseudo-random draw — the corpus-generation step of
+    DeepWalk/node2vec (walk sequences feeding a skip-gram embedding),
+    made reproducible across engines, runs and partitionings: step t
+    from node x follows neighbor rank
+    ``md5_u32(x ':' t ':' seed) mod deg(x)`` in the id-sorted
+    adjacency — the same md5-prefix draw the sampling family uses
+    (`functions/sampling.shard_of`), so a SQL engine replays every
+    step exactly.
+
+    Output: (start, step, node) for step 0..length, one walk per
+    start node (default: every edge-incident node).
+
+    Scale shape: the ranked adjacency (row_number per source over
+    id-sorted neighbors — per-node window partitions, distributed) is
+    built once and checkpointed; each step is one equi-join on
+    (node, drawn rank). Walk state is one row per walk — the frontier
+    never exceeds the start count, and steps are independent
+    equi-joins, not iterative shuffo-reduce.
+    """
+    from pyspark.sql import Window
+
+    if length < 0:
+        raise ValueError("length must be >= 0")
+    sym = _symmetrized(edges)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
+    ranked = (
+        sym.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("u").orderBy(F.col("v").asc())),
+        )
+        .join(deg, "u")
+        .localCheckpoint(eager=True)
+    )
+    if starts is None:
+        starts = deg.select(F.col("u").alias("start"))
+    cur = starts.select("start", F.col("start").alias("node"))
+    out = cur.select("start", F.lit(0).alias("step"), "node")
+    for t in range(length):
+        draw_u32 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("node").cast("string"),
+                        F.lit(f":{t}:{seed}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        nxt = (
+            cur.join(ranked, cur["node"] == ranked["u"])
+            .where(F.col("__rn") == draw_u32 % F.col("__deg") + 1)
+            .select("start", F.col("v").alias("node"))
+        )
+        out = out.unionByName(
+            nxt.select("start", F.lit(t + 1).alias("step"), "node")
+        )
+        cur = nxt
+    return out
