@@ -7296,6 +7296,55 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(docs, "text", "doc_id", threshold=0.92)
 
 
+def _walks_oracle_sql(length: int, seed: str) -> str:
+    steps = ["s0 AS (SELECT node AS start, node, 0 AS step FROM degn)"]
+    for t in range(length):
+        draw = (
+            "CAST('0x' || substr(md5(CAST(s.node AS VARCHAR)"
+            f" || ':{t}:{seed}'), 1, 8) AS BIGINT)"
+        )
+        steps.append(
+            f"""s{t + 1} AS (
+      SELECT s.start, a.v AS node, {t + 1} AS step
+      FROM s{t} s JOIN degn d ON s.node = d.node
+      JOIN adj a ON a.u = s.node
+       AND a.rn = {draw} % d.deg + 1)"""
+        )
+    step_block = ",\n    ".join(steps)
+    union = "\n    UNION ALL ".join(
+        f"SELECT start, step, node FROM s{t}" for t in range(length + 1)
+    )
+    return (
+        "WITH "
+        + _COPURCHASE_EDGES_SQL.strip()
+        + """,
+    adj AS (SELECT u, v,
+                   row_number() OVER (PARTITION BY u ORDER BY v) AS rn
+            FROM sym),
+    degn AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+    """
+        + step_block
+        + "\n    "
+        + union
+    )
+
+
+@register("graph_walks_copurchase", _walks_oracle_sql(4, "w"))
+def graph_walks_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec corpus generation with a deterministic
+    md5-prefix draw (`operators/graph.deterministic_walks`): one
+    4-step uniform walk per node over the co-purchase graph. The
+    oracle unrolls every step — each hop's drawn neighbor rank is
+    replayed exactly, so the whole walk corpus is value-checked."""
+    from .operators.graph import cooccurrence_edges, deterministic_walks
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return deterministic_walks(edges, length=4, seed="w")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

@@ -1542,3 +1542,43 @@ def test_tfidf_cosine_handles_degenerate_docs(spark):
         for r in tfidf_cosine_pairs(df, "text", "doc_id", 0.99).collect()
     }
     assert got == {(1, 2): 1.0}
+
+
+def test_deterministic_walks_validity_and_replay(spark):
+    """Every hop follows an edge; every walk has length+1 steps; the
+    draw replays the md5 spec exactly (driver-side check); reruns are
+    identical."""
+    import hashlib
+
+    from pl_fuzzy_frame_match_spark.operators.graph import (
+        deterministic_walks,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    out = deterministic_walks(df, length=3, seed="t").collect()
+    walks = {}
+    for r in out:
+        walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    assert set(walks) == set(adj)
+    for s, path in walks.items():
+        assert sorted(path) == [0, 1, 2, 3]
+        assert path[0] == s
+        x = s
+        for t in range(3):
+            nbrs = sorted(adj[x])
+            h = int(
+                hashlib.md5(f"{x}:{t}:t".encode()).hexdigest()[:8], 16
+            )
+            expect = nbrs[h % len(nbrs)]
+            assert path[t + 1] == expect, (s, t, path)
+            x = path[t + 1]
+    again = deterministic_walks(df, length=3, seed="t").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # a different seed changes at least one hop
+    other = deterministic_walks(df, length=3, seed="u").collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
