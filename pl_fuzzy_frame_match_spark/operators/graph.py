@@ -495,3 +495,34 @@ def deterministic_walks(
         )
         cur = nxt
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context) training pairs from walk sequences — the
+    step between `deterministic_walks` and a skip-gram embedding
+    trainer: every ordered pair of nodes co-occurring within
+    ``window`` positions on the same walk, with multiplicity.
+
+    One equi-join on the walk id with a bounded |step difference|
+    predicate (band join over positions, volume <= 2 * window * walk
+    rows), then a count aggregation. Output:
+    (center, context, cnt)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    a = walks.select(
+        F.col("start").alias("__wid"),
+        F.col("step").alias("__i"),
+        F.col("node").alias("center"),
+    )
+    b = walks.select(
+        F.col("start").alias("__wid"),
+        F.col("step").alias("__j"),
+        F.col("node").alias("context"),
+    )
+    d = F.col("__j") - F.col("__i")
+    return (
+        a.join(b, "__wid")
+        .where((d != 0) & (F.abs(d) <= window))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

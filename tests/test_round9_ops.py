@@ -1582,3 +1582,31 @@ def test_deterministic_walks_validity_and_replay(spark):
     # a different seed changes at least one hop
     other = deterministic_walks(df, length=3, seed="u").collect()
     assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    from pl_fuzzy_frame_match_spark.operators.graph import skipgram_pairs
+
+    walks = [
+        (1, 0, 10), (1, 1, 20), (1, 2, 30),
+        (2, 0, 10), (2, 1, 20),
+    ]
+    df = spark.createDataFrame(walks, ["start", "step", "node"])
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in skipgram_pairs(df, window=1).collect()
+    }
+    # walk1 adjacent pairs: 10-20, 20-30 (both directions); walk2: 10-20
+    assert got == {
+        (10, 20): 2, (20, 10): 2,
+        (20, 30): 1, (30, 20): 1,
+    }
+    got2 = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in skipgram_pairs(df, window=2).collect()
+    }
+    assert got2[(10, 30)] == 1 and got2[(30, 10)] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skipgram_pairs(df, window=0)
