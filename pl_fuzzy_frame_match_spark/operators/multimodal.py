@@ -2061,3 +2061,181 @@ def tiff_dimensions(payload):
         st["w"].alias("tiff_width"),
         st["h"].alias("tiff_height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AIFF (round 9, session B): the big-endian sibling of the WAV path.
+# Same closed-form synthesized samples, entirely different container:
+# IFF chunk walk with BIG-endian sizes, and the sample rate stored as
+# an 80-bit IEEE-754 extended float (1 sign + 15 exponent bits, bias
+# 16383, 64-bit mantissa with an EXPLICIT integer bit) — decoded here
+# with integer arithmetic, no struct support needed.
+# ---------------------------------------------------------------------------
+
+
+def _float80_encode(value: int) -> bytes:
+    """80-bit IEEE extended (big-endian) for a positive integer —
+    the AIFF COMM sampleRate encoding."""
+    if value <= 0:
+        raise ValueError("sample rate must be positive")
+    e = value.bit_length() - 1
+    mant = value << (63 - e)
+    return (16383 + e).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _float80_decode(b: bytes) -> float:
+    """Positive 80-bit IEEE extended -> float (integer arithmetic)."""
+    se = int.from_bytes(b[:2], "big")
+    mant = int.from_bytes(b[2:10], "big")
+    if se & 0x8000 or mant == 0:
+        return 0.0
+    e = (se & 0x7FFF) - 16383
+    return mant * 2.0 ** (e - 63)
+
+
+def aiff_encode_pcm16(samples, sample_rate: int) -> bytes:
+    """Encode int16 ndarray[frames, channels] as a canonical
+    FORM/AIFF PCM16 file (big-endian interleaved samples, COMM with
+    the 80-bit extended sample rate, SSND with zero offset/block)."""
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=">i2")
+    n_frames, ch = samples.shape
+    data = samples.tobytes()
+    comm = (
+        ch.to_bytes(2, "big")
+        + n_frames.to_bytes(4, "big")
+        + (16).to_bytes(2, "big")
+        + _float80_encode(int(sample_rate))
+    )
+    ssnd = bytes(8) + data  # offset=0, blockSize=0
+    body = (
+        b"AIFF"
+        + b"COMM" + len(comm).to_bytes(4, "big") + comm
+        + b"SSND" + len(ssnd).to_bytes(4, "big") + ssnd
+    )
+    return b"FORM" + len(body).to_bytes(4, "big") + body
+
+
+def aiff_decode_samples(data: bytes):
+    """Decode a FORM/AIFF PCM16 payload into
+    ``(sample_rate, channels, n_frames, int16 ndarray[frames, ch])``.
+    Chunk sizes are BIG-endian and 2-byte aligned; the sample rate is
+    the COMM 80-bit extended float; SSND data starts after its
+    offset/blockSize words. None for non-AIFF / non-16-bit payloads
+    (corrupt audio must never kill a stage)."""
+    import numpy as np
+
+    if (
+        not isinstance(data, (bytes, bytearray))
+        or len(data) < 12
+        or bytes(data[:4]) != b"FORM"
+        or bytes(data[8:12]) != b"AIFF"
+    ):
+        return None
+    data = bytes(data)
+    pos, comm, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        typ = data[pos : pos + 4]
+        ln = int.from_bytes(data[pos + 4 : pos + 8], "big")
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if typ == b"COMM":
+            comm = chunk
+        elif typ == b"SSND":
+            pcm = chunk
+        pos += 8 + ln + (ln & 1)
+    if comm is None or pcm is None or len(comm) < 18 or len(pcm) < 8:
+        return None
+    ch = int.from_bytes(comm[0:2], "big")
+    n_frames = int.from_bytes(comm[2:6], "big")
+    bits = int.from_bytes(comm[6:8], "big")
+    rate = _float80_decode(comm[8:18])
+    if bits != 16 or ch < 1 or rate <= 0 or rate != int(rate):
+        return None
+    offset = int.from_bytes(pcm[0:4], "big")
+    body = pcm[8 + offset :]
+    n = min(n_frames, len(body) // (2 * ch))
+    if n == 0:
+        return None
+    arr = np.frombuffer(body, dtype=">i2", count=n * ch).reshape(n, ch)
+    return int(rate), int(ch), int(n), arr
+
+
+def synthesize_aiff_corpus(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Attach a deterministic real-AIFF payload per row — the SAME
+    closed-form rate/channels/frames/samples as
+    :func:`synthesize_wav_corpus` (rate = 8000 + (id%3)*4000,
+    ch = 1 + id%2, frames = 16 + id%16, sample = ((id*31 + i*17 +
+    c*101) % 4001) - 2000), so the same SQL oracle checks a wholly
+    different container + endianness + float80 path."""
+    import numpy as np
+
+    out_schema = df.select(id_col).schema.add(payload_col, "binary")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                rate = 8000 + (rid % 3) * 4000
+                ch = 1 + rid % 2
+                nf = 16 + rid % 16
+                i = np.arange(nf).reshape(-1, 1)
+                c = np.arange(ch).reshape(1, -1)
+                arr = ((rid * 31 + i * 17 + c * 101) % 4001) - 2000
+                payloads.append(aiff_encode_pcm16(arr, rate))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], payload_col: payloads}
+            )
+
+    return df.select(id_col).mapInPandas(synth, out_schema)
+
+
+def aiff_sample_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL PCM sample statistics over AIFF payloads — the AIFF twin
+    of :func:`wav_sample_stats` (same output contract, so the two
+    container paths are interchangeable downstream)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = aiff_decode_samples(bytes(payload))
+                if dec is None:
+                    rows.append((rid, None, None, None, None, None, None))
+                    continue
+                rate, ch, n, arr = dec
+                rows.append(
+                    (
+                        rid,
+                        rate,
+                        ch,
+                        n,
+                        int(arr.astype("int64").sum()),
+                        int(arr.min()),
+                        int(arr.max()),
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in WAV_SAMPLE_STATS_SCHEMA.fields]
+        )
+
+    raw = df.select(id_col, payload_col).mapInPandas(
+        stats, schema=WAV_SAMPLE_STATS_SCHEMA
+    )
+    return raw.select(
+        id_col,
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "sum_s",
+        F.round(
+            F.col("sum_s") / (F.col("n_frames") * F.col("channels")), 6
+        ).alias("mean_s"),
+        "min_s",
+        "max_s",
+    )

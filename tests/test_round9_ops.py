@@ -1610,3 +1610,72 @@ def test_skipgram_pairs_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         skipgram_pairs(df, window=0)
+
+
+# ---------------------------------------------------------------------------
+# AIFF codec (round 9, session B)
+# ---------------------------------------------------------------------------
+
+
+def test_aiff_float80_goldens():
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        _float80_decode,
+        _float80_encode,
+    )
+
+    # the canonical CD-rate golden every AIFF reference cites
+    assert _float80_encode(44100).hex() == "400eac440000000000000000"[:20]
+    for rate in (1, 8000, 12000, 16000, 22050, 44100, 48000, 96000):
+        assert _float80_decode(_float80_encode(rate)) == rate
+
+
+def test_aiff_roundtrip_and_rejection():
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        aiff_decode_samples,
+        aiff_encode_pcm16,
+    )
+
+    arr = ((np.arange(36).reshape(18, 2) * 137) % 4001 - 2000).astype("i2")
+    rate, ch, n, dec = aiff_decode_samples(aiff_encode_pcm16(arr, 22050))
+    assert (rate, ch, n) == (22050, 2, 18)
+    assert (dec == arr).all()
+    # odd-length chunk padding: insert a 3-byte ANNO chunk before COMM
+    enc = aiff_encode_pcm16(arr, 22050)
+    anno = b"ANNO" + (3).to_bytes(4, "big") + b"abc" + b"\x00"
+    patched = enc[:12] + anno + enc[12:]
+    patched = patched[:4] + (len(patched) - 8).to_bytes(4, "big") + patched[8:]
+    rate2, ch2, n2, dec2 = aiff_decode_samples(patched)
+    assert (rate2, ch2, n2) == (22050, 2, 18) and (dec2 == arr).all()
+    assert aiff_decode_samples(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert aiff_decode_samples(b"FORM\x00\x00\x00\x04AIFF") is None
+    assert aiff_decode_samples(None) is None
+    # 8-bit COMM rejected
+    bad = bytearray(enc)
+    comm_at = enc.index(b"COMM") + 8
+    bad[comm_at + 6 : comm_at + 8] = (8).to_bytes(2, "big")
+    assert aiff_decode_samples(bytes(bad)) is None
+
+
+def test_aiff_wav_paths_agree(spark):
+    """The two container paths decode to identical statistics —
+    interchangeable downstream."""
+    from pl_fuzzy_frame_match_spark.operators.multimodal import (
+        aiff_sample_stats,
+        synthesize_aiff_corpus,
+        synthesize_wav_corpus,
+        wav_sample_stats,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    a = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in aiff_sample_stats(synthesize_aiff_corpus(docs)).collect()
+    }
+    w = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in wav_sample_stats(synthesize_wav_corpus(docs)).collect()
+    }
+    assert a == w and len(a) == 40
