@@ -202,3 +202,74 @@ def blocking_quality(
             ).alias("reduction_ratio"),
         )
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    key_col: str,
+    threshold: float = 0.88,
+    window: int = 4,
+    prefix_len: int = 3,
+    metric: str = "jaro_winkler",
+) -> DataFrame:
+    """END-TO-END entity resolution over a name column: union the
+    three blocking tiers (Soundex, sorted-neighborhood, prefix) for
+    candidates, score with ``metric``, keep matches >= ``threshold``,
+    close them transitively (connected components — match graphs are
+    not transitive: A~B and B~C does not imply the A~C score passes),
+    and emit one canonical name per entity (the lexicographic
+    minimum of the component).
+
+    Output: (name, canonical_name) for every DISTINCT non-null name —
+    unmatched names are their own canonical.
+
+    Scale shape: tiers are linear candidate generators (see each
+    tier's notes); components run on integer ranks from
+    `global_dense_rank` (strings never enter the label-propagation
+    shuffle); canonicalization is one min-agg + two joins. This is
+    the composed flagship of the blocking family, the record-linkage
+    sibling of `queries.pipeline_training_data`."""
+    from ..functions.kernels import distance_column
+    from ..functions.phonetic import phonetic_blocked_pairs
+    from .graph import connected_components
+    from .suffixdedup import global_dense_rank
+
+    names = (
+        df.select(F.col(key_col).alias("name"))
+        .where(F.col("name").isNotNull())
+        .distinct()
+    )
+    cands = (
+        phonetic_blocked_pairs(df, key_col, metric=metric)
+        .unionByName(
+            sorted_neighborhood_pairs(df, key_col, window=window, metric=metric)
+        )
+        .unionByName(
+            prefix_block_pairs(df, key_col, prefix_len=prefix_len, metric=metric)
+        )
+        .select("left_name", "right_name")
+        .distinct()
+    )
+    sim = F.lit(1.0) - distance_column(
+        metric, F.lower(F.col("left_name")), F.lower(F.col("right_name"))
+    )
+    matches = cands.where(sim >= F.lit(threshold))
+    ranked = global_dense_rank(names, ["name"], rank_col="_rid")
+    lid = ranked.select(
+        F.col("name").alias("left_name"), F.col("_rid").alias("left_id")
+    )
+    rid = ranked.select(
+        F.col("name").alias("right_name"), F.col("_rid").alias("right_id")
+    )
+    edges = matches.join(lid, "left_name").join(rid, "right_name").select(
+        "left_id", "right_id"
+    )
+    comp = connected_components(edges, "left_id", "right_id")
+    labeled = ranked.join(
+        comp, ranked["_rid"] == comp["node"], "left"
+    ).select(
+        "name",
+        F.coalesce(F.col("component"), F.col("_rid")).alias("_comp"),
+    )
+    canon = labeled.groupBy("_comp").agg(F.min("name").alias("canonical_name"))
+    return labeled.join(canon, "_comp").select("name", "canonical_name")

@@ -7424,6 +7424,60 @@ def multimodal_aiff_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aiff_sample_stats(synthesize_aiff_corpus(docs))
 
 
+@register(
+    "entity_resolution_pipeline",
+    f"""
+    WITH RECURSIVE
+    names AS (SELECT DISTINCT p_name AS name FROM part
+              WHERE p_name IS NOT NULL),
+    p AS (SELECT name,
+                 regexp_replace(lower(name), '[^a-z]', '', 'g') AS letters
+          FROM names),
+    k AS (SELECT name, {_soundex_sql('letters')} AS code FROM p),
+    r AS (SELECT name, dense_rank() OVER (ORDER BY name) AS rn
+          FROM names),
+    pf AS (SELECT name, substr(lower(name), 1, 3) AS pfx FROM names),
+    cands AS (
+      SELECT a.name AS ln, b.name AS rn2
+      FROM k a JOIN k b ON a.code = b.code AND a.name < b.name
+      WHERE a.code IS NOT NULL
+      UNION
+      SELECT a.name, b.name
+      FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+      UNION
+      SELECT a.name, b.name
+      FROM pf a JOIN pf b ON a.pfx = b.pfx AND a.name < b.name),
+    matches AS (SELECT ln, rn2 FROM cands
+                WHERE jaro_winkler_similarity(lower(ln), lower(rn2))
+                      >= 0.88),
+    sym AS (SELECT ln AS u, rn2 AS v FROM matches
+            UNION SELECT rn2, ln FROM matches),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT a.u, b.v FROM reach a JOIN sym b ON a.v = b.u),
+    lab AS (SELECT u AS name, least(u, min(v)) AS canonical_name
+            FROM reach GROUP BY u)
+    SELECT n.name, coalesce(l.canonical_name, n.name) AS canonical_name
+    FROM names n LEFT JOIN lab l ON n.name = l.name
+    """,
+)
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution
+    (`operators/blocking.resolve_entities`): three blocking tiers
+    unioned -> jaro_winkler >= 0.88 matches -> transitive closure
+    (match graphs are not transitive) -> lexicographic-min canonical
+    name per entity. The oracle replays the tiers, the match set AND
+    the closure (recursive CTE), so the final name -> canonical
+    mapping is value-checked for every distinct name."""
+    from .operators.blocking import resolve_entities
+
+    part = load_table(spark, sf_dir, "part")
+    return resolve_entities(
+        part, "p_name", threshold=0.88, window=4, prefix_len=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

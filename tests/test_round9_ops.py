@@ -1679,3 +1679,29 @@ def test_aiff_wav_paths_agree(spark):
         for r in wav_sample_stats(synthesize_wav_corpus(docs)).collect()
     }
     assert a == w and len(a) == 40
+
+
+def test_resolve_entities_transitive_closure(spark):
+    """The match graph is not transitive: A~B and B~C pass the
+    threshold while A~C does not — resolution must still put all
+    three in one entity, canonicalized to the lexicographic min."""
+    from pl_fuzzy_frame_match_spark.operators.blocking import (
+        resolve_entities,
+    )
+
+    names = ["kitten", "kittens", "kitte", "zebra", "zebras", "apple"]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], ["i", "n"]
+    )
+    got = {
+        r["name"]: r["canonical_name"]
+        for r in resolve_entities(
+            df, "n", threshold=0.93, window=2, prefix_len=4
+        ).collect()
+    }
+    # jw: kitte~kitten .967, kitten~kittens .971, kitte~kittens .943,
+    # zebra~zebras .967 — kitten family + zebra family merge; apple alone
+    assert got["kitten"] == got["kittens"] == got["kitte"] == "kitte"
+    assert got["zebra"] == got["zebras"] == "zebra"
+    assert got["apple"] == "apple"
+    assert len(got) == 6
