@@ -101,6 +101,9 @@ def main() -> None:
         "fuzzy_join_sorted_neighborhood",
         "docs_lm_kn_perplexity",
         "dedup_tfidf_cosine",
+        "entity_resolution_pipeline",
+        "multimodal_aiff_samples",
+        "graph_walks_copurchase",
     ):
         if extra in registry:
             names.append(extra)

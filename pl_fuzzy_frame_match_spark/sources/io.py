@@ -118,3 +118,39 @@ def write_ipc_single(df: DataFrame, path: str) -> int:
         with pa.ipc.new_file(sink, table.schema) as writer:
             writer.write_table(table)
     return table.num_rows
+
+
+TEXT_FORMATS = ("csv", "json", "orc", "parquet")
+
+
+def write_table(df: DataFrame, dir_path: str, fmt: str = "parquet") -> None:
+    """Uniform multi-format sink (csv/json/orc/parquet). CSV gets a
+    header and explicit timestamp formatting so a schema-carrying
+    read round-trips; ORC/parquet are self-describing columnar and
+    the formats of record at scale — csv/json exist for interchange,
+    not for 100 TB scans."""
+    if fmt not in TEXT_FORMATS:
+        raise ValueError(f"unsupported format: {fmt}")
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true").option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        )
+    w.save(dir_path)
+
+
+def read_table(spark, dir_path: str, fmt: str = "parquet", schema=None):
+    """Uniform multi-format source. CSV and JSON are schema-less on
+    disk: pass the writer's schema for an exact round trip (header
+    names alone cannot restore types); ORC/parquet ignore ``schema``
+    and read their embedded one."""
+    if fmt not in TEXT_FORMATS:
+        raise ValueError(f"unsupported format: {fmt}")
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", "true").option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        )
+    if schema is not None and fmt in ("csv", "json"):
+        r = r.schema(schema)
+    return r.load(dir_path)

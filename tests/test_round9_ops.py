@@ -1705,3 +1705,23 @@ def test_resolve_entities_transitive_closure(spark):
     assert got["zebra"] == got["zebras"] == "zebra"
     assert got["apple"] == "apple"
     assert len(got) == 6
+
+
+def test_multiformat_roundtrip(spark, tmp_path):
+    """lineitem sample round-trips csv/json/orc/parquet with schema
+    and values intact (csv/json via the writer's schema)."""
+    from pl_fuzzy_frame_match_spark.sources.io import read_table, write_table
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").limit(200)
+    baseline = sorted(map(tuple, li.collect()))
+    for fmt in ("csv", "json", "orc", "parquet"):
+        path = str(tmp_path / fmt)
+        write_table(li, path, fmt)
+        back = read_table(spark, path, fmt, schema=li.schema)
+        assert back.schema == li.schema, fmt
+        assert sorted(map(tuple, back.collect())) == baseline, fmt
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_table(li, str(tmp_path / "x"), "avro")
