@@ -7554,6 +7554,16 @@ _PRIORITY = [
     # docs_dup_char_spans_exact (prefix-doubling exact spans),
     # vocab_topk_sketch (MG certificate path), docs_char_entropy,
     # multimodal_bmp_pixels — all oracled and pytest-green at sf0.01.
+    # Session-B additions to the candidate pool (all oracled at both
+    # gate SFs): entity_resolution_pipeline (blocking-family composed
+    # flagship incl. recursive-CTE closure oracle), dedup_tfidf_cosine
+    # (AllPairs prefix filter proven lossless vs the unfiltered SQL),
+    # graph_pagerank_copurchase / graph_triangles_copurchase (new
+    # iterative/analytic family), graph_walks_copurchase +
+    # graph_skipgram_pairs (every md5 draw replayed),
+    # blocking_quality_report, fuzzy_join_phonetic,
+    # fuzzy_join_sorted_neighborhood, docs_lm_kn_perplexity,
+    # layout_zorder_lineitem, multimodal_aiff_samples.
 ]
 
 
