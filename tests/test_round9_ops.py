@@ -1725,3 +1725,43 @@ def test_multiformat_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         write_table(li, str(tmp_path / "x"), "avro")
+
+
+def test_association_rules_hand_computed(spark):
+    from pl_fuzzy_frame_match_spark.operators.rules import association_rules
+
+    baskets = [
+        (1, "bread"), (1, "butter"), (1, "milk"),
+        (2, "bread"), (2, "butter"),
+        (3, "bread"), (3, "milk"),
+        (4, "beer"),
+        (4, "beer"),  # duplicate line collapses
+    ]
+    df = spark.createDataFrame(baskets, ["g", "item"])
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["pair_count"], r["support"], r["confidence"], r["lift"]
+        )
+        for r in association_rules(
+            df, "g", "item", min_support_count=2, min_confidence_pct=60
+        ).collect()
+    }
+    # butter->bread: pair 2, sup(butter)=2 -> conf 1.0, lift 1.0*4/3
+    assert got[("butter", "bread")] == (2, 0.5, 1.0, round(4 / 3, 6))
+    # bread->butter: conf 2/3 >= 60%
+    assert got[("bread", "butter")] == (
+        2, 0.5, round(2 / 3, 6), round(2 * 4 / (3 * 2), 6)
+    )
+    # milk->bread conf 1.0; bread->milk conf 2/3
+    assert ("milk", "bread") in got and ("bread", "milk") in got
+    # nothing else (beer has no pairs; pairs below support cut)
+    assert len(got) == 4
+    # integer confidence gate: at 70% bread->butter (66.7%) drops
+    tighter = {
+        (r["antecedent"], r["consequent"])
+        for r in association_rules(
+            df, "g", "item", min_support_count=2, min_confidence_pct=70
+        ).collect()
+    }
+    assert ("bread", "butter") not in tighter
+    assert ("butter", "bread") in tighter
