@@ -526,3 +526,59 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def eigenvector_centrality(
+    edges: DataFrame, iterations: int = 3, checkpoint_every: int = 4
+) -> DataFrame:
+    """Eigenvector centrality by power iteration over the undirected
+    adjacency: x <- A x / ||A x||_2 from the uniform start, a fixed
+    number of rounds (the deterministic, SQL-unrollable form — no
+    convergence test, like `pagerank`). A node is central when its
+    neighbors are central; on co-occurrence graphs this ranks the
+    "core" items the way degree alone cannot.
+
+    Plan per round: one edge⋈vector join + per-dst sum (the A·x), one
+    scalar L2 norm broadcast back — the vector is the only thing that
+    shuffles. Lineage checkpointed every ``checkpoint_every`` rounds.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    spark = edges.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sym = _symmetrized(edges)
+    adj = sym.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).repartition(shuffle, "src").persist()
+    nodes = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        adj.unpersist()
+        return spark.createDataFrame([], "node long, score double")
+    import math
+
+    x = nodes.select("node", F.lit(1.0 / math.sqrt(n)).alias("score"))
+    for i in range(iterations):
+        y = (
+            adj.join(x, adj["src"] == x["node"])
+            .groupBy("dst")
+            .agg(F.sum("score").alias("y"))
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("__nrm"))
+        x = (
+            nodes.join(y, nodes["node"] == y["dst"], "left")
+            .crossJoin(F.broadcast(norm))
+            .select(
+                "node",
+                (F.coalesce(F.col("y"), F.lit(0.0)) / F.col("__nrm")).alias(
+                    "score"
+                ),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            x = x.localCheckpoint(eager=True)
+    return x

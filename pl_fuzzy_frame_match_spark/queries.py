@@ -7523,6 +7523,47 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _eigencentrality_oracle_sql(iterations: int) -> str:
+    rounds = [
+        "x0 AS (SELECT node, 1.0 / sqrt(nn.c) AS score"
+        " FROM deg CROSS JOIN nn)"
+    ]
+    for i in range(iterations):
+        rounds.append(
+            f"""y{i} AS (SELECT sym.v AS node, sum(x.score) AS y
+      FROM sym JOIN x{i} x ON sym.u = x.node GROUP BY sym.v),
+    n{i} AS (SELECT sqrt(sum(y * y)) AS nrm FROM y{i}),
+    x{i + 1} AS (SELECT d.node,
+                        coalesce(y.y, 0.0) / n{i}.nrm AS score
+                 FROM deg d LEFT JOIN y{i} y ON d.node = y.node
+                 CROSS JOIN n{i})"""
+        )
+    return (
+        "WITH " + _COPURCHASE_EDGES_SQL + ",\n"
+        "    nn AS (SELECT count(*) AS c FROM deg),\n    "
+        + ",\n    ".join(rounds)
+        + f"\n    SELECT node AS part, round(score, 6) AS score"
+        f" FROM x{iterations}"
+    )
+
+
+@register("graph_eigencentrality", _eigencentrality_oracle_sql(3))
+def graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality (3 power-iteration rounds, L2
+    normalized) over the co-purchase graph — the oracle unrolls
+    every A·x round AND the norm scalar in SQL."""
+    from .operators.graph import cooccurrence_edges, eigenvector_centrality
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = eigenvector_centrality(edges, iterations=3)
+    return out.select(
+        F.col("node").alias("part"), F.round("score", 6).alias("score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

@@ -1765,3 +1765,32 @@ def test_association_rules_hand_computed(spark):
     }
     assert ("bread", "butter") not in tighter
     assert ("butter", "bread") in tighter
+
+
+def test_eigenvector_centrality_properties(spark):
+    """Unit norm each round; star center dominates; driver replay."""
+    import math
+
+    from pl_fuzzy_frame_match_spark.operators.graph import (
+        eigenvector_centrality,
+    )
+
+    edges = [(1, 2), (1, 3), (1, 4), (1, 5), (4, 5)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        r["node"]: r["score"]
+        for r in eigenvector_centrality(df, iterations=4).collect()
+    }
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    x = {k: 1.0 / math.sqrt(len(adj)) for k in adj}
+    for _ in range(4):
+        y = {k: sum(x[j] for j in adj[k]) for k in adj}
+        nrm = math.sqrt(sum(v * v for v in y.values()))
+        x = {k: v / nrm for k, v in y.items()}
+    for k in x:
+        assert abs(got[k] - x[k]) < 1e-9, (k, got[k], x[k])
+    assert abs(sum(v * v for v in got.values()) - 1.0) < 1e-9
+    assert got[1] == max(got.values())  # hub of the star
