@@ -778,3 +778,55 @@ def kn_bigram_cross_entropy(
             ),
         )
     )
+
+
+def readability_stats(df, text_col: str, id_col: str):
+    """Flesch-Kincaid-style readability per document, from three
+    regex-countable proxies (the curation-filter form — no dictionary
+    or hyphenation, so both engines replay it exactly):
+
+    - words: whitespace-delimited tokens;
+    - sentences: maximal ``[.!?]+`` runs, floored at 1;
+    - syllables per word: maximal ``[aeiouy]+`` vowel groups,
+      floored at 1 (the standard cheap proxy).
+
+    grade = 0.39 * words/sentences + 11.8 * syllables/words - 15.59
+    (Kincaid et al. 1975). Map-only: one regexp pass per component
+    inside whole-stage codegen, zero shuffle — the same plan shape as
+    quality_score. Output: (id, n_words, n_sentences, n_syllables,
+    fk_grade)."""
+    from pyspark.sql import functions as F
+
+    toks = tokens(F.col(text_col))
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sents = F.greatest(
+        F.lit(1),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)
+        ),
+    )
+    return (
+        df.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        .where(F.size(toks) > 0)
+        .select(
+            F.col(id_col),
+            F.size(toks).alias("n_words"),
+            sents.alias("n_sentences"),
+            syl.alias("n_syllables"),
+            F.round(
+                F.lit(0.39) * F.size(toks) / sents
+                + F.lit(11.8) * syl / F.size(toks)
+                - F.lit(15.59),
+                6,
+            ).alias("fk_grade"),
+        )
+    )

@@ -7564,6 +7564,47 @@ def graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_readability",
+    r"""
+    WITH t AS (SELECT doc_id, lower(text) AS txt,
+                      regexp_extract_all(lower(text), '\S+') AS w
+               FROM documents
+               WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    s AS (SELECT doc_id,
+                 len(w) AS n_words,
+                 greatest(1, len(regexp_extract_all(txt, '[.!?]+')))
+                     AS n_sentences,
+                 list_sum(list_transform(w, x ->
+                   greatest(1, len(regexp_extract_all(x, '[aeiouy]+')))))
+                     AS n_syllables
+          FROM t WHERE len(w) > 0)
+    SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           CAST(n_sentences AS INT) AS n_sentences,
+           CAST(n_syllables AS INT) AS n_syllables,
+           round(0.39 * n_words / n_sentences
+                 + 11.8 * n_syllables / n_words - 15.59, 6) AS fk_grade
+    FROM s
+    """,
+)
+def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid readability proxy per document (regex word /
+    sentence / vowel-group syllable counts — the curation-filter
+    form). Map-only zero-shuffle; oracle replays the same regex
+    counts and arithmetic."""
+    from .functions.text import readability_stats, widen_narrow_scan
+
+    docs = widen_narrow_scan(load_table(spark, sf_dir, "documents"))
+    out = readability_stats(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_sentences").cast("int").alias("n_sentences"),
+        F.col("n_syllables").cast("int").alias("n_syllables"),
+        "fk_grade",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

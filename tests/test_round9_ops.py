@@ -1794,3 +1794,32 @@ def test_eigenvector_centrality_properties(spark):
         assert abs(got[k] - x[k]) < 1e-9, (k, got[k], x[k])
     assert abs(sum(v * v for v in got.values()) - 1.0) < 1e-9
     assert got[1] == max(got.values())  # hub of the star
+
+
+def test_readability_hand_computed(spark):
+    from pl_fuzzy_frame_match_spark.functions.text import readability_stats
+
+    docs = [
+        (1, "The cat sat. The dog ran! Did it?"),   # 8 words, 3 sentences
+        (2, "strength"),                            # 1 word, 1 vowel group
+        (3, "xyzzy pfft"),  # no aeiouy... wait y counts: xyzzy has y twice
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_sentences"], r["n_syllables"], r["fk_grade"]
+        )
+        for r in readability_stats(df, "text", "doc_id").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    # doc 1: words: the cat sat. the dog ran! did it? -> 8 words
+    # syllables: the=1 cat=1 sat.=1 the=1 dog=1 ran!=1 did=1 it?=1 -> 8
+    w, s, sy, g = got[1]
+    assert (w, s, sy) == (8, 3, 8)
+    assert abs(g - round(0.39 * 8 / 3 + 11.8 * 1 - 15.59, 6)) < 1e-9
+    # strength: one vowel group 'e'
+    assert got[2][:3] == (1, 1, 1)
+    # xyzzy: groups 'y','y' -> 2; pfft: none -> floor 1
+    assert got[3][:3] == (2, 1, 3)
