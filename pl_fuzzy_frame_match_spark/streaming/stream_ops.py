@@ -1102,3 +1102,133 @@ def stream_phonetic_probe(
     return phonetic_probe_batch(
         stream, corpus, name_col=name_col, metric=metric, threshold=threshold
     )
+
+
+def entity_assign_batch(
+    queries, entities, name_col: str = "name",
+    threshold: float = 0.88, metric: str = "jaro_winkler",
+):
+    """Shared batch/stream body for online entity assignment: an
+    arriving name is Soundex-blocked against the frozen entity table
+    (distinct known names -> canonical), scored, and assigned the
+    best-scoring canonical at similarity >= threshold — or itself
+    when nothing in its block clears the bar (a NEW entity). Ties
+    break to the lexicographically smaller canonical. Batch form:
+    groupBy-max_by; the streaming twin replaces that aggregation with
+    an applyInPandasWithState best-match (streaming append mode
+    cannot run a plain aggregation without a watermark)."""
+    from pyspark.sql import functions as F
+
+    scored = _entity_scored(queries, entities, name_col, threshold, metric)
+    # min_by over (-sim, canon): highest similarity first, ties to the
+    # lexicographically smaller canonical; unmatched rows order last
+    # (sentinel 2.0 > any -sim) and fall back to the name itself
+    ordering = F.struct(
+        F.coalesce(-F.col("__sim"), F.lit(2.0)).alias("ns"),
+        F.coalesce(F.col("__canon"), F.col("query_name")).alias("c"),
+    )
+    best = scored.groupBy("query_name").agg(
+        F.min_by(
+            F.coalesce(F.col("__canon"), F.col("query_name")), ordering
+        ).alias("entity"),
+        F.max("__sim").alias("match_sim"),
+    )
+    return best.select("query_name", "entity", "match_sim")
+
+
+def _entity_scored(queries, entities, name_col, threshold, metric):
+    """(query_name, __canon, __sim) — left join of queries against
+    their Soundex block in the entity index, similarity-scored,
+    below-threshold candidates nulled (kept as left rows so unmatched
+    names survive to become their own entity)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.kernels import distance_column
+    from ..functions.phonetic import soundex_code
+
+    index = (
+        entities.select(
+            F.col("name").alias("__iname"),
+            F.col("canonical_name").alias("__canon"),
+        )
+        .distinct()
+        .withColumn("__icode", soundex_code(F.col("__iname")))
+        .where(F.col("__icode").isNotNull())
+    )
+    probes = queries.select(
+        F.col(name_col).alias("query_name")
+    ).withColumn("__qcode", soundex_code(F.col("query_name")))
+    sim = F.lit(1.0) - distance_column(
+        metric, F.lower(F.col("query_name")), F.lower(F.col("__iname"))
+    )
+    joined = probes.join(
+        index, probes["__qcode"] == index["__icode"], "left"
+    ).withColumn("__rawsim", sim)
+    keep = F.col("__rawsim") >= F.lit(threshold)
+    return joined.select(
+        "query_name",
+        F.when(keep, F.col("__canon")).alias("__canon"),
+        F.when(keep, F.round(F.col("__rawsim"), 6)).alias("__sim"),
+    )
+
+
+def stream_entity_assign(
+    spark, path: str, schema, entities, name_col: str = "name",
+    threshold: float = 0.88, metric: str = "jaro_winkler",
+):
+    """Streaming twin of `entity_assign_batch` (21st twin): online
+    record linkage against a FROZEN resolved-entity table — arriving
+    names are blocked, scored and assigned per microbatch; the
+    best-match selection is an ``applyInPandasWithState`` keyed by
+    the query name (append-mode streaming cannot aggregate without a
+    watermark; the state op emits exactly one assignment per name per
+    batch, the same contract as `stream_fuzzy_enrich`)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    scored = _entity_scored(stream, entities, name_col, threshold, metric)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_name", T.StringType()),
+            T.StructField("entity", T.StringType()),
+            T.StructField("match_sim", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("unused", T.IntegerType())])
+
+    def best(key, pdfs, state):  # noqa: ARG001
+        best_s, best_c, seen = None, None, False
+        for pdf in pdfs:
+            if len(pdf):
+                seen = True
+            hits = pdf[pdf["__sim"].notna()]
+            for _, cr in hits.iterrows():
+                s, c = float(cr["__sim"]), cr["__canon"]
+                if (
+                    best_s is None
+                    or s > best_s
+                    or (s == best_s and c < best_c)
+                ):
+                    best_s, best_c = s, c
+        if not seen:
+            return
+        name = key[0]
+        yield pd.DataFrame(
+            [
+                {
+                    "query_name": name,
+                    "entity": best_c if best_c is not None else name,
+                    "match_sim": best_s,
+                }
+            ]
+        )
+
+    return scored.groupBy("query_name").applyInPandasWithState(
+        best, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1823,3 +1823,53 @@ def test_readability_hand_computed(spark):
     assert got[2][:3] == (1, 1, 1)
     # xyzzy: groups 'y','y' -> 2; pfft: none -> floor 1
     assert got[3][:3] == (2, 1, 3)
+
+
+def test_stream_entity_assign_matches_batch(spark, tmp_path):
+    """Online entity assignment (frozen resolved index, stateful
+    best-match per name) == the batch groupBy form; unmatched names
+    become their own entity; 21st streaming twin."""
+    from pyspark.sql import functions as F
+
+    from pl_fuzzy_frame_match_spark.operators.blocking import (
+        resolve_entities,
+    )
+    from pl_fuzzy_frame_match_spark.sources.tables import load_table
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        entity_assign_batch,
+        stream_entity_assign,
+    )
+
+    part = load_table(spark, "/root/testdata/sf0.001", "part")
+    entities = resolve_entities(part, "p_name", threshold=0.88).cache()
+    probes = (
+        part.select(F.col("p_name").alias("name")).distinct().limit(25)
+        .unionByName(
+            spark.createDataFrame(
+                [("utterly novel widgetron",)], ["name"]
+            )
+        )
+    )
+    batch = {
+        (r["query_name"], r["entity"], r["match_sim"])
+        for r in entity_assign_batch(probes, entities, "name").collect()
+    }
+    assert ("utterly novel widgetron", "utterly novel widgetron", None) in batch
+    src = str(tmp_path / "ea_probes")
+    probes.write.parquet(src)
+    q = (
+        stream_entity_assign(
+            spark, src, spark.read.parquet(src).schema, entities, "name"
+        )
+        .writeStream.format("memory")
+        .queryName("q_ea")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["query_name"], r["entity"], r["match_sim"])
+        for r in spark.sql("SELECT * FROM q_ea").collect()
+    }
+    assert streamed == batch and len(batch) == 26
