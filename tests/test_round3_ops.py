@@ -1055,6 +1055,15 @@ _NL_ALLOWED = {
     # same 1-row-total pattern: bigram-LM normalizer; the pipeline
     # embeds temperature_rates' two scalar totals
     "docs_lm_bigram_perplexity", "pipeline_training_data",
+    # round-9 session B — same 1-row broadcast scalar patterns:
+    # KN type-count normalizer; per-round L2 norm scalar; min/max
+    # bounds row for the Morton scaling
+    "docs_lm_kn_perplexity", "graph_eigencentrality",
+    "layout_zorder_lineitem",
+    # blocking_quality_report: the TRUTH side is an intentional
+    # quadratic distinct-key cross (documented evaluation harness —
+    # run on a sample at scale); the tiers themselves are equi-joins
+    "blocking_quality_report",
 }
 
 
