@@ -158,13 +158,17 @@ def _window_start_flags(
     if span_len < 2:
         raise ValueError("span_len must be >= 2")
     t = F.lower(F.col(text_col))
-    # base rank over width-4 grams when the span allows (halves the
-    # doubling rounds vs single chars; a 4-byte key is as cheap to
-    # shuffle as one char). Near the doc end substring() returns the
-    # SHORT tail, which can only equal other short tails of the same
-    # content+length — the same end semantics as the -1 padding in
-    # the doubling rounds, and irrelevant to full-window starts.
-    base_w = 4 if span_len >= 4 else 1
+    # base rank over multi-char grams when the span allows (each
+    # doubling round skipped is one global rank pass saved). Near the
+    # doc end substring() returns the SHORT tail, which can only
+    # equal other short tails of the same content+length — the same
+    # end semantics as the -1 padding in the doubling rounds, and
+    # irrelevant to full-window starts.
+    # widest base gram that still never exceeds the two-window cover:
+    # an 8-char key shuffles like one long and, at span_len <= 16,
+    # removes EVERY doubling round (the L=16 flagship goes from two
+    # global rank passes to one — A/B in PLANS.md round 9 session B)
+    base_w = 8 if span_len >= 8 else 4 if span_len >= 4 else 1
     # length guard: Spark's sequence(0, -1) would yield a DESCENDING
     # [0, -1] for empty text, not an empty array
     pos = docs.select(
@@ -320,6 +324,8 @@ def duplicated_char_spans_sweep(
         raise ValueError("span_lens must all be >= 4")
     lmax = lens_sorted[-1]
     t = F.lower(F.col(text_col))
+    lmin = min(lens_sorted)
+    base_w = 8 if lmin >= 8 else 4 if lmin >= 4 else 1
     pos = docs.select(
         F.col(id_col).alias("doc"), t.alias("__t")
     ).where(F.length("__t") > 0).select(
@@ -329,14 +335,14 @@ def duplicated_char_spans_sweep(
     ).select(
         "doc",
         "off",
-        F.substring(F.col("__t"), F.col("off") + 1, F.lit(4)).alias("g"),
+        F.substring(F.col("__t"), F.col("off") + 1, F.lit(base_w)).alias("g"),
     )
     levels = {}
     cur = global_dense_rank(pos, ["g"], "r", dense=False).select(
         "doc", "off", "r"
     )
-    levels[4] = cur
-    width = 4
+    levels[base_w] = cur
+    width = base_w
     while width * 2 < lmax:
         nxt = cur.select(
             F.col("doc"),
