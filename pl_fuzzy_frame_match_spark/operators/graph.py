@@ -582,3 +582,50 @@ def eigenvector_centrality(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             x = x.localCheckpoint(eager=True)
     return x
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 2, checkpoint_every: int = 4
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation
+    (Raghavan et al. 2007), made deterministic and SQL-unrollable:
+    every node starts labeled with its own id; each round every node
+    simultaneously adopts the most frequent label among its
+    neighbors, ties broken to the SMALLEST label; fixed round count.
+    (The classic async/random-order variant converges further but is
+    irreproducible — this is the deterministic form distributed
+    systems actually ship.)
+
+    Plan per round: one edge⋈label join, one (node, label) count
+    aggregation, one per-node argmax (min_by over (-count, label)) —
+    the label vector is the only shuffled state. Output:
+    (node, label)."""
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    spark = edges.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sym = _symmetrized(edges)
+    adj = sym.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).repartition(shuffle, "src").persist()
+    labels = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(rounds):
+        counts = (
+            adj.join(labels, adj["src"] == labels["node"])
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = counts.groupBy(F.col("dst").alias("node")).agg(
+            F.min_by(
+                "label",
+                F.struct((-F.col("__c")).alias("nc"), F.col("label").alias("l")),
+            ).alias("label")
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

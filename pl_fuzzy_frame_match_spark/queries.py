@@ -7605,6 +7605,41 @@ def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _labelprop_oracle_sql(rounds: int) -> str:
+    cte = ["l0 AS (SELECT node, node AS label FROM deg)"]
+    for i in range(rounds):
+        cte.append(
+            f"""c{i} AS (SELECT sym.v AS node, l.label, count(*) AS c
+      FROM sym JOIN l{i} l ON sym.u = l.node
+      GROUP BY sym.v, l.label),
+    l{i + 1} AS (SELECT node, label FROM (
+      SELECT node, label,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY c DESC, label ASC) AS rn
+      FROM c{i}) WHERE rn = 1)"""
+        )
+    return (
+        "WITH " + _COPURCHASE_EDGES_SQL + ",\n    "
+        + ",\n    ".join(cte)
+        + f"\n    SELECT node AS part, label FROM l{rounds}"
+    )
+
+
+@register("graph_labelprop_copurchase", _labelprop_oracle_sql(2))
+def graph_labelprop_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (2 rounds, ties to
+    the smallest label) over the co-purchase graph; the oracle
+    unrolls both rounds (count + argmax via window) in SQL."""
+    from .operators.graph import cooccurrence_edges, label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = label_propagation(edges, rounds=2)
+    return out.select(F.col("node").alias("part"), "label")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

@@ -1873,3 +1873,40 @@ def test_stream_entity_assign_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM q_ea").collect()
     }
     assert streamed == batch and len(batch) == 26
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two cliques joined by one bridge edge: after 2 synchronous
+    rounds each clique converges to its min id; driver replay pins
+    the exact sync/tie semantics."""
+    import itertools
+    from collections import Counter
+
+    from pl_fuzzy_frame_match_spark.operators.graph import label_propagation
+
+    c1, c2 = [1, 2, 3, 4], [10, 11, 12, 13]
+    edges = (
+        list(itertools.combinations(c1, 2))
+        + list(itertools.combinations(c2, 2))
+        + [(4, 10)]
+    )
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, rounds=2).collect()
+    }
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lab = {n: n for n in adj}
+    for _ in range(2):
+        nxt = {}
+        for n in adj:
+            cnt = Counter(lab[m] for m in adj[n])
+            best = min(cnt, key=lambda k: (-cnt[k], k))
+            nxt[n] = best
+        lab = nxt
+    assert got == lab
+    # community structure: every clique-1 node labeled 1
+    assert all(got[n] == 1 for n in c1)
