@@ -118,3 +118,25 @@ def phonetic_blocked_pairs(
         .where(F.col("similarity") >= F.lit(threshold))
         .select("left_name", "right_name", "similarity")
     )
+
+
+def token_sort_normalized(col: Column) -> Column:
+    """Token-sort canonical form (the fuzzywuzzy ``token_sort_ratio``
+    normalization): lowercase whitespace tokens, sorted, re-joined
+    with single spaces — word order stops mattering before an edit
+    distance is taken. Pure Catalyst."""
+    from .text import tokens
+
+    return F.array_join(F.array_sort(tokens(col)), " ")
+
+
+def token_sort_similarity(a: Column, b: Column) -> Column:
+    """Normalized token-sort similarity: 1 - lev(sort(a), sort(b)) /
+    max(len) over the canonical forms — catches 'ring small' ==
+    'small ring' that plain edit distance scores as far apart; the
+    popular fuzzy-matching companion metric to the six core
+    kernels."""
+    from .kernels import distance_column
+
+    na, nb = token_sort_normalized(a), token_sort_normalized(b)
+    return F.lit(1.0) - distance_column("levenshtein", na, nb)

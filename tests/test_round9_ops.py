@@ -1910,3 +1910,32 @@ def test_label_propagation_two_cliques(spark):
     assert got == lab
     # community structure: every clique-1 node labeled 1
     assert all(got[n] == 1 for n in c1)
+
+
+def test_token_sort_similarity_permutation_invariant(spark):
+    from pl_fuzzy_frame_match_spark.functions.phonetic import (
+        token_sort_similarity,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "small ring", "ring small", 1.0),      # pure permutation
+        (2, "small ring", "small ring", 1.0),
+        (3, "Big  Blue Bolt", "bolt big blue", 1.0),  # case+spacing
+    ]
+    df = spark.createDataFrame(rows, ["i", "a", "b", "want"])
+    out = df.select(
+        "i", "want",
+        F.round(token_sort_similarity(F.col("a"), F.col("b")), 6).alias("s"),
+    ).collect()
+    for r in out:
+        assert r["s"] == r["want"], r["i"]
+    # order-sensitive lev on the raw strings would NOT be 1.0
+    from pl_fuzzy_frame_match_spark.functions.kernels import distance_column
+
+    raw = df.where("i = 1").select(
+        (F.lit(1.0) - distance_column(
+            "levenshtein", F.lower(F.col("a")), F.lower(F.col("b"))
+        )).alias("s")
+    ).first()["s"]
+    assert raw < 1.0
