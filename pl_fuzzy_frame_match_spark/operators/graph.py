@@ -629,3 +629,75 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def negative_sampled_pairs(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    negatives: int = 2,
+    seed: str = "n",
+) -> DataFrame:
+    """Skip-gram-with-negative-sampling training set (the word2vec
+    SGNS data layout): every positive (center, context) pair is kept
+    with label 1, and ``negatives`` deterministic draws from the
+    id-sorted node table are attached with label 0 — draw j for a
+    pair is node rank ``md5_u32(center ':' context ':' j ':' seed)
+    mod N`` (uniform negative distribution; a draw that collides
+    with the true context is kept, the standard small-corpus
+    simplification, and exactly what the SQL oracle replays).
+
+    ``pairs``: (center, context, cnt) as from :func:`skipgram_pairs`;
+    ``nodes``: one ``node`` column. Output: (center, context, label,
+    cnt) — negatives inherit the positive pair's multiplicity.
+
+    Scale shape: the node table is ranked once (distributed rank
+    primitive), negatives are an explode + one equi-join on the drawn
+    rank; nothing quadratic, no driver data path."""
+    from .suffixdedup import global_dense_rank
+
+    if negatives < 0:
+        raise ValueError("negatives must be >= 0")
+    ranked = global_dense_rank(
+        nodes.select("node").distinct(), ["node"], rank_col="_rk"
+    ).localCheckpoint(eager=True)
+    n = ranked.count()
+    pos = pairs.select(
+        "center", "context", F.lit(1).alias("label"), "cnt"
+    )
+    if negatives == 0 or n == 0:
+        return pos
+    drawn = pairs.select(
+        "center",
+        F.col("context").alias("_pos"),
+        "cnt",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(negatives)])
+        ).alias("_j"),
+    ).withColumn(
+        "_draw",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("center").cast("string"),
+                        F.col("_pos").cast("string"),
+                        F.col("_j").cast("string"),
+                        F.lit(seed),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(n),
+    )
+    neg = drawn.join(ranked, drawn["_draw"] == ranked["_rk"]).select(
+        "center",
+        F.col("node").alias("context"),
+        F.lit(0).alias("label"),
+        "cnt",
+    )
+    return pos.unionByName(neg)

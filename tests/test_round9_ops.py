@@ -1939,3 +1939,32 @@ def test_token_sort_similarity_permutation_invariant(spark):
         )).alias("s")
     ).first()["s"]
     assert raw < 1.0
+
+
+def test_negative_sampled_pairs_spec(spark):
+    """Negatives follow the documented md5 draw exactly; positives
+    keep label 1; negatives inherit multiplicity; negatives=0 is
+    positives only."""
+    import hashlib
+
+    from pl_fuzzy_frame_match_spark.operators.graph import (
+        negative_sampled_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 20, 3), (20, 30, 1)], ["center", "context", "cnt"]
+    )
+    nodes = spark.createDataFrame([(10,), (20,), (30,), (40,)], ["node"])
+    out = negative_sampled_pairs(pairs, nodes, negatives=2, seed="n").collect()
+    pos = [(r["center"], r["context"], r["cnt"]) for r in out if r["label"] == 1]
+    neg = [(r["center"], r["context"], r["cnt"]) for r in out if r["label"] == 0]
+    assert sorted(pos) == [(10, 20, 3), (20, 30, 1)]
+    ordered = [10, 20, 30, 40]
+    want_neg = []
+    for c, p, cnt in [(10, 20, 3), (20, 30, 1)]:
+        for j in range(2):
+            h = int(hashlib.md5(f"{c}:{p}:{j}:n".encode()).hexdigest()[:8], 16)
+            want_neg.append((c, ordered[h % 4], cnt))
+    assert sorted(neg) == sorted(want_neg)
+    only_pos = negative_sampled_pairs(pairs, nodes, negatives=0).collect()
+    assert all(r["label"] == 1 for r in only_pos) and len(only_pos) == 2
