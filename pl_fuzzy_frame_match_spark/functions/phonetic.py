@@ -77,6 +77,7 @@ def phonetic_blocked_pairs(
     name_col: str,
     metric: str = "jaro_winkler",
     threshold: float = 0.0,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Within-corpus candidate pairs via Soundex blocking.
 
@@ -92,6 +93,14 @@ def phonetic_blocked_pairs(
     frame is small; AQE handles skewed codes above that), one map-side
     score + filter. No cartesian, no Python in the hot path for
     Catalyst-expressible metrics.
+
+    ``max_block`` is BLOCK PURGING (Papadakis et al.'s block
+    cleaning): a Soundex block with more than ``max_block`` distinct
+    names is dropped entirely — at corpus scale the ~8,918-code
+    keyspace guarantees some blocks go quadratic (measured: 147M
+    scored pairs from 1M names, PLANS.md round 9 session B), and a
+    hot block's pairs are better recalled by the linear tiers. None
+    (the default) disables purging — gate-scale behavior unchanged.
     """
     from .kernels import distance_column
 
@@ -102,6 +111,14 @@ def phonetic_blocked_pairs(
         .withColumn("_code", soundex_code(F.col("left_name")))
         .where(F.col("_code").isNotNull())
     )
+    if max_block is not None:
+        small = (
+            names.groupBy("_code")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") <= F.lit(int(max_block)))
+            .select("_code")
+        )
+        names = names.join(small, "_code")
     right = names.select(
         F.col("left_name").alias("right_name"), F.col("_code").alias("_rcode")
     )

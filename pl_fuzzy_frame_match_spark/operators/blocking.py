@@ -77,6 +77,7 @@ def prefix_block_pairs(
     prefix_len: int = 3,
     metric: str = "jaro_winkler",
     threshold: float = 0.0,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Prefix blocking: candidate pairs of DISTINCT keys sharing their
     first ``prefix_len`` lowercased characters — the cheapest classic
@@ -92,6 +93,15 @@ def prefix_block_pairs(
         .distinct()
         .withColumn("_pfx", F.substring(F.lower(F.col("left_name")), 1, prefix_len))
     )
+    if max_block is not None:
+        # block purging, same contract as phonetic_blocked_pairs
+        small = (
+            keys.groupBy("_pfx")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") <= F.lit(int(max_block)))
+            .select("_pfx")
+        )
+        keys = keys.join(small, "_pfx")
     right = keys.select(
         F.col("left_name").alias("right_name"), F.col("_pfx").alias("_rp")
     )
@@ -211,6 +221,7 @@ def resolve_entities(
     window: int = 4,
     prefix_len: int = 3,
     metric: str = "jaro_winkler",
+    max_block: int | None = None,
 ) -> DataFrame:
     """END-TO-END entity resolution over a name column: union the
     three blocking tiers (Soundex, sorted-neighborhood, prefix) for
@@ -240,12 +251,17 @@ def resolve_entities(
         .distinct()
     )
     cands = (
-        phonetic_blocked_pairs(df, key_col, metric=metric)
+        phonetic_blocked_pairs(
+            df, key_col, metric=metric, max_block=max_block
+        )
         .unionByName(
             sorted_neighborhood_pairs(df, key_col, window=window, metric=metric)
         )
         .unionByName(
-            prefix_block_pairs(df, key_col, prefix_len=prefix_len, metric=metric)
+            prefix_block_pairs(
+                df, key_col, prefix_len=prefix_len, metric=metric,
+                max_block=max_block,
+            )
         )
         .select("left_name", "right_name")
         .distinct()

@@ -12,6 +12,13 @@ canonical). The quadratic truth harness (blocking_quality) is
 intentionally NOT run at this size — that is the documented sampling
 boundary.
 
+The first run of this probe (no purging) measured the hot-block
+failure mode the phonetic docstring predicts: 147M scored pairs from
+the Soundex tier and 192M from the 4-char prefix tier at 1M names,
+and the composed pipeline GC-thrashed to death unioning them. The
+probe now runs the capped tiers (max_block=50 block purging) — the
+production configuration.
+
 Run contention-free from the repo root:
     python scripts/probe_blocking_scale.py            # 1M names
     python scripts/probe_blocking_scale.py --small    # 100K
@@ -60,12 +67,12 @@ def main():
     )
     print(json.dumps({"names": names.count()}), flush=True)
     for tier, frame in [
-        ("phonetic", phonetic_blocked_pairs(names, "name", threshold=0.88)),
+        ("phonetic_purged", phonetic_blocked_pairs(names, "name", threshold=0.88, max_block=50)),
         (
             "sorted_neighborhood",
             sorted_neighborhood_pairs(names, "name", window=4, threshold=0.88),
         ),
-        ("prefix", prefix_block_pairs(names, "name", prefix_len=4, threshold=0.88)),
+        ("prefix_purged", prefix_block_pairs(names, "name", prefix_len=4, threshold=0.88, max_block=50)),
     ]:
         t0 = time.time()
         c = frame.count()
@@ -77,7 +84,8 @@ def main():
             flush=True,
         )
     t0 = time.time()
-    ents = resolve_entities(names, "name", threshold=0.88, window=4, prefix_len=4)
+    ents = resolve_entities(names, "name", threshold=0.88, window=4,
+                            prefix_len=4, max_block=50)
     n_ent = ents.select("canonical_name").distinct().count()
     print(
         json.dumps(

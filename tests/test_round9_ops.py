@@ -1968,3 +1968,31 @@ def test_negative_sampled_pairs_spec(spark):
     assert sorted(neg) == sorted(want_neg)
     only_pos = negative_sampled_pairs(pairs, nodes, negatives=0).collect()
     assert all(r["label"] == 1 for r in only_pos) and len(only_pos) == 2
+
+
+def test_block_purging_drops_only_hot_blocks(spark):
+    """max_block purges oversized blocks entirely; small blocks are
+    untouched; default None keeps the uncapped behavior."""
+    from pl_fuzzy_frame_match_spark.functions.phonetic import (
+        phonetic_blocked_pairs,
+    )
+    from pl_fuzzy_frame_match_spark.operators.blocking import (
+        prefix_block_pairs,
+    )
+
+    # 5 sound-alike names in one hot block + one small block of 2
+    hot = [f"robert{i}" for i in range(5)]  # same soundex R163
+    small = ["kitte", "kitta"]  # both K300
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(hot + small)], ["i", "n"]
+    )
+    full = {(r["left_name"], r["right_name"])
+            for r in phonetic_blocked_pairs(df, "n").collect()}
+    capped = {(r["left_name"], r["right_name"])
+              for r in phonetic_blocked_pairs(df, "n", max_block=4).collect()}
+    assert len(full) == 10 + 1          # C(5,2) hot + 1 small pair
+    assert capped == {("kitta", "kitte")}
+    # prefix tier: same purge semantics
+    pfull = prefix_block_pairs(df, "n", prefix_len=6).collect()
+    pcapped = prefix_block_pairs(df, "n", prefix_len=6, max_block=4).collect()
+    assert len(pfull) == 10 and len(pcapped) == 0
