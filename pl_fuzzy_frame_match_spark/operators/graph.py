@@ -701,3 +701,42 @@ def negative_sampled_pairs(
         "cnt",
     )
     return pos.unionByName(neg)
+
+
+def khop_reach(edges: DataFrame, hops: int = 2) -> DataFrame:
+    """Per-node neighborhood growth: how many distinct nodes are
+    reachable within 1, 2, ... ``hops`` undirected hops (self
+    excluded) — the BFS-frontier profile that diagnoses graph
+    density/diameter before running iterative algorithms on it.
+
+    Round k is one equi-join of the (node, reached) frontier with the
+    adjacency + a distinct — the standard unrolled BFS; volume is the
+    k-hop wedge count, which is why ``hops`` stays small and explicit
+    (this is a profiling operator, not transitive closure —
+    `connected_components` owns the unbounded case).
+
+    Output: (node, n_hop1, ..., n_hopK)."""
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    sym = _symmetrized(edges).localCheckpoint(eager=True)
+    reached = sym.select(F.col("u").alias("node"), F.col("v").alias("r"))
+    out = reached.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_hop1")
+    )
+    frontier = reached
+    for k in range(2, hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["r"] == sym["u"])
+            .select("node", F.col("v").alias("r"))
+            .where(F.col("node") != F.col("r"))
+        )
+        frontier = frontier.unionByName(nxt).distinct().localCheckpoint(
+            eager=True
+        )
+        out = out.join(
+            frontier.groupBy("node").agg(
+                F.count(F.lit(1)).alias(f"n_hop{k}")
+            ),
+            "node",
+        )
+    return out

@@ -7734,6 +7734,35 @@ def graph_sgns_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_sampled_pairs(pairs, nodes, negatives=2, seed="n")
 
 
+@register(
+    "graph_khop_reach",
+    "WITH " + _COPURCHASE_EDGES_SQL + """,
+    r1 AS (SELECT u AS node, v AS r FROM sym),
+    n1 AS (SELECT node, count(*) AS n_hop1 FROM r1 GROUP BY node),
+    r2 AS (SELECT node, r FROM r1
+           UNION
+           SELECT a.node, s.v AS r
+           FROM r1 a JOIN sym s ON a.r = s.u
+           WHERE a.node <> s.v),
+    n2 AS (SELECT node, count(*) AS n_hop2 FROM r2 GROUP BY node)
+    SELECT n1.node AS part, n1.n_hop1, n2.n_hop2
+    FROM n1 JOIN n2 ON n1.node = n2.node
+    """,
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS neighborhood-growth profile (1- and 2-hop reach per node)
+    over the co-purchase graph — the oracle unrolls the frontier
+    expansion with a UNION-distinct."""
+    from .operators.graph import cooccurrence_edges, khop_reach
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = khop_reach(edges, hops=2)
+    return out.select(F.col("node").alias("part"), "n_hop1", "n_hop2")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

@@ -1996,3 +1996,20 @@ def test_block_purging_drops_only_hot_blocks(spark):
     pfull = prefix_block_pairs(df, "n", prefix_len=6).collect()
     pcapped = prefix_block_pairs(df, "n", prefix_len=6, max_block=4).collect()
     assert len(pfull) == 10 and len(pcapped) == 0
+
+
+def test_khop_reach_path_graph(spark):
+    """On a path 1-2-3-4-5: hop-1 = degree, hop-2 adds the
+    second-ring, self never counted."""
+    from pl_fuzzy_frame_match_spark.operators.graph import khop_reach
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["u", "v"]
+    )
+    got = {
+        r["node"]: (r["n_hop1"], r["n_hop2"])
+        for r in khop_reach(df, hops=2).collect()
+    }
+    assert got == {
+        1: (1, 2), 2: (2, 3), 3: (2, 4), 4: (2, 3), 5: (1, 2)
+    }
