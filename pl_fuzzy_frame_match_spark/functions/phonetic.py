@@ -157,3 +157,28 @@ def token_sort_similarity(a: Column, b: Column) -> Column:
 
     na, nb = token_sort_normalized(a), token_sort_normalized(b)
     return F.lit(1.0) - distance_column("levenshtein", na, nb)
+
+
+def token_set_similarity(a: Column, b: Column) -> Column:
+    """Token-set similarity (the fuzzywuzzy ``token_set_ratio``
+    construction under this engine's normalized-levenshtein kernel):
+    with I = sorted distinct shared tokens, L = I + sorted
+    left-only, R = I + sorted right-only (space-joined), the score is
+    max(sim(I,L), sim(I,R), sim(L,R)) — near 1.0 whenever one side's
+    tokens are a subset of the other's, however much extra text the
+    superset carries. Pure Catalyst set algebra
+    (array_distinct/sort/intersect/except) + the shared kernel."""
+    from .kernels import distance_column
+    from .text import tokens
+
+    ta = F.array_sort(F.array_distinct(tokens(a)))
+    tb = F.array_sort(F.array_distinct(tokens(b)))
+    inter = F.array_intersect(ta, tb)
+    s0 = F.array_join(inter, " ")
+    s1 = F.array_join(F.concat(inter, F.array_except(ta, tb)), " ")
+    s2 = F.array_join(F.concat(inter, F.array_except(tb, ta)), " ")
+
+    def sim(x, y):
+        return F.lit(1.0) - distance_column("levenshtein", x, y)
+
+    return F.greatest(sim(s0, s1), sim(s0, s2), sim(s1, s2))

@@ -7763,6 +7763,58 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("part"), "n_hop1", "n_hop2")
 
 
+_TOKSET_SQL = r"""
+    WITH base AS (
+      SELECT n_nationkey, n_name, r_regionkey, r_name,
+             list_sort(list_distinct(
+               regexp_extract_all(lower(n_name), '\S+'))) AS ta,
+             list_sort(list_distinct(
+               regexp_extract_all(lower(r_name), '\S+'))) AS tb
+      FROM nation CROSS JOIN region),
+    parts AS (
+      SELECT n_nationkey, n_name, r_regionkey, r_name,
+             array_to_string(list_sort(list_intersect(ta, tb)), ' ')
+                 AS s0,
+             array_to_string(list_sort(list_intersect(ta, tb))
+               || list_filter(ta, t -> NOT list_contains(tb, t)), ' ')
+                 AS s1,
+             array_to_string(list_sort(list_intersect(ta, tb))
+               || list_filter(tb, t -> NOT list_contains(ta, t)), ' ')
+                 AS s2
+      FROM base)
+    SELECT n_nationkey, n_name, r_regionkey, r_name,
+           round(greatest(
+             1.0 - levenshtein(s0, s1)
+                   / greatest(length(s0), length(s1), 1),
+             1.0 - levenshtein(s0, s2)
+                   / greatest(length(s0), length(s2), 1),
+             1.0 - levenshtein(s1, s2)
+                   / greatest(length(s1), length(s2), 1)), 6)
+               AS sim_token_set
+    FROM parts
+    """
+
+
+@register("kernel_token_set", _TOKSET_SQL)
+def kernel_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzywuzzy-style token_set similarity as an 8th metric
+    surface; the oracle rebuilds the three canonical strings with
+    DuckDB list algebra and DuckDB's native levenshtein."""
+    from .functions.phonetic import token_set_similarity
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cross = nation.select("n_nationkey", "n_name").crossJoin(
+        region.select("r_regionkey", "r_name")
+    )
+    return cross.select(
+        "n_nationkey", "n_name", "r_regionkey", "r_name",
+        F.round(
+            token_set_similarity(F.col("n_name"), F.col("r_name")), 6
+        ).alias("sim_token_set"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

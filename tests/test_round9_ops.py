@@ -2013,3 +2013,32 @@ def test_khop_reach_path_graph(spark):
     assert got == {
         1: (1, 2), 2: (2, 3), 3: (2, 4), 4: (2, 3), 5: (1, 2)
     }
+
+
+def test_token_set_similarity_subset_dominance(spark):
+    from pl_fuzzy_frame_match_spark.functions.phonetic import (
+        token_set_similarity,
+        token_sort_similarity,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        # subset: token_set == 1.0, token_sort < 1.0
+        (1, "big blue bolt", "blue bolt big heavy industrial extra"),
+        # duplicate tokens collapse (set semantics)
+        (2, "ring ring ring", "ring"),
+        # disjoint: low score
+        (3, "alpha beta", "gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "a", "b"])
+    out = {
+        r["i"]: (r["tset"], r["tsort"])
+        for r in df.select(
+            "i",
+            F.round(token_set_similarity(F.col("a"), F.col("b")), 6).alias("tset"),
+            F.round(token_sort_similarity(F.col("a"), F.col("b")), 6).alias("tsort"),
+        ).collect()
+    }
+    assert out[1][0] == 1.0 and out[1][1] < 1.0
+    assert out[2][0] == 1.0
+    assert out[3][0] < 0.5
