@@ -916,6 +916,7 @@ def tfidf_cosine_pairs(
     id_col: str,
     threshold: float = 0.9,
     eps: float = 1e-9,
+    dense_vocab_cap: int = 2048,
 ) -> DataFrame:
     """EXACT all-pairs TF-IDF cosine similarity self-join (Bayardo,
     Ma & Srikant's AllPairs, WWW 2007) — the sparse-vector sibling of
@@ -957,6 +958,19 @@ def tfidf_cosine_pairs(
     )
     n_docs = tf.select(id_col).distinct().count()
     dft = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    n_vocab = dft.count()
+    if n_vocab <= dense_vocab_cap and n_vocab > 0:
+        # DEGENERATE-VOCAB CROSSOVER (planner-chosen, like the vector
+        # family's broadcast <-> blocked switch): a tiny vocabulary is
+        # the prefix filter's worst case — with ~30 corpus-wide terms
+        # nearly every pair shares an indexed term (measured at sf0.1:
+        # 12.1M candidates out of 12.5M possible, 42.6 s). Densify to
+        # |vocab|-dim tf-idf vectors instead and reuse the exact BLAS
+        # GEMM pair scan (same results, 31 mults/pair in one codegen'd
+        # batch kernel; 42.6 -> ~4 s). Real Zipfian vocabs blow past
+        # the cap and take the sparse AllPairs path below, where the
+        # rarest-first prefix filter is sharp.
+        return _dense_tfidf_pairs(tf, dft, id_col, n_docs, n_vocab, threshold)
     w = tf.join(dft, "__t").select(
         id_col,
         "__t",
@@ -1017,4 +1031,40 @@ def tfidf_cosine_pairs(
             "right_id",
             F.round("__cos", 6).alias("cosine_sim"),
         )
+    )
+
+
+def _dense_tfidf_pairs(tf, dft, id_col, n_docs, n_vocab, threshold):
+    """Small-vocab arm of :func:`tfidf_cosine_pairs`: dense tf-idf
+    vectors (term slots from the distributed rank primitive) fed to
+    the exact GEMM pair scan. Zero-norm docs produce all-zero vectors
+    whose cosine is 0 — excluded by any positive threshold, matching
+    the sparse arm's explicit norm filter."""
+    from .suffixdedup import global_dense_rank
+
+    ranked = global_dense_rank(dft, ["__t"], rank_col="__slot")
+    w = tf.join(ranked, "__t").select(
+        F.col(id_col),
+        F.col("__slot").cast("int").alias("__slot"),
+        (F.col("__tf") * F.log(F.lit(float(n_docs)) / F.col("__df"))).alias(
+            "__w"
+        ),
+    )
+    entries = w.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__slot", "__w"))
+        ).alias("__m")
+    )
+    vec = entries.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(n_vocab) - 1)),
+            lambda i: F.coalesce(F.element_at("__m", i.cast("int")), F.lit(0.0)),
+        ).alias("__vec"),
+    )
+    from .dedup import embedding_dedup_pairs
+
+    out = embedding_dedup_pairs(vec, "__vec", id_col, threshold=float(threshold))
+    return out.select(
+        "left_id", "right_id", F.round("cosine_sim", 6).alias("cosine_sim")
     )

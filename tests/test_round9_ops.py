@@ -1510,17 +1510,22 @@ def test_tfidf_cosine_pairs_matches_bruteforce(spark):
             for b in ids[ai + 1 :]
             if cos(a, b) >= thr
         }
-        got = {
-            (r["left_id"], r["right_id"]): r["cosine_sim"]
-            for r in tfidf_cosine_pairs(df, "text", "doc_id", thr).collect()
-        }
-        assert set(got) == set(want), (
-            thr,
-            sorted(set(want) - set(got))[:5],
-            sorted(set(got) - set(want))[:5],
-        )
-        for k in want:
-            assert abs(got[k] - want[k]) <= 1e-6, (k, got[k], want[k])
+        # both arms of the vocab crossover must match brute force:
+        # dense GEMM (default cap) and forced-sparse AllPairs (cap 0)
+        for cap in (2048, 0):
+            got = {
+                (r["left_id"], r["right_id"]): r["cosine_sim"]
+                for r in tfidf_cosine_pairs(
+                    df, "text", "doc_id", thr, dense_vocab_cap=cap
+                ).collect()
+            }
+            assert set(got) == set(want), (
+                thr, cap,
+                sorted(set(want) - set(got))[:5],
+                sorted(set(got) - set(want))[:5],
+            )
+            for k in want:
+                assert abs(got[k] - want[k]) <= 1e-6, (k, cap, got[k])
 
 
 def test_tfidf_cosine_handles_degenerate_docs(spark):
