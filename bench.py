@@ -104,6 +104,10 @@ def main() -> None:
         "entity_resolution_pipeline",
         "multimodal_aiff_samples",
         "graph_walks_copurchase",
+        "market_basket_rules",
+        "graph_sgns_training",
+        "docs_readability",
+        "layout_zorder_lineitem",
     ):
         if extra in registry:
             names.append(extra)
