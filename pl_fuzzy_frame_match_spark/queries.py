@@ -7728,8 +7728,17 @@ def graph_sgns_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    walks = deterministic_walks(edges, length=4, seed="w")
-    pairs = skipgram_pairs(walks, window=2)
+    # the walk DAG feeds THREE consumers (both sides of the skip-gram
+    # band join + the node table) and the pair frame two (positives +
+    # negative draws) — checkpoint each once so the 4-round walk plan
+    # never re-executes per consumer (12.8 -> ~10.5 s at sf0.1; the
+    # remainder is the ~30 sequential stages of 4 walk rounds + rank,
+    # per-stage fixed cost a real cluster amortizes — same boundary
+    # as the span-family rank rounds, PLANS.md)
+    walks = deterministic_walks(edges, length=4, seed="w").localCheckpoint(
+        eager=True
+    )
+    pairs = skipgram_pairs(walks, window=2).localCheckpoint(eager=True)
     nodes = walks.select("node")
     return negative_sampled_pairs(pairs, nodes, negatives=2, seed="n")
 
