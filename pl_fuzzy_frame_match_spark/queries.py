@@ -7855,61 +7855,73 @@ _PRIORITY = [
     # pytest- and judge-replayed)
     "tpch_q1",
     # LLM-pipeline dedup family (docs_dup_span_removal rotated out in
-    # round 9: it shares the hash->window->dedup pipeline with
-    # docs_dup_spans, which stays; removal remains pytest-oracled)
+    # round 9; docs_dup_spans and dedup_corpus_canonical rotated out in
+    # round 10 — char-span exact dedup below is the span-family
+    # representative, and dedup_clusters stays as the
+    # connected-components representative; both remain pytest-oracled)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding",
-    "dedup_clusters", "dedup_corpus_canonical", "dedup_containment",
-    "dedup_incremental", "docs_dup_spans",
+    "dedup_clusters", "dedup_containment", "dedup_incremental",
     # quality / text analytics
     "docs_quality_logreg", "text_bigram_pmi", "pipeline_pretrain_corpus",
-    # events family
-    "events_retention", "events_sessionize", "events_funnel",
+    # events family (events_funnel rotated out in round 10:
+    # events_retention stays as the cohort-conversion representative
+    # over the same events scan shape; funnel stays pytest-oracled)
+    "events_retention", "events_sessionize",
     "events_asof_purchase", "events_error_windows",
     # similarity / sampling / sketches (r6 rotation: emb_quantize,
     # bloom_semi_orders, docs_pack_contexts and docs_token_budget_mix
     # rotated out for the four multimodal flagships below; all four
     # stay pytest- and judge-replayed)
     "ann_topk",
-    # round-5 flagships: cap-2 exact rewrite (above), the
-    # closed-form-oracled real PNG decode, and the pipeline trio —
-    # decontamination split / mixture execution / shard routing.
+    # round-5 flagships: cap-2 exact rewrite (above) and the
+    # closed-form-oracled real PNG decode. The round-5 pipeline trio
+    # (docs_leakage_safe_split / docs_temperature_resample /
+    # docs_train_shards) rotated out in round 10: pipeline_training_data
+    # below composes all three behind ONE full value oracle (policy
+    # amendment, COVERAGE.md round 10), and each stays pytest-oracled.
     # Full rotation ledger (ADVICE r5): SIX queries left the window
     # across rounds 4-5 — tpch_q18, tpch_q7_shape, tpch_q10_shape
     # (TPC-H block above), kernel_hamming_full, tpch_q17_shape and
     # docs_stratified_sample; all six stay pytest- and judge-replayed.
-    "multimodal_png_pixels", "docs_leakage_safe_split",
-    "docs_temperature_resample", "docs_train_shards",
+    "multimodal_png_pixels",
     # round-6 flagships: the multimodal dedup family over REAL
     # decoders (image dhash / audio fingerprint / video frame-hash
-    # Jaccard) and the baseline-JPEG exactness oracle
+    # Jaccard). multimodal_jpeg_pixels rotated out in round 10:
+    # multimodal_mjpeg_frames below drives the SAME baseline-JPEG
+    # decoder end-to-end inside AVI frames (pytest keeps the
+    # byte-exactness oracle).
     "dedup_images_dhash", "dedup_audio_afp", "dedup_videos_framehash",
-    "multimodal_jpeg_pixels",
     # the end-to-end value-checked pipeline: dedup -> leakage-safe
     # split -> temperature mixture -> shard routing, one oracle
     "pipeline_training_data",
-    # round-8 flagships (rotated in round 9, VERDICT r8 #1): the
-    # repaired AVI frame sampler, the end-to-end MJPEG codec oracle,
-    # and the two BPE tokenizer-induction oracles (full encode
-    # value-check + the distributed round's argmax replayed in SQL)
-    "multimodal_frame_sample", "multimodal_mjpeg_frames",
-    "text_bpe_encode_fixed", "text_bpe_first_merge",
-    # ROUND-10 ROTATION CANDIDATES (policy in COVERAGE.md round 9 —
-    # promote the newest flagships, displace category-4 ballast):
-    # text_bpe_first3_merges (incremental-delta rounds value-check),
-    # docs_dsir_weights / docs_dsir_select (DSIR family),
-    # docs_dup_char_spans_exact (prefix-doubling exact spans),
-    # vocab_topk_sketch (MG certificate path), docs_char_entropy,
-    # multimodal_bmp_pixels — all oracled and pytest-green at sf0.01.
-    # Session-B additions to the candidate pool (all oracled at both
-    # gate SFs): entity_resolution_pipeline (blocking-family composed
-    # flagship incl. recursive-CTE closure oracle), dedup_tfidf_cosine
-    # (AllPairs prefix filter proven lossless vs the unfiltered SQL),
-    # graph_pagerank_copurchase / graph_triangles_copurchase (new
-    # iterative/analytic family), graph_walks_copurchase +
-    # graph_skipgram_pairs (every md5 draw replayed),
-    # blocking_quality_report, fuzzy_join_phonetic,
-    # fuzzy_join_sorted_neighborhood, docs_lm_kn_perplexity,
-    # layout_zorder_lineitem, multimodal_aiff_samples.
+    # round-8 flagships (rotated in round 9, VERDICT r8 #1). Round 10:
+    # multimodal_frame_sample rotated out (multimodal_mjpeg_frames
+    # exercises the same AVI container + frame decode path), and
+    # text_bpe_first_merge replaced by text_bpe_first3_merges (strict
+    # superset: three full distributed learn rounds vs one).
+    "multimodal_mjpeg_frames", "text_bpe_encode_fixed",
+    # round-9 session-B flagships (rotated in round 10, VERDICT r9 #1,
+    # COVERAGE.md category 3). Displaced, newest-first (category 4 +
+    # the round-10 composed-representative amendment):
+    # text_bpe_first_merge, multimodal_frame_sample,
+    # multimodal_jpeg_pixels, docs_dup_spans, dedup_corpus_canonical,
+    # events_funnel, docs_leakage_safe_split, docs_temperature_resample,
+    # docs_train_shards — all stay pytest- and judge-replayed.
+    "entity_resolution_pipeline",     # blocking/ER composed flagship
+    "graph_pagerank_copurchase",      # iterative graph family rep
+    "dedup_tfidf_cosine",             # lossless AllPairs prefix filter
+    "docs_dup_char_spans_exact",      # prefix-doubling char-span dedup
+    "docs_dsir_select",               # DSIR weights + Gumbel top-k
+    "vocab_topk_sketch",              # Misra-Gries heavy hitters
+    "fuzzy_join_phonetic",            # Soundex blocking join
+    "layout_zorder_lineitem",         # Z-order clustered layout
+    "text_bpe_first3_merges",         # 3 distributed BPE learn rounds
+    # Remaining oracle-green candidates for future rotations:
+    # docs_dsir_weights, graph_triangles_copurchase,
+    # graph_walks_copurchase, graph_skipgram_pairs,
+    # blocking_quality_report, fuzzy_join_sorted_neighborhood,
+    # docs_lm_kn_perplexity, multimodal_aiff_samples, docs_char_entropy,
+    # multimodal_bmp_pixels.
 ]
 
 
