@@ -198,6 +198,11 @@ def blocking_quality(
         tier_names.join(per_tier, "tier", "left")
         .fillna(0, ["n_candidates", "n_found"])
     )
+    # Degenerate-input guard (ADVICE r9): with 0 or 1 distinct keys
+    # total_pairs is 0 and n_true is 0 — emit the clean fixed points
+    # (recall 1.0: the empty truth set is vacuously recalled;
+    # reduction_ratio 1.0: nothing to reduce) instead of the nulls a
+    # silent x/0 would produce.
     return (
         per_tier.crossJoin(F.broadcast(n_true))
         .crossJoin(F.broadcast(totals))
@@ -206,12 +211,24 @@ def blocking_quality(
             "n_candidates",
             "n_found",
             "n_true",
-            F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
-            F.round(
+            F.when(F.col("n_true") > 0, F.round(
+                F.col("n_found") / F.col("n_true"), 6
+            )).otherwise(F.lit(1.0)).alias("recall"),
+            F.when(F.col("total_pairs") > 0, F.round(
                 1.0 - F.col("n_candidates") / F.col("total_pairs"), 6
-            ).alias("reduction_ratio"),
+            )).otherwise(F.lit(1.0)).alias("reduction_ratio"),
         )
     )
+
+
+# Default block-size cap for resolve_entities. The repo's own 1M-name
+# scale probe (scripts/probe_blocking_scale.py, PLANS.md r9) measured
+# the uncapped configuration as degenerate — 147M Soundex + 192M prefix
+# candidate pairs, run died in GC — while max_block=50 completed in
+# 57 s. The composed flagship must therefore be bounded BY DEFAULT;
+# pass ``max_block=None`` explicitly for exhaustive small-corpus runs
+# (the oracle-gate configuration). (ADVICE r9)
+DEFAULT_MAX_BLOCK = 50
 
 
 def resolve_entities(
@@ -221,7 +238,7 @@ def resolve_entities(
     window: int = 4,
     prefix_len: int = 3,
     metric: str = "jaro_winkler",
-    max_block: int | None = None,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """END-TO-END entity resolution over a name column: union the
     three blocking tiers (Soundex, sorted-neighborhood, prefix) for
@@ -233,6 +250,11 @@ def resolve_entities(
 
     Output: (name, canonical_name) for every DISTINCT non-null name —
     unmatched names are their own canonical.
+
+    ``max_block`` purges phonetic/prefix blocks holding more than that
+    many keys (default ``DEFAULT_MAX_BLOCK`` — see the module constant
+    for the measured 1M-name failure that motivates a bounded default).
+    ``None`` disables purging for exhaustive small-corpus resolution.
 
     Scale shape: tiers are linear candidate generators (see each
     tier's notes); components run on integer ranks from

@@ -231,11 +231,32 @@ def canonical_corpus(
 # ---------------------------------------------------------------------------
 
 
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Defensive canonicalization (ADVICE r9): accept edge lists that
+    contain either or BOTH orientations of an undirected edge and
+    reduce to the canonical u < v form. Without this, an input holding
+    (a, b) and (b, a) would survive ``distinct()`` as two rows, double
+    every degree and count every triangle twice. ``least``/``greatest``
+    is the identity on already-canonical input, so the SQL oracles
+    (which unroll over canonical edge fixtures) are unchanged."""
+    return (
+        edges.select("u", "v")
+        .where(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+
+
 def _symmetrized(edges: DataFrame) -> DataFrame:
-    """(u, v) canonical undirected edges -> both directions, distinct."""
-    e = edges.select("u", "v").where(
-        F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
-    ).distinct()
+    """Undirected edges (either/both orientations) -> both directions,
+    distinct."""
+    e = _canonical_edges(edges)
     return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
@@ -273,12 +294,20 @@ def pagerank(
         if weight_col
         else F.lit(1.0)
     )
+    # canonicalize BEFORE the weight sum so both orientations of the
+    # same undirected edge merge into one weighted edge (identity on
+    # canonical u < v input — ADVICE r9)
     e = (
         edges.select("u", "v", w.alias("_w"))
         .where(
             F.col("u").isNotNull()
             & F.col("v").isNotNull()
             & (F.col("u") != F.col("v"))
+        )
+        .select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+            "_w",
         )
         .groupBy("u", "v")
         .agg(F.sum("_w").alias("_w"))
@@ -320,6 +349,11 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    # materialize the result, then release the adjacency cache — a
+    # long-lived session calling pagerank repeatedly must not
+    # accumulate persisted partitions until LRU eviction (ADVICE r9)
+    ranks = ranks.localCheckpoint(eager=True)
+    adj.unpersist()
     return ranks
 
 
@@ -339,9 +373,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     Output: (node, degree, triangles, clustering) — clustering =
     2T / (deg * (deg - 1)) for deg >= 2, else 0.0.
     """
-    e = edges.select("u", "v").where(
-        F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
-    ).distinct()
+    e = _canonical_edges(edges)
     sym = _symmetrized(e)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("u").alias("node"), "deg"
@@ -581,6 +613,9 @@ def eigenvector_centrality(
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             x = x.localCheckpoint(eager=True)
+    # materialize, then release the adjacency cache (ADVICE r9)
+    x = x.localCheckpoint(eager=True)
+    adj.unpersist()
     return x
 
 
@@ -628,6 +663,9 @@ def label_propagation(
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
             labels = labels.localCheckpoint(eager=True)
+    # materialize, then release the adjacency cache (ADVICE r9)
+    labels = labels.localCheckpoint(eager=True)
+    adj.unpersist()
     return labels
 
 

@@ -7469,12 +7469,17 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (match graphs are not transitive) -> lexicographic-min canonical
     name per entity. The oracle replays the tiers, the match set AND
     the closure (recursive CTE), so the final name -> canonical
-    mapping is value-checked for every distinct name."""
+    mapping is value-checked for every distinct name.
+
+    ``max_block=None`` (no block purging) is EXPLICIT here for oracle
+    parity — the SQL replays every tier exhaustively. Production
+    callers keep the operator's bounded default (ADVICE r9)."""
     from .operators.blocking import resolve_entities
 
     part = load_table(spark, sf_dir, "part")
     return resolve_entities(
-        part, "p_name", threshold=0.88, window=4, prefix_len=3
+        part, "p_name", threshold=0.88, window=4, prefix_len=3,
+        max_block=None,
     )
 
 

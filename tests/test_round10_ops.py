@@ -1,0 +1,172 @@
+"""Round-10 additions: ADVICE-r9 hardening — defensive edge
+canonicalization in the graph family, adjacency-cache lifetime,
+bounded-by-default entity-resolution blocking, and the
+blocking-quality degenerate-input guard."""
+
+from __future__ import annotations
+
+import inspect
+
+
+# ---------------------------------------------------------------------------
+# Graph: both-orientation edge lists must not double degrees/triangles
+# (ADVICE r9 — _canonical_edges)
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "u long, v long")
+
+
+def test_pagerank_both_orientations_equal_canonical(spark):
+    from pl_fuzzy_frame_match_spark.operators.graph import pagerank
+
+    canonical = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    both = canonical + [(v, u) for u, v in canonical]
+    a = {r["node"]: round(r["rank"], 9)
+         for r in pagerank(_edges(spark, canonical), iterations=3).collect()}
+    b = {r["node"]: round(r["rank"], 9)
+         for r in pagerank(_edges(spark, both), iterations=3).collect()}
+    assert a == b
+
+
+def test_weighted_pagerank_merges_orientations(spark):
+    from pl_fuzzy_frame_match_spark.operators.graph import pagerank
+
+    # (1,2,w=1)+(2,1,w=2) must behave as ONE undirected edge of weight 3
+    merged = spark.createDataFrame(
+        [(1, 2, 3.0), (2, 3, 1.0)], "u long, v long, w double"
+    )
+    split = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 2.0), (2, 3, 1.0)], "u long, v long, w double"
+    )
+    a = {r["node"]: round(r["rank"], 9)
+         for r in pagerank(merged, iterations=3, weight_col="w").collect()}
+    b = {r["node"]: round(r["rank"], 9)
+         for r in pagerank(split, iterations=3, weight_col="w").collect()}
+    assert a == b
+
+
+def test_triangle_stats_both_orientations_equal_canonical(spark):
+    from pl_fuzzy_frame_match_spark.operators.graph import triangle_stats
+
+    canonical = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)]
+    both = canonical + [(v, u) for u, v in canonical]
+    key = lambda rows: sorted(
+        (r["node"], r["degree"], r["triangles"], round(r["clustering"], 9))
+        for r in rows
+    )
+    assert key(triangle_stats(_edges(spark, canonical)).collect()) == key(
+        triangle_stats(_edges(spark, both)).collect()
+    )
+    # sanity: degrees are the true undirected degrees, not doubled
+    got = {r["node"]: r["degree"]
+           for r in triangle_stats(_edges(spark, both)).collect()}
+    assert got == {1: 2, 2: 3, 3: 3, 4: 2}
+
+
+def test_label_propagation_both_orientations_equal_canonical(spark):
+    from pl_fuzzy_frame_match_spark.operators.graph import label_propagation
+
+    canonical = [(1, 2), (2, 3), (10, 11)]
+    both = canonical + [(v, u) for u, v in canonical]
+    key = lambda df: sorted((r["node"], r["label"]) for r in df.collect())
+    assert key(label_propagation(_edges(spark, canonical), rounds=2)) == key(
+        label_propagation(_edges(spark, both), rounds=2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: iterative operators release their adjacency cache (ADVICE r9)
+# ---------------------------------------------------------------------------
+
+
+def _n_cached(spark):
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_iterative_graph_ops_release_cache(spark):
+    from pl_fuzzy_frame_match_spark.operators.graph import (
+        eigenvector_centrality,
+        label_propagation,
+        pagerank,
+    )
+
+    edges = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    before = _n_cached(spark)
+    pagerank(edges, iterations=2).count()
+    eigenvector_centrality(edges, iterations=2).count()
+    label_propagation(edges, rounds=2).count()
+    # localCheckpoint RDDs of the RESULTS may remain; the persisted
+    # adjacency frames must not accumulate (one per call = +3 here).
+    # Allow the checkpoint residue but catch adjacency leaks: the
+    # cached-RDD count may not grow by the three adjacency frames.
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    after = _n_cached(spark)
+    leaked_adjacency = after - before >= 6  # 3 adj + 3 result ckpts
+    assert not leaked_adjacency, (before, after)
+
+
+# ---------------------------------------------------------------------------
+# Blocking: bounded-by-default resolve_entities (ADVICE r9)
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_entities_default_is_bounded():
+    from pl_fuzzy_frame_match_spark.operators import blocking
+
+    sig = inspect.signature(blocking.resolve_entities)
+    assert sig.parameters["max_block"].default == blocking.DEFAULT_MAX_BLOCK
+    assert blocking.DEFAULT_MAX_BLOCK is not None
+    assert 0 < blocking.DEFAULT_MAX_BLOCK <= 1000
+
+
+def test_resolve_entities_default_matches_unbounded_on_small_corpus(spark):
+    # every block far under the cap -> bounded default must equal the
+    # exhaustive (oracle-parity) configuration
+    from pl_fuzzy_frame_match_spark.operators.blocking import resolve_entities
+
+    df = spark.createDataFrame(
+        [("smith john",), ("smith jon",), ("doe jane",), ("doe janet",),
+         ("unique name",)],
+        "name string",
+    )
+    key = lambda frame: sorted(
+        (r["name"], r["canonical_name"]) for r in frame.collect()
+    )
+    assert key(resolve_entities(df, "name")) == key(
+        resolve_entities(df, "name", max_block=None)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocking: degenerate-input guard in blocking_quality (ADVICE r9)
+# ---------------------------------------------------------------------------
+
+
+def test_blocking_quality_single_name_clean_fixed_points(spark):
+    from pl_fuzzy_frame_match_spark.operators.blocking import blocking_quality
+
+    df = spark.createDataFrame([("only name",)], "name string")
+    rows = blocking_quality(df, "name").collect()
+    assert len(rows) == 3  # one row per tier, none dropped
+    for r in rows:
+        assert r["n_candidates"] == 0
+        assert r["n_found"] == 0
+        assert r["n_true"] == 0
+        assert r["recall"] == 1.0  # vacuous: empty truth set
+        assert r["reduction_ratio"] == 1.0  # nothing to reduce
+
+
+def test_blocking_quality_empty_input(spark):
+    from pl_fuzzy_frame_match_spark.operators.blocking import blocking_quality
+
+    df = spark.createDataFrame([], "name string")
+    rows = blocking_quality(df, "name").collect()
+    assert len(rows) == 3
+    assert all(
+        r["recall"] == 1.0 and r["reduction_ratio"] == 1.0 for r in rows
+    )
