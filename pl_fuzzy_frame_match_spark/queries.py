@@ -7484,6 +7484,100 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "entity_resolution_quality",
+    f"""
+    WITH RECURSIVE
+    names AS (SELECT DISTINCT p_name AS name FROM part
+              WHERE p_name IS NOT NULL),
+    p AS (SELECT name,
+                 regexp_replace(lower(name), '[^a-z]', '', 'g') AS letters
+          FROM names),
+    k AS (SELECT name, {_soundex_sql('letters')} AS code FROM p),
+    r AS (SELECT name, dense_rank() OVER (ORDER BY name) AS rn
+          FROM names),
+    pf AS (SELECT name, substr(lower(name), 1, 3) AS pfx FROM names),
+    cands AS (
+      SELECT a.name AS ln, b.name AS rn2
+      FROM k a JOIN k b ON a.code = b.code AND a.name < b.name
+      WHERE a.code IS NOT NULL
+      UNION
+      SELECT a.name, b.name
+      FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+      UNION
+      SELECT a.name, b.name
+      FROM pf a JOIN pf b ON a.pfx = b.pfx AND a.name < b.name),
+    matches AS (SELECT ln, rn2 FROM cands
+                WHERE jaro_winkler_similarity(lower(ln), lower(rn2))
+                      >= 0.88),
+    sym AS (SELECT ln AS u, rn2 AS v FROM matches
+            UNION SELECT rn2, ln FROM matches),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT a.u, b.v FROM reach a JOIN sym b ON a.v = b.u),
+    lab AS (SELECT u AS name, least(u, min(v)) AS canonical_name
+            FROM reach GROUP BY u),
+    resolved AS (
+      SELECT n.name, coalesce(l.canonical_name, n.name) AS rlabel
+      FROM names n LEFT JOIN lab l ON n.name = l.name),
+    tmatches AS (
+      SELECT a.name AS ln, b.name AS rn2
+      FROM names a JOIN names b ON a.name < b.name
+      WHERE jaro_winkler_similarity(lower(a.name), lower(b.name))
+            >= 0.88),
+    tsym AS (SELECT ln AS u, rn2 AS v FROM tmatches
+             UNION SELECT rn2, ln FROM tmatches),
+    treach(u, v) AS (
+      SELECT u, v FROM tsym
+      UNION
+      SELECT a.u, b.v FROM treach a JOIN tsym b ON a.v = b.u),
+    tlab AS (SELECT u AS name, least(u, min(v)) AS tl
+             FROM treach GROUP BY u),
+    truth AS (
+      SELECT n.name, coalesce(t.tl, n.name) AS tlabel
+      FROM names n LEFT JOIN tlab t ON n.name = t.name),
+    jn AS (SELECT rv.rlabel, t.tlabel, count(*) AS n
+           FROM resolved rv JOIN truth t ON rv.name = t.name
+           GROUP BY rv.rlabel, t.tlabel),
+    agg AS (SELECT
+      (SELECT count(*) FROM names) AS n_names,
+      (SELECT CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT)
+       FROM (SELECT count(*) AS n FROM resolved GROUP BY rlabel))
+        AS resolved_pairs,
+      (SELECT CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT)
+       FROM (SELECT count(*) AS n FROM truth GROUP BY tlabel))
+        AS truth_pairs,
+      (SELECT CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT) FROM jn)
+        AS common_pairs)
+    SELECT n_names, resolved_pairs, truth_pairs, common_pairs,
+      CASE WHEN resolved_pairs > 0
+           THEN round(CAST(common_pairs AS DOUBLE) / resolved_pairs, 6)
+           ELSE 1.0 END AS pair_precision,
+      CASE WHEN truth_pairs > 0
+           THEN round(CAST(common_pairs AS DOUBLE) / truth_pairs, 6)
+           ELSE 1.0 END AS pair_recall
+    FROM agg
+    """,
+)
+def entity_resolution_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship quality of the ER pipeline (VERDICT r9 #8,
+    `operators/blocking.er_quality`): pair-counting precision/recall
+    of the blocked resolution's clustering against the TRUTH
+    clustering (transitive closure of the brute-force >= 0.88 match
+    set). Pair totals come from the Rand-index component-size
+    decomposition — sum C(n, 2) over resolved / truth / joint
+    intersection cells — so nothing ever enumerates pairs. The oracle
+    replays BOTH closures (recursive CTEs) and all three pair sums."""
+    from .operators.blocking import er_quality
+
+    part = load_table(spark, sf_dir, "part")
+    return er_quality(
+        part, "p_name", threshold=0.88, window=4, prefix_len=3,
+        max_block=None,
+    )
+
+
+@register(
     "market_basket_rules",
     """
     WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item

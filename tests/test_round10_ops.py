@@ -170,3 +170,50 @@ def test_blocking_quality_empty_input(spark):
     assert all(
         r["recall"] == 1.0 and r["reduction_ratio"] == 1.0 for r in rows
     )
+
+
+# ---------------------------------------------------------------------------
+# ER survivorship quality (VERDICT r9 #8) — pair-counting precision/recall
+# ---------------------------------------------------------------------------
+
+
+def test_er_quality_perfect_on_easy_clusters(spark):
+    from pl_fuzzy_frame_match_spark.operators.blocking import er_quality
+
+    # two tight clusters (prefix+phonetic blocks catch them) + singleton
+    df = spark.createDataFrame(
+        [("smith john",), ("smith johm",), ("brown alice",),
+         ("brown alica",), ("zzz unique",)],
+        "name string",
+    )
+    row = er_quality(df, "name", threshold=0.88).collect()[0]
+    assert row["n_names"] == 5
+    assert row["resolved_pairs"] == row["truth_pairs"] == row["common_pairs"]
+    assert row["pair_precision"] == 1.0 and row["pair_recall"] == 1.0
+
+
+def test_er_quality_no_matches_vacuous(spark):
+    from pl_fuzzy_frame_match_spark.operators.blocking import er_quality
+
+    df = spark.createDataFrame(
+        [("alpha",), ("kilo victor",), ("whiskey xray",)], "name string"
+    )
+    row = er_quality(df, "name", threshold=0.99).collect()[0]
+    assert row["resolved_pairs"] == 0 and row["truth_pairs"] == 0
+    assert row["pair_precision"] == 1.0 and row["pair_recall"] == 1.0
+
+
+def test_er_quality_precision_never_counts_false_pairs(spark):
+    from pl_fuzzy_frame_match_spark.operators.blocking import er_quality
+
+    # blocked resolution can only MISS truth pairs (its match test is
+    # the same threshold over a candidate subset + closure), so common
+    # <= truth always; precision can drop only through closure chains,
+    # which the truth closure also contains -> precision stays 1.0
+    df = spark.createDataFrame(
+        [("gamma ray",), ("gamma rey",), ("gamma roy",), ("delta one",)],
+        "name string",
+    )
+    row = er_quality(df, "name", threshold=0.88).collect()[0]
+    assert row["common_pairs"] <= row["truth_pairs"]
+    assert row["pair_precision"] == 1.0

@@ -1060,10 +1060,11 @@ _NL_ALLOWED = {
     # bounds row for the Morton scaling
     "docs_lm_kn_perplexity", "graph_eigencentrality",
     "layout_zorder_lineitem",
-    # blocking_quality_report: the TRUTH side is an intentional
-    # quadratic distinct-key cross (documented evaluation harness —
-    # run on a sample at scale); the tiers themselves are equi-joins
-    "blocking_quality_report",
+    # blocking_quality_report / entity_resolution_quality: the TRUTH
+    # side is an intentional quadratic distinct-key cross (documented
+    # evaluation harnesses — run on a sample at scale); the tiers and
+    # the pair-counting metric itself are equi-joins/aggregates
+    "blocking_quality_report", "entity_resolution_quality",
 }
 
 
