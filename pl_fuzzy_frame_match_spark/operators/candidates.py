@@ -381,6 +381,47 @@ def _deletion_variants(col, cap: int = 1) -> "F.Column":
     return delk(F.col(col) if isinstance(col, str) else col)
 
 
+def neighborhood_candidate_volume(
+    left_keys: DataFrame,
+    right_keys: DataFrame,
+    left_col: str,
+    right_col: str,
+    cap: int = 1,
+) -> int:
+    """EXACT candidate volume of the deletion-variant equi-join:
+    sum over shared variants of (left bucket size x right bucket
+    size) — the cost model that decides whether the O9 rewrite may
+    replace the sketch scan in the mid-volume ANN window (VERDICT r9
+    #5). On diverse or sequential key families this is ~1e2 per key;
+    on pathological families (many keys one deletion apart, e.g. a
+    shared 17-char stem with one varying char) buckets collapse and
+    the volume approaches the cartesian — exactly the case the probe
+    must catch, because the variant join would then BE the cartesian.
+    Cost: two variant expansions + one aggregate join over
+    n_keys * (L+1) rows at cap 1 — milliseconds at the shapes where
+    the probe runs, vs the seconds the sketch tier costs there."""
+    lv = (
+        left_keys.select(
+            F.explode(_deletion_variants(left_col, cap)).alias("__var")
+        )
+        .groupBy("__var")
+        .agg(F.count(F.lit(1)).alias("__lc"))
+    )
+    rv = (
+        right_keys.select(
+            F.explode(_deletion_variants(right_col, cap)).alias("__var")
+        )
+        .groupBy("__var")
+        .agg(F.count(F.lit(1)).alias("__rc"))
+    )
+    row = (
+        lv.join(rv, on="__var")
+        .agg(F.sum(F.col("__lc") * F.col("__rc")).alias("__v"))
+        .collect()[0]
+    )
+    return int(row["__v"] or 0)
+
+
 def neighborhood_scored_pairs(
     left_keys: DataFrame,
     right_keys: DataFrame,

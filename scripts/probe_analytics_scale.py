@@ -78,9 +78,84 @@ def measure(name, edges):
     )
 
 
+def synth_edges(spark, n_nodes, draws=10):
+    ids = spark.range(17, n_nodes).select(F.col("id").alias("v"))
+    return (
+        ids.select(
+            "v",
+            F.explode(
+                F.array(*[F.lit(k) for k in range(draws)])
+            ).alias("k"),
+        )
+        .select(
+            ((F.col("v") * F.lit(2654435761) + F.col("k") * F.lit(40503))
+             % F.col("v")).alias("u"),
+            "v",
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def probe_rounds(spark, small):
+    """Lineage-hygiene probe (VERDICT r9 #6): fixed-round iterative
+    operators at the 4M-edge scale for 5..30 rounds — does checkpoint
+    cadence keep the per-round wall flat and the final plan small, and
+    what happens with the cadence disabled? Prints one JSON line per
+    (op, rounds, cadence)."""
+    from pl_fuzzy_frame_match_spark.operators.graph import (
+        eigenvector_centrality,
+        label_propagation,
+    )
+
+    edges = synth_edges(
+        spark, 40_000 if small else 400_000
+    ).localCheckpoint(eager=True)
+    m = edges.count()
+    cases = [
+        ("pagerank", lambda r, ck: pagerank(
+            edges, iterations=r, checkpoint_every=ck)),
+        ("eigenvector", lambda r, ck: eigenvector_centrality(
+            edges, iterations=r, checkpoint_every=ck)),
+        ("label_prop", lambda r, ck: label_propagation(
+            edges, rounds=r, checkpoint_every=ck)),
+    ]
+    for op, fn in cases:
+        for rounds, cadence in (
+            (5, 5), (10, 5), (20, 5), (30, 5), (20, 10**9)
+        ):
+            t0 = time.time()
+            out = fn(rounds, cadence)
+            # the operators checkpoint their result eagerly, so the
+            # full iteration cost is paid inside fn(); the plan depth
+            # of the RETURNED frame shows what lineage survives
+            depth = len(
+                out._jdf.queryExecution().optimizedPlan().toString()
+                .splitlines()
+            )
+            wall = time.time() - t0
+            print(
+                json.dumps(
+                    {
+                        "op": op,
+                        "edges": m,
+                        "rounds": rounds,
+                        "checkpoint_every": cadence,
+                        "wall_s": round(wall, 1),
+                        "per_round_s": round(wall / rounds, 2),
+                        "result_plan_lines": depth,
+                    }
+                ),
+                flush=True,
+            )
+
+
 def main():
     small = "--small" in sys.argv
     spark = get_spark("probe-analytics")
+    if "--rounds" in sys.argv:
+        probe_rounds(spark, small)
+        return
     li = load_table(spark, "/root/testdata/sf0.1", "lineitem").select(
         "l_orderkey", "l_partkey"
     )
