@@ -657,24 +657,18 @@ def remove_duplicate_spans(df, text_col: str, id_col: str, k: int = 5):
     O(tokens * dup_windows) with ~150-token docs, no extra shuffle
     beyond the per-doc collect_list.
 
-    The narrow (id, text) base gets a PLAN BARRIER (eager
-    localCheckpoint) after the widening repartition when the scan
-    arrives under-partitioned: `repartition(n).select(heavy)` alone
-    does not help because Catalyst sinks the tokenization/k-gram
-    projections below the round-robin exchange back into the
-    single-file scan stage, and — with the base feeding BOTH the toks
-    and gram sides — which side fused where drove a measured 2.5x-wide
-    run-to-run variance band (VERDICT r9 #3; same diagnosis and cure
-    as dedup_containment in round 5). At real corpus scale the scan
-    is already wide and this is a no-op."""
-    base = df.select(F.col(id_col), F.col(text_col)).filter(
+    Deliberately NO eager plan barrier here (round-10 adjudication of
+    VERDICT r9 #3): an A/B with a _fanout-style localCheckpoint after
+    the widening repartition measured 1.63-2.06 s vs 1.46-1.73 s
+    without it over 10 isolated trials each at sf0.1 — the heavy
+    token/k-gram projections live inside Generate/posexplode, which
+    Catalyst does NOT sink below the exchange, so the barrier only
+    adds its materialization cost. The 2.5x-wide band recorded in
+    round 9 was bench-session contention (PLANS.md round 10), not
+    plan flakiness."""
+    base = widen_narrow_scan(df).filter(
         F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
     )
-    sc = df.sparkSession.sparkContext
-    if base.rdd.getNumPartitions() < sc.defaultParallelism:
-        base = base.repartition(
-            sc.defaultParallelism * 2
-        ).localCheckpoint(eager=True)
     toks = base.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )

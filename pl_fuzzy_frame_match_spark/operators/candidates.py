@@ -98,10 +98,12 @@ BANDED_BUCKET_CAP = 1024
 ANN_CATALYST_CAP = 2.0e8
 
 
-def _compute_parallelism(df: DataFrame, pair_volume: int) -> int:
+def _compute_parallelism(
+    df: DataFrame, pair_volume: int, per_task: int = PAIRS_PER_TASK
+) -> int:
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
-    by_volume = pair_volume // PAIRS_PER_TASK + 1
+    by_volume = pair_volume // per_task + 1
     if by_volume > cores:
         # snap to a multiple of the core count: e.g. 59 equal tasks on
         # 32 cores run as a full wave + a 27-task straggler wave (wall
@@ -381,47 +383,6 @@ def _deletion_variants(col, cap: int = 1) -> "F.Column":
     return delk(F.col(col) if isinstance(col, str) else col)
 
 
-def neighborhood_candidate_volume(
-    left_keys: DataFrame,
-    right_keys: DataFrame,
-    left_col: str,
-    right_col: str,
-    cap: int = 1,
-) -> int:
-    """EXACT candidate volume of the deletion-variant equi-join:
-    sum over shared variants of (left bucket size x right bucket
-    size) — the cost model that decides whether the O9 rewrite may
-    replace the sketch scan in the mid-volume ANN window (VERDICT r9
-    #5). On diverse or sequential key families this is ~1e2 per key;
-    on pathological families (many keys one deletion apart, e.g. a
-    shared 17-char stem with one varying char) buckets collapse and
-    the volume approaches the cartesian — exactly the case the probe
-    must catch, because the variant join would then BE the cartesian.
-    Cost: two variant expansions + one aggregate join over
-    n_keys * (L+1) rows at cap 1 — milliseconds at the shapes where
-    the probe runs, vs the seconds the sketch tier costs there."""
-    lv = (
-        left_keys.select(
-            F.explode(_deletion_variants(left_col, cap)).alias("__var")
-        )
-        .groupBy("__var")
-        .agg(F.count(F.lit(1)).alias("__lc"))
-    )
-    rv = (
-        right_keys.select(
-            F.explode(_deletion_variants(right_col, cap)).alias("__var")
-        )
-        .groupBy("__var")
-        .agg(F.count(F.lit(1)).alias("__rc"))
-    )
-    row = (
-        lv.join(rv, on="__var")
-        .agg(F.sum(F.col("__lc") * F.col("__rc")).alias("__v"))
-        .collect()[0]
-    )
-    return int(row["__v"] or 0)
-
-
 def neighborhood_scored_pairs(
     left_keys: DataFrame,
     right_keys: DataFrame,
@@ -468,11 +429,20 @@ def neighborhood_scored_pairs(
     # outputs), which would serialize the variant join + rescore chain
     # on a single task (measured: 3.7 s of a 5.6 s query on one core).
     # Spread the probe side by the candidate volume estimate — same
-    # policy as the exact path's pair-volume repartition.
+    # policy as the exact path's pair-volume repartition — but floor
+    # the width at the core count once the shape is non-trivial: the
+    # fanout constant counts VARIANT rows per key, while the join's
+    # true output is bucket-product-driven and runs ~5-150 candidates
+    # per key on real families, so the row-count estimate lowballs the
+    # compute by ~1 order. Measured at 15K x 15K sequential keys
+    # (round 10): est 480K -> 2 partitions -> 5.6 s for join + banded
+    # rescore + distinct; same chain at 32 partitions -> 1.5 s. Tiny
+    # shapes (est below one task) still skip the repartition.
     est_pairs = max(n_left_keys, 1) * fanout
     n_parts = _compute_parallelism(left_keys, est_pairs)
     if n_parts > 1:
-        lv = lv.repartition(n_parts, "__var")
+        cores = left_keys.sparkSession.sparkContext.defaultParallelism
+        lv = lv.repartition(max(n_parts, cores), "__var")
     # fanout variant rows per key: broadcast the smaller side while it
     # fits so the variant join never shuffles the larger one
     if 0 < n_right_keys <= BROADCAST_KEY_LIMIT // fanout and (
@@ -617,6 +587,26 @@ def _swar_popcount(x):
 # exactly the BROADCAST_KEY_LIMIT guarantee (2^21 = ~2.1M right keys)
 _RANK_BITS = 21
 
+# Per-task pair budget for the C sketch scan — distinct from the
+# Catalyst/pandas-kernel PAIRS_PER_TASK (250K): the native XOR +
+# SWAR-popcount + fused-rescore kernel sustains ~1.6e8 pairs/s/core,
+# so 250K-pair tasks are ~2 ms of kernel under ~15 ms of task
+# overhead and the scan stage is pure scheduling. Measured at the
+# 225M-pair auto_xl shape (round 10): 64 tasks -> 0.83 s scan,
+# 16 tasks -> 0.56 s. 16M pairs/task keeps every task ~100 ms of
+# kernel work and one wave at bench scale.
+SKETCH_PAIRS_PER_TASK = 16_000_000
+
+# Below this right-side key count the kernel emits the RIGHT KEY
+# STRING directly (the originals ride the broadcast next to the
+# sketches and lowered forms): the Arrow exit carries ~30 bytes more
+# per survivor, and the rank->key broadcast join (one
+# createDataFrame + one join stage, ~0.4 s at bench scale) disappears
+# entirely. Past the bound the original-key copy would meaningfully
+# grow the broadcast (2M keys ~ +50 MB), so the 4-byte rank + join
+# path stays.
+SKETCH_EMIT_KEY_LIMIT = 200_000
+
 
 def _sketch_scan_topn(
     left_keys: DataFrame,
@@ -643,9 +633,11 @@ def _sketch_scan_topn(
     reference's chunked SIMD scan (matcher.py:140-154) in Spark
     clothing: JVM expressions build the per-KEY sketches, C-speed numpy
     handles the per-PAIR O(n*m) stage, and only surviving pairs leave
-    Python — as ``(left key, right RANK)`` rows, so the Arrow transfer
-    moves a 4-byte int instead of the right key string; the rank joins
-    back to the key via the broadcast rank table.
+    Python. Up to ``SKETCH_EMIT_KEY_LIMIT`` right keys the kernel
+    emits the right key STRING directly (no rank join stage at all);
+    past it survivors leave as ``(left key, right RANK)`` rows — a
+    4-byte int across Arrow — and the rank joins back to the key via
+    the broadcast rank table.
 
     With ``rescore_metric``/``rescore_bound`` set, the exact metric
     distance is computed IN the kernel (native C batch kernels on the
@@ -670,8 +662,11 @@ def _sketch_scan_topn(
     rescoring = rescore_metric is not None and rescore_bound is not None
 
     spark = left_keys.sparkSession
+    # kernel-calibrated task sizing (round 10): see SKETCH_PAIRS_PER_TASK
     n_parts = _compute_parallelism(
-        left_keys, max(n_left_keys, 1) * max(n_right_keys, 1)
+        left_keys,
+        max(n_left_keys, 1) * max(n_right_keys, 1),
+        per_task=SKETCH_PAIRS_PER_TASK,
     )
     # sketches for BOTH sides come from the same numpy routine (driver
     # for the broadcast build side, inside the kernel for probes) — no
@@ -710,12 +705,19 @@ def _sketch_scan_topn(
             " SKETCH_SCAN_CAP gating or use the banded path"
         )
     rsk = simhash_sketch_np(rkeys)
+    emit_keys = len(rkeys) <= SKETCH_EMIT_KEY_LIMIT
     bc = spark.sparkContext.broadcast(
-        (rsk, [k.lower() for k in rkeys] if rescoring else None)
+        (
+            rsk,
+            np.array(rkeys, dtype=object) if emit_keys else None,
+            [k.lower() for k in rkeys] if rescoring else None,
+        )
     )
     fields = [
         StructField(left_col, StringType()),
-        StructField("__rrank", IntegerType()),
+        StructField(right_col, StringType())
+        if emit_keys
+        else StructField("__rrank", IntegerType()),
     ]
     if rescoring:
         fields.append(StructField(dist_col, DoubleType()))
@@ -723,8 +725,10 @@ def _sketch_scan_topn(
         fields.append(StructField("__ham", IntegerType()))
     schema = StructType(fields)
 
+    rcol_out = right_col if emit_keys else "__rrank"
+
     def scan(batches):
-        rv, rlow = bc.value
+        rv, rarr, rlow = bc.value
         m = len(rv)
         if m == 0:
             return
@@ -763,7 +767,7 @@ def _sketch_scan_topn(
                     yield pd.DataFrame(
                         {
                             left_col: lk[c0 + li],
-                            "__rrank": rj,
+                            rcol_out: rarr[rj] if emit_keys else rj,
                             dist_col: d,
                         }
                     )
@@ -805,12 +809,17 @@ def _sketch_scan_topn(
                 yield pd.DataFrame(
                     {
                         left_col: lk[c0 + rows],
-                        "__rrank": cols.astype(np.int32),
+                        rcol_out: rarr[cols]
+                        if emit_keys
+                        else cols.astype(np.int32),
                         "__ham": h.astype(np.int32),
                     }
                 )
 
     pairs = ls.mapInPandas(scan, schema)
+    if emit_keys:
+        # the kernel emitted the right key directly — no rank join
+        return pairs
     # rank -> right key via the (tiny, broadcast) rank table
     rank_df = spark.createDataFrame(
         list(enumerate(rkeys)), ["__rrank", right_col]

@@ -64,7 +64,6 @@ from .candidates import (
     attach_index_lists,
     exact_candidates,
     max_key_length,
-    neighborhood_candidate_volume,
     neighborhood_scored_pairs,
 )
 
@@ -79,20 +78,6 @@ NEIGHBORHOOD_BOUND_GATE = 0.3
 # key, so k = 2 (~L^2/2 variants) is the practical ceiling before the
 # variant join itself dominates
 NEIGHBORHOOD_MAX_EDITS = 2
-# Mid-volume window promotion (VERDICT r9 #5): in the auto-ANN window
-# (cross_over < cartesian <= SKETCH_SCAN_CAP) a cap-1 neighborhood
-# join may replace the lossy sketch scan — LOSSLESS and, when the
-# variant buckets stay sparse, far cheaper than the scan's fixed
-# costs. Gate on the EXACT probed candidate volume
-# (neighborhood_candidate_volume): under this cap the banded rescore
-# of the candidates is well below one below-crossover exact scan
-# (~0.1 us/pair codegen => <1 s of kernel work), so O9 wins; past it
-# (pathological one-edit-dense families whose buckets collapse toward
-# the cartesian) the sketch scan stays. Cap-2 neighborhoods are NOT
-# promoted in this window: the U_2 probe itself costs ~L^2/2 variant
-# rows per key, and measured U_2 bucket overlap on sequential
-# families reaches 69% of the cartesian (PLANS.md round 5).
-NEIGHBORHOOD_MID_VOLUME_CAP = 2e7
 
 LEFT_INDEX = "__left_index"
 RIGHT_INDEX = "__right_index"
@@ -260,24 +245,20 @@ def first_round_matches(
         use_appr_nearest_neighbor is not True  # forced ANN stays ANN
         and neighborhood_cap <= NEIGHBORHOOD_MAX_EDITS
     )
-    take_o9 = neighborhood_ok and (
+    # Mid-volume promotion adjudicated AGAINST (round 10, VERDICT r9
+    # #5): a probe-gated cap-1 O9 promotion was built and A/B'd at the
+    # auto_xl shape (15K x 15K, probed candidate volume 2.18M) — even
+    # with the parallelism fix below, variant join + rescore +
+    # distinct measures 1.5 s warmed PLUS a 1.3 s volume probe, vs
+    # 1.94 s for the fused sketch scan, and the O9 output is larger
+    # (lossless) so the downstream index joins pay more too. The
+    # round-5 policy note stands: in the mid-volume ANN window the
+    # sketch scan's constant wins. Full A/B in PLANS.md round 10.
+    if neighborhood_ok and (
         cartesian <= cross_over  # replaces the cartesian: always wins
         or cartesian > SKETCH_SCAN_CAP  # replaces lossy banding: exact AND cheaper
         or use_appr_nearest_neighbor is False  # forced exact at any volume
-    )
-    if neighborhood_ok and not take_o9 and neighborhood_cap <= 1:
-        # mid-volume ANN window, cap-1 shape: probe the exact
-        # variant-bucket volume; promote to the LOSSLESS rewrite when
-        # the candidate set is provably small (VERDICT r9 #5 — the
-        # auto_xl shape: 2.25e8 cartesian, ~1e6 probed candidates)
-        take_o9 = (
-            neighborhood_candidate_volume(
-                left_keys, right_keys, mapping.left_col,
-                mapping.right_col, cap=1,
-            )
-            <= NEIGHBORHOOD_MID_VOLUME_CAP
-        )
-    if take_o9:
+    ):
         # O9 (engine-original rewrite, no reference analogue): every
         # pair's banded cap floor(bound * maxlen) is <= 2, so the
         # threshold can only admit lev <= cap pairs — plan candidate

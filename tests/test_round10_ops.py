@@ -220,88 +220,49 @@ def test_er_quality_precision_never_counts_false_pairs(spark):
 
 
 # ---------------------------------------------------------------------------
-# O9 mid-volume-window promotion (VERDICT r9 #5): cap-1 neighborhood
-# join replaces the lossy sketch scan when the probed candidate volume
-# is small — lossless, probe-gated
+# O9 variant-join parallelism floor (round 10): the rescore chain must
+# run cluster-wide once the estimated volume crosses one task
 # ---------------------------------------------------------------------------
 
 
-def _xl_frames(spark):
+def test_neighborhood_join_parallelism_floored_at_cores(spark):
     from pyspark.sql import functions as F
 
-    cust = spark.read.parquet(
-        "/root/testdata/sf0.001/customer.parquet"
-    ).select("c_custkey", "c_name")
-    return cust, cust.select(
-        F.col("c_custkey").alias("r_key"), F.col("c_name").alias("r_name")
-    )
-
-
-def test_o9_mid_window_promotion_is_lossless(spark, monkeypatch):
-    from pl_fuzzy_frame_match_spark import FuzzyMapping, fuzzy_match_dfs
-    from pl_fuzzy_frame_match_spark.operators import matcher
-
-    fired = {}
-    real = matcher.neighborhood_scored_pairs
-
-    def spy(*a, **kw):
-        fired["o9"] = True
-        return real(*a, **kw)
-
-    monkeypatch.setattr(matcher, "neighborhood_scored_pairs", spy)
-    left, right = _xl_frames(spark)
-    maps = [FuzzyMapping("c_name", "r_name", threshold_score=92.0)]
-    # cross_over=100 puts this shape in the mid-volume ANN window;
-    # threshold 92 on ~18-char names -> edit cap 1 -> probe eligible
-    mid = fuzzy_match_dfs(
-        left, right, maps, cross_over_for_appr_nearest_neighbor=100.0
-    )
-    assert fired.get("o9"), "mid-window cap-1 shape did not promote to O9"
-    exact = fuzzy_match_dfs(left, right, maps, use_appr_nearest_neighbor=False)
-    score_col = mid.columns[-1]
-    assert score_col == exact.columns[-1]
-    key = lambda df: sorted(
-        (r["c_custkey"], r["r_key"], round(r[score_col], 9))
-        for r in df.collect()
-    )
-    assert key(mid) == key(exact)  # lossless: equals the exact join
-
-
-def test_o9_mid_window_probe_rejects_dense_buckets(spark, monkeypatch):
-    from pl_fuzzy_frame_match_spark import FuzzyMapping, fuzzy_match_dfs
-    from pl_fuzzy_frame_match_spark.operators import matcher
-
-    routed = {}
-    real_o9 = matcher.neighborhood_scored_pairs
-    real_ann = matcher.approx_scored_pairs
-
-    def spy_o9(*a, **kw):
-        routed["o9"] = True
-        return real_o9(*a, **kw)
-
-    def spy_ann(*a, **kw):
-        routed["ann"] = True
-        return real_ann(*a, **kw)
-
-    monkeypatch.setattr(matcher, "neighborhood_scored_pairs", spy_o9)
-    monkeypatch.setattr(matcher, "approx_scored_pairs", spy_ann)
-    # force the probe verdict to "too dense": volume cap of 1
-    monkeypatch.setattr(matcher, "NEIGHBORHOOD_MID_VOLUME_CAP", 1)
-    left, right = _xl_frames(spark)
-    maps = [FuzzyMapping("c_name", "r_name", threshold_score=92.0)]
-    fuzzy_match_dfs(
-        left, right, maps, cross_over_for_appr_nearest_neighbor=100.0
-    ).count()
-    assert routed.get("ann") and not routed.get("o9")
-
-
-def test_neighborhood_candidate_volume_exact_tiny(spark):
     from pl_fuzzy_frame_match_spark.operators.candidates import (
-        neighborhood_candidate_volume,
+        neighborhood_scored_pairs,
     )
 
-    left = spark.createDataFrame([("abc",), ("xyz",)], "k string")
-    right = spark.createDataFrame([("abd",), ("qqq",)], "k2 string")
-    # U_1(abc) = {abc, ab, ac, bc}; U_1(abd) = {abd, ab, ad, bd}:
-    # shared variant "ab" -> 1 candidate; xyz/qqq share nothing
-    assert neighborhood_candidate_volume(left, right, "k", "k2", cap=1) == 1
+    cust = spark.read.parquet(
+        "/root/testdata/sf0.01/customer.parquet"
+    ).select("c_name").where(F.col("c_name").isNotNull()).distinct()
+    rk = cust.select(F.col("c_name").alias("r_name"))
+    out = neighborhood_scored_pairs(
+        cust, rk, "c_name", "r_name", 0.08,
+        n_left_keys=1500, n_right_keys=1500, cap=1,
+    )
+    # est 1500 * 32 = 48K pairs < one task -> no repartition forced;
+    # the point is the LARGE shape: assert the floor arithmetic via a
+    # shape that crosses PAIRS_PER_TASK
+    big = cust.crossJoin(spark.range(10).select(F.lit("x").alias("__p")))
+    bigk = big.select(
+        F.concat_ws("-", "c_name", F.monotonically_increasing_id().cast("string")).alias("c_name")
+    ).localCheckpoint(eager=True)
+    n = bigk.count()
+    bigr = bigk.select(F.col("c_name").alias("r_name"))
+    wide = neighborhood_scored_pairs(
+        bigk, bigr, "c_name", "r_name", 0.08,
+        n_left_keys=n, n_right_keys=n, cap=1,
+    )
+    cores = spark.sparkContext.defaultParallelism
+    # the variant join's probe side must be hash-repartitioned at >=
+    # core-count width (the round-10 fix: est volume lowballed the
+    # join output and the rescore serialized on 2 tasks); the FINAL
+    # frame's partition count is AQE-coalesced, so assert on the plan
+    plan = wide._jdf.queryExecution().analyzed().toString()
+    import re
+
+    widths = [
+        int(m) for m in re.findall(r"RepartitionByExpression.*?, (\d+)", plan)
+    ]
+    assert widths and max(widths) >= cores, (widths, cores, plan[:500])
+    assert out.count() >= 0
