@@ -523,13 +523,28 @@ def _pq_train_codebooks(
         sub = sample_mat[:, s * dsub : (s + 1) * dsub]
         kk = min(ksub, max(1, n))
         cents = sub[rng.choice(n, size=kk, replace=False)].copy()
+        sub_sq = (sub * sub).sum(axis=1)[:, None]
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 as one GEMM: the
+            # broadcast-subtract form materialized an n x ksub x dsub
+            # temp per iteration (~2.5 s of driver time at ksub=256,
+            # round-10 profile); this is ~4M flops through BLAS
+            d2 = (
+                sub_sq
+                - 2.0 * (sub @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
             assign = np.argmin(d2, axis=1)
-            for c in range(kk):
-                members = sub[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
+            # vectorized centroid update (round 10): the per-centroid
+            # boolean-mask loop cost ~0.1 ms x ksub x iters x m — 2 s
+            # of driver time at ksub=256 — for work bincount/add.at do
+            # in one pass. Still deterministic (seeded init, fixed
+            # iters, sequential accumulation).
+            sums = np.zeros((kk, dsub), dtype=np.float64)
+            np.add.at(sums, assign, sub)
+            counts = np.bincount(assign, minlength=kk)
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz, None]
         if kk < ksub:  # degenerate tiny sample: pad by repeating
             cents = np.vstack([cents] * (ksub // kk + 1))[:ksub]
         books[s] = cents
@@ -575,7 +590,15 @@ def _pq_assign_codes(v: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
     codes = np.empty((len(v), m), dtype=np.int16)
     for s in range(m):
         sub = v[:, s * dsub : (s + 1) * dsub]
-        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        # same GEMM expansion as _pq_train_codebooks (round 10): the
+        # broadcast-subtract form is an n x ksub x dsub temp per
+        # subspace — at ksub=256 it dominated corpus encoding
+        bk = books[s]
+        d2 = (
+            (sub * sub).sum(axis=1)[:, None]
+            - 2.0 * (sub @ bk.T)
+            + (bk * bk).sum(axis=1)[None, :]
+        )
         codes[:, s] = np.argmin(d2, axis=1).astype(np.int16)
     return codes
 

@@ -448,7 +448,10 @@ def test_ivfpq_topk_recall_vs_bruteforce(spark):
     ).collect()
     got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
     recall = len(set(exact) & got) / len(exact)
-    assert recall >= 0.7, f"IVF-PQ recall too low: {recall}"
+    # gate raised 0.7 -> 0.85 in round 10 (VERDICT r9 #7); this
+    # clusterable corpus measures 1.0 — the hard-corpus gate lives in
+    # test_round10_ops.test_ivfpq_recall_on_gate_corpus
+    assert recall >= 0.85, f"IVF-PQ recall too low: {recall}"
     # survivors carry EXACT cosine scores
     for r in got_rows:
         key = (r["query_id"], r["neighbor_id"])
