@@ -7929,6 +7929,73 @@ def kernel_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_key_sql(key_sql: str, key_name: str) -> str:
+    """One UNION-ALL arm of the HLL oracle: registers -> integer
+    register sum -> raw/linear-counting estimate -> exact distinct,
+    replaying operators/hll.py bit for bit (md5 prefix hash, integer
+    2^(49-rho) sum, alpha_4096 = 0.7213/(1+1.079/4096))."""
+    h = f"md5(CAST({key_sql} AS VARCHAR))"
+    w = f"('0x' || substr({h}, 4, 12))::BIGINT"
+    return f"""
+      SELECT '{key_name}' AS key, CAST(4096 AS BIGINT) AS m,
+             CAST(used AS BIGINT) AS used_registers,
+             round(est, 4) AS hll_estimate,
+             CAST(exact_d AS BIGINT) AS exact_distinct,
+             round(abs(round(est, 4) - exact_d) / exact_d, 6) AS rel_error
+      FROM (
+        SELECT used, s_used, exact_d,
+               CASE WHEN (CAST(0.7211100396160289 AS DOUBLE) * 4096.0 * 4096.0
+                          * power(2.0, 49)
+                          / CAST(s_used + (4096 - used)
+                                 * CAST(power(2.0, 49) AS BIGINT)
+                                 AS DOUBLE)) <= 2.5 * 4096
+                         AND used < 4096
+                    THEN 4096.0 * ln(4096.0 / (4096 - used))
+                    ELSE CAST(0.7211100396160289 AS DOUBLE) * 4096.0 * 4096.0
+                         * power(2.0, 49)
+                         / CAST(s_used + (4096 - used)
+                                * CAST(power(2.0, 49) AS BIGINT)
+                                AS DOUBLE)
+               END AS est
+        FROM (
+          SELECT count(*) AS used,
+                 sum(CAST(power(2.0, 49 - rho) AS BIGINT)) AS s_used
+          FROM (
+            SELECT ('0x' || substr({h}, 1, 3))::INT AS reg_idx,
+                   max(CASE WHEN {w} = 0 THEN 49
+                            ELSE 49 - length(bin({w})) END) AS rho
+            FROM events WHERE {key_sql} IS NOT NULL
+            GROUP BY 1)),
+        (SELECT count(DISTINCT {key_sql}) AS exact_d
+         FROM events WHERE {key_sql} IS NOT NULL))
+    """
+
+
+@register(
+    "events_hll_distinct",
+    f"""
+    {_hll_key_sql("user_id", "user_id")}
+    UNION ALL
+    {_hll_key_sql("event_id", "event_id")}
+    """,
+)
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (`operators/hll.py`): md5-prefix
+    registers (p=12, 4096 registers, ~1.6% SE), INTEGER register sum
+    (no order-dependent float accumulation), linear-counting
+    small-range switch — next to the exact distinct count, so the
+    report certifies its own error (the Misra-Gries-certificate
+    pattern). Unlike `approx_count_distinct`, the register table is a
+    mergeable first-class DataFrame: per-shard sketches roll up with
+    a max-aggregate instead of a raw-key distinct shuffle (the
+    count-distinct answer at 100 TB), and every register and both
+    estimates replay exactly in the DuckDB oracle."""
+    from .operators.hll import hll_distinct_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct_report(ev, ["user_id", "event_id"])
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

@@ -302,3 +302,70 @@ def test_ivfpq_recall_on_gate_corpus(spark):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.85, f"IVF-PQ gate-corpus recall too low: {recall}"
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (round 10): mergeable md5-register sketch, exactly
+# SQL-replayable; merge(sketch(A), sketch(B)) == sketch(A u B) EXACTLY
+# ---------------------------------------------------------------------------
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    from pyspark.sql import functions as F
+
+    from pl_fuzzy_frame_match_spark.operators.hll import (
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.range(0, 5000).select(F.col("id").alias("k"))
+    b = spark.range(3000, 9000).select(F.col("id").alias("k"))
+    union = a.unionByName(b)
+    merged = {
+        (r["reg_idx"], r["rho"])
+        for r in hll_merge(
+            hll_registers(a, "k"), hll_registers(b, "k")
+        ).collect()
+    }
+    direct = {
+        (r["reg_idx"], r["rho"])
+        for r in hll_registers(union, "k").collect()
+    }
+    assert merged == direct  # exact register equality, not approximate
+
+
+def test_hll_estimate_within_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    from pl_fuzzy_frame_match_spark.operators.hll import (
+        hll_error_bound,
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 20000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    row = hll_estimate(hll_registers(df, "k")).collect()[0]
+    bound = 4 * hll_error_bound()  # 4 sigma of the 1.04/sqrt(m) SE
+    assert abs(row["hll_estimate"] - n) / n <= bound, row
+    assert row["m"] == 4096
+
+
+def test_hll_determinism_and_null_keys(spark):
+    from pyspark.sql import functions as F
+
+    from pl_fuzzy_frame_match_spark.operators.hll import (
+        hll_distinct_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (2, "b")], "uid long, name string"
+    )
+    r1 = {tuple(r) for r in hll_distinct_report(df, ["uid", "name"]).collect()}
+    r2 = {tuple(r) for r in hll_distinct_report(df, ["uid", "name"]).collect()}
+    assert r1 == r2
+    by_key = {r[0]: r for r in r1}
+    assert by_key["uid"][4] == 3  # exact_distinct
+    assert by_key["name"][4] == 2  # nulls excluded
+    # tiny cardinalities sit in the linear-counting regime: exact-ish
+    assert abs(by_key["uid"][3] - 3) < 0.1

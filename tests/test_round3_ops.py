@@ -1068,6 +1068,9 @@ _NL_ALLOWED = {
     # evaluation harnesses — run on a sample at scale); the tiers and
     # the pair-counting metric itself are equi-joins/aggregates
     "blocking_quality_report", "entity_resolution_quality",
+    # events_hll_distinct: per-key 1-row exact-distinct frame crossed
+    # into the 1-row estimate frame (broadcast single-row BNLJ)
+    "events_hll_distinct",
 }
 
 
