@@ -7929,6 +7929,47 @@ def kernel_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_link_prediction",
+    "WITH " + _COPURCHASE_EDGES_SQL + """,
+    w AS (SELECT s1.v AS x, s2.v AS y, d.outdeg AS dz
+          FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+          JOIN deg d ON d.node = s1.u
+          WHERE d.outdeg <= 1000),
+    sc AS (SELECT x, y, count(*) AS cn,
+                  sum(1.0 / ln(CAST(dz AS DOUBLE))) AS aa
+           FROM w GROUP BY x, y),
+    nonadj AS (SELECT sc.* FROM sc
+               LEFT JOIN e ON e.u = sc.x AND e.v = sc.y
+               WHERE e.u IS NULL)
+    SELECT n.x AS u, n.y AS v, CAST(cn AS BIGINT) AS common_neighbors,
+           round(CAST(cn AS DOUBLE)
+                 / (dx.outdeg + dy.outdeg - cn), 6) AS jaccard,
+           round(aa, 6) AS adamic_adar
+    FROM nonadj n
+    JOIN deg dx ON dx.node = n.x
+    JOIN deg dy ON dy.node = n.y
+    ORDER BY round(aa, 6) DESC, cn DESC, n.x, n.y
+    LIMIT 50
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted co-purchase links
+    (`operators/graph.link_prediction`): common-neighbor count,
+    Jaccard overlap and Adamic-Adar over all non-adjacent
+    distance-2 part pairs, hub middles purged at degree 1000 (their
+    1/ln(deg) score mass is negligible exactly where their deg^2
+    wedge cost explodes). The oracle replays the wedge join, all
+    three scores and the rounded deterministic top-k cut."""
+    from .operators.graph import cooccurrence_edges, link_prediction
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return link_prediction(edges, k=50, max_degree=1000)
+
+
 def _hll_key_sql(key_sql: str, key_name: str) -> str:
     """One UNION-ALL arm of the HLL oracle: registers -> integer
     register sum -> raw/linear-counting estimate -> exact distinct,

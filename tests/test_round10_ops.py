@@ -369,3 +369,37 @@ def test_hll_determinism_and_null_keys(spark):
     assert by_key["name"][4] == 2  # nulls excluded
     # tiny cardinalities sit in the linear-counting regime: exact-ish
     assert abs(by_key["uid"][3] - 3) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (round 10): hand-checked scores on a tiny graph
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_hand_graph(spark):
+    from pl_fuzzy_frame_match_spark.operators.graph import link_prediction
+
+    # path 1-2-3 plus 2-4: distance-2 pairs through middle 2 (deg 3):
+    # (1,3), (1,4), (3,4) — each cn=1, aa=1/ln(3); no other middles
+    edges = _edges(spark, [(1, 2), (2, 3), (2, 4)])
+    rows = {(r["u"], r["v"]): r for r in link_prediction(edges, k=10).collect()}
+    import math
+
+    assert set(rows) == {(1, 3), (1, 4), (3, 4)}
+    for r in rows.values():
+        assert r["common_neighbors"] == 1
+        assert abs(r["adamic_adar"] - round(1.0 / math.log(3), 6)) < 1e-9
+        # deg(1)=deg(3)=deg(4)=1 -> jaccard = 1/(1+1-1) = 1.0
+        assert r["jaccard"] == 1.0
+
+
+def test_link_prediction_excludes_existing_edges_and_purges_hubs(spark):
+    from pl_fuzzy_frame_match_spark.operators.graph import link_prediction
+
+    # triangle 1-2-3: every distance-2 pair is already adjacent
+    tri = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    assert link_prediction(tri, k=10).count() == 0
+    # star through a hub: purging the hub removes every candidate
+    star = _edges(spark, [(100, i) for i in range(1, 8)])
+    assert link_prediction(star, k=10, max_degree=3).count() == 0
+    assert link_prediction(star, k=100, max_degree=None).count() == 21
