@@ -673,10 +673,18 @@ def eigenvector_centrality(
 
     x = nodes.select("node", F.lit(1.0 / math.sqrt(n)).alias("score"))
     for i in range(iterations):
+        # y feeds TWO consumers (the L2 norm and the update), and
+        # Spark does not share the subplan across the broadcast
+        # boundary — left lazy, every round re-evaluated y once per
+        # consumer and the 4M-edge probe measured ~10 s/round vs
+        # pagerank's 1.1 s (round-10 lineage probe). Materializing
+        # the matrix-vector product once per round makes the norm a
+        # cheap scan and truncates lineage as a side effect.
         y = (
             adj.join(x, adj["src"] == x["node"])
             .groupBy("dst")
             .agg(F.sum("score").alias("y"))
+            .localCheckpoint(eager=True)
         )
         norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("__nrm"))
         x = (

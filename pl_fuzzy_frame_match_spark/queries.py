@@ -7930,6 +7930,42 @@ def kernel_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineitem_exact_quantiles",
+    """
+    WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+    nn AS (SELECT count(*) AS n FROM v),
+    c AS (SELECT x, count(*) AS cnt FROM v GROUP BY x),
+    cc AS (SELECT x, cnt, sum(cnt) OVER (ORDER BY x) AS cum FROM c),
+    qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+    tgt AS (SELECT q,
+                   greatest(1, CAST(ceil(q * n) AS BIGINT)) AS position,
+                   n
+            FROM qs CROSS JOIN nn)
+    SELECT t.q, cc.x AS l_extendedprice, t.position,
+           CAST(t.n AS BIGINT) AS n
+    FROM tgt t JOIN cc
+      ON cc.cum >= t.position AND cc.cum - cc.cnt < t.position
+    """,
+)
+def lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete quantiles of l_extendedprice
+    (`operators/quantiles.exact_quantiles`): element at position
+    max(1, ceil(q*n)) — the quantile_disc contract — computed with a
+    (value, count) collapse, a range-repartition prefix sum (per-
+    partition offsets, never a single-task global sort) and a 5-row
+    broadcast position join. The oracle replays the position formula
+    explicitly, so the semantics are pinned rather than borrowed from
+    an engine's internal quantile implementation."""
+    from .operators.quantiles import exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+@register(
     "graph_link_prediction",
     "WITH " + _COPURCHASE_EDGES_SQL + """,
     w AS (SELECT s1.v AS x, s2.v AS y, d.outdeg AS dz

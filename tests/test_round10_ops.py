@@ -403,3 +403,51 @@ def test_link_prediction_excludes_existing_edges_and_purges_hubs(spark):
     star = _edges(spark, [(100, i) for i in range(1, 8)])
     assert link_prediction(star, k=10, max_degree=3).count() == 0
     assert link_prediction(star, k=100, max_degree=None).count() == 21
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles (round 10): quantile_disc contract via
+# range-partition prefix sums — hand-checked + native-agreement
+# ---------------------------------------------------------------------------
+
+
+def test_exact_quantiles_hand_case_with_duplicates(spark):
+    from pl_fuzzy_frame_match_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(10.0,), (10.0,), (20.0,), (30.0,)], "x double"
+    )
+    got = {r["q"]: (r["x"], r["position"]) for r in
+           exact_quantiles(df, "x", [0.0, 0.25, 0.5, 0.75, 1.0]).collect()}
+    # n=4: positions max(1, ceil(q*4)) = 1,1,2,3,4 -> 10,10,10,20,30
+    assert got == {0.0: (10.0, 1), 0.25: (10.0, 1), 0.5: (10.0, 2),
+                   0.75: (20.0, 3), 1.0: (30.0, 4)}
+
+
+def test_exact_quantiles_matches_duckdb_native(spark):
+    import duckdb
+
+    from pl_fuzzy_frame_match_spark.operators.quantiles import exact_quantiles
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = {r["q"]: r["l_quantity"] for r in
+           exact_quantiles(li, "l_quantity", qs).collect()}
+    native = duckdb.sql(
+        "SELECT quantile_disc(l_quantity, "
+        f"{qs}) FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    ).fetchall()[0][0]
+    assert [got[q] for q in qs] == list(native)
+
+
+def test_exact_quantiles_empty_and_validation(spark):
+    import pytest
+
+    from pl_fuzzy_frame_match_spark.operators.quantiles import exact_quantiles
+
+    empty = spark.createDataFrame([], "x double")
+    assert exact_quantiles(empty, "x", [0.5]).count() == 0
+    with pytest.raises(ValueError):
+        exact_quantiles(empty, "x", [])
+    with pytest.raises(ValueError):
+        exact_quantiles(empty, "x", [1.5])

@@ -1071,6 +1071,9 @@ _NL_ALLOWED = {
     # events_hll_distinct: per-key 1-row exact-distinct frame crossed
     # into the 1-row estimate frame (broadcast single-row BNLJ)
     "events_hll_distinct",
+    # lineitem_exact_quantiles: 5-row broadcast position frame joined
+    # on a cumulative-count RANGE condition — bounded BNLJ by design
+    "lineitem_exact_quantiles",
 }
 
 
