@@ -1,0 +1,121 @@
+"""Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) —
+engine-portable, mergeable, exactly SQL-replayable.
+
+The third member of the engine's sketch family, with a different
+contract than its siblings: Misra-Gries (`operators/heavyhitters`)
+finds WHICH keys are frequent, HyperLogLog (`operators/hll`) counts
+HOW MANY distinct keys exist; Count-Min answers point queries — "how
+often did THIS key occur" — for any key, seen or not, with a
+one-sided error: estimates never undercount, and overcount by at
+most eps * N with probability 1 - delta (w = ceil(e/eps) buckets,
+d = ceil(ln 1/delta) rows).
+
+Portability/mergeability design, same rules as the HLL module:
+
+- row hashes are md5 over "<row>:<key>" (the engine-portable hash
+  family), so two engines — or two days of data — build bit-identical
+  bucket layouts;
+- the sketch is a (row, bucket, cnt) DataFrame of INTEGER counts:
+  merging sketches is a plain sum-aggregate (counts are additive),
+  ``merge(cm(A), cm(B)) == cm(A ++ B)`` EXACTLY (property tested);
+  at fleet scale per-shard sketches roll up in d * w rows each
+  instead of shuffling raw keys;
+- estimation is integer min-of-d — no floating point anywhere, so
+  the DuckDB oracle replays every bucket and every estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 4 rows x 1024 buckets: eps = e/1024 ~ 0.27% of the stream mass,
+# delta = e^-4 ~ 1.8% — and 4096 integer cells total, three orders
+# below the key spaces it summarizes.
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def _bucket(row: int, key) -> F.Column:
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(row)), key.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % F.lit(CM_WIDTH)).cast("int")
+
+
+def cm_sketch(
+    df: DataFrame, key_col: str, depth: int = CM_DEPTH
+) -> DataFrame:
+    """(row, bucket, cnt) Count-Min table of ``key_col`` occurrences
+    (null keys excluded). One explode by depth (a constant, default
+    4) and one groupBy with map-side combine — the only shuffle moves
+    at most depth * width rows per input partition."""
+    key = F.col(key_col)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"), _bucket(j, key).alias("bucket")
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.where(key.isNotNull())
+        .select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum-merge sketch tables — the sketch of the concatenated
+    streams, exactly (counts are additive per cell)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for nxt in sketches[1:]:
+        out = out.unionByName(nxt)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = CM_DEPTH
+) -> DataFrame:
+    """(key_col, cm_estimate) for every row of ``keys``: min over the
+    d rows of the key's bucket count — 0 for never-seen keys (their
+    buckets may still collide, so the estimate stays one-sided). The
+    probe side explodes to d rows per key and equi-joins the sketch;
+    with the sketch's <= d * width rows broadcast, the lookup is
+    map-only."""
+    key = F.col(key_col)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"), _bucket(j, key).alias("bucket")
+            )
+            for j in range(depth)
+        ]
+    )
+    probes = keys.where(key.isNotNull()).select(
+        key_col, F.explode(rows).alias("rb")
+    )
+    joined = probes.join(
+        F.broadcast(sketch),
+        (F.col("rb.row") == sketch["row"])
+        & (F.col("rb.bucket") == sketch["bucket"]),
+        "left",
+    )
+    return (
+        joined.groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cm_estimate")
+        )
+    )

@@ -7930,6 +7930,70 @@ def kernel_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_countmin_report",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    buckets AS (
+      SELECT r, w,
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 8))
+               ::BIGINT % 1024 AS b
+      FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)),
+    cm AS (SELECT r, b, count(*) AS cnt FROM buckets GROUP BY r, b),
+    exact AS (SELECT w, count(*) AS exact_count FROM toks GROUP BY w),
+    top AS (SELECT w, exact_count FROM exact
+            ORDER BY exact_count DESC, w LIMIT 20),
+    est AS (
+      SELECT t.w, t.exact_count, min(cm.cnt) AS cm_estimate
+      FROM top t
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS rr) rows_
+      JOIN cm ON cm.r = rows_.rr
+             AND cm.b = ('0x' || substr(md5(CAST(rows_.rr AS VARCHAR)
+                                            || ':' || t.w), 1, 8))
+                        ::BIGINT % 1024
+      GROUP BY t.w, t.exact_count)
+    SELECT w AS word, CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(cm_estimate - exact_count AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def vocab_countmin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates (`operators/countmin.py`)
+    for the exact top-20 corpus words, next to their true counts —
+    the self-certifying report form (cf. `vocab_topk_sketch`'s
+    Misra-Gries certificate and `events_hll_distinct`): overestimate
+    is the sketch's one-sided collision error, never negative. The
+    4 x 1024 integer cells are mergeable by plain sum (per-shard
+    rollup with no raw-key shuffle); every bucket, estimate and the
+    deterministic top-20 cut replay in the oracle."""
+    from .functions.text import tokens
+    from .operators.countmin import cm_estimate, cm_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.where(F.col("text").isNotNull()).select(
+        F.explode(tokens(F.col("text"))).alias("word")
+    )
+    sketch = cm_sketch(words, "word")
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("word").asc())
+        .limit(20)
+    )
+    est = cm_estimate(sketch, top.select("word"), "word")
+    return top.join(est, "word").select(
+        "word",
+        F.col("exact_count").cast("long"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_count"))
+        .cast("long")
+        .alias("overestimate"),
+    )
+
+
+@register(
     "lineitem_exact_quantiles",
     """
     WITH v AS (SELECT l_extendedprice AS x FROM lineitem

@@ -451,3 +451,45 @@ def test_exact_quantiles_empty_and_validation(spark):
         exact_quantiles(empty, "x", [])
     with pytest.raises(ValueError):
         exact_quantiles(empty, "x", [1.5])
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (round 10): one-sided error, exact sum-merge
+# ---------------------------------------------------------------------------
+
+
+def test_cm_never_undercounts_and_is_exact_when_sparse(spark):
+    from pyspark.sql import functions as F
+
+    from pl_fuzzy_frame_match_spark.operators.countmin import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    rows = [("a",)] * 100 + [("b",)] * 10 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    sk = cm_sketch(df, "k")
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("never",)], "k string")
+    got = {r["k"]: r["cm_estimate"] for r in cm_estimate(sk, keys, "k").collect()}
+    exact = {"a": 100, "b": 10, "c": 1, "never": 0}
+    for k, true in exact.items():
+        assert got[k] >= true  # one-sided
+    # 3 keys into 1024 buckets x 4 rows: min-of-rows is exact w.h.p.
+    # and deterministically so for this fixed md5 layout
+    assert got == exact
+
+
+def test_cm_merge_equals_sketch_of_concatenation(spark):
+    from pl_fuzzy_frame_match_spark.operators.countmin import (
+        cm_merge,
+        cm_sketch,
+    )
+
+    a = spark.createDataFrame([("x",)] * 7 + [("y",)] * 3, "k string")
+    b = spark.createDataFrame([("y",)] * 5 + [("z",)] * 2, "k string")
+    both = a.unionByName(b)
+    merged = {(r["row"], r["bucket"], r["cnt"])
+              for r in cm_merge(cm_sketch(a, "k"), cm_sketch(b, "k")).collect()}
+    direct = {(r["row"], r["bucket"], r["cnt"])
+              for r in cm_sketch(both, "k").collect()}
+    assert merged == direct  # exact cell-level equality
