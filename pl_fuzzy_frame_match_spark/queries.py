@@ -7929,6 +7929,101 @@ def kernel_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_SQL = r"""
+    base AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+             FROM documents
+             WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM base),
+    tf AS (SELECT doc_id, dl, t, count(*) AS tf
+           FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM base)
+           WHERE t IN ('hash', 'join', 'table')
+           GROUP BY doc_id, dl, t),
+    dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    sc AS (SELECT doc_id,
+                  round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                            * tf * 2.2
+                            / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                        6) AS bm25
+           FROM tf JOIN dft USING (t) CROSS JOIN st
+           GROUP BY doc_id),
+    btop AS (SELECT doc_id, bm25,
+                    row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                      AS rank
+             FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20)
+"""
+
+
+@register(
+    "docs_bm25_topk",
+    "WITH " + _BM25_SQL + """
+    SELECT doc_id, bm25, CAST(rank AS BIGINT) AS rank FROM btop
+    """,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval (`operators/retrieval.bm25_topk`)
+    for the query {hash, join, table}: Lucene-form non-negative idf,
+    k1=1.2, b=0.75, deterministic (rounded score, id) top-20 cut. The
+    decontamination / corpus-audit lookup primitive; the oracle
+    replays tf, df, avgdl and every score."""
+    from .operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, "text", "doc_id", ["hash", "join", "table"], k=20)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "docs_hybrid_retrieval",
+    "WITH " + _BM25_SQL + r""",
+    v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    probe AS (SELECT e FROM v WHERE vec_id = 0),
+    cos AS (SELECT v.vec_id AS doc_id,
+                   list_cosine_similarity(v.e, probe.e) AS sim
+            FROM v CROSS JOIN probe WHERE v.vec_id != 0),
+    ctop AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY sim DESC, doc_id)
+                      AS rank
+             FROM cos ORDER BY sim DESC, doc_id LIMIT 20),
+    contrib AS (
+      SELECT doc_id, 1.0 / (60 + rank) AS c FROM btop
+      UNION ALL
+      SELECT doc_id, 1.0 / (60 + rank) AS c FROM ctop),
+    fused AS (SELECT doc_id, round(sum(c), 6) AS rrf_score
+              FROM contrib GROUP BY doc_id)
+    SELECT doc_id, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def docs_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: the BM25 keyword top-20 (sparse arm) fused
+    with the exact-cosine top-20 around the doc-0 embedding (dense
+    arm) by reciprocal-rank fusion, score = sum 1/(60 + rank)
+    (Cormack et al. 2009) — no score calibration between arms, ranks
+    only. Both arms, the fusion arithmetic and the rounded
+    deterministic top-10 cut replay in the oracle."""
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(
+        docs, "text", "doc_id", ["hash", "join", "table"], k=20
+    ).select("doc_id", "rank")
+    dense = (
+        brute_force_topk(
+            emb.filter(F.col("vec_id") == 0), emb, "embedding", "vec_id",
+            k=20,
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    out = rrf_fuse([sparse, dense], "doc_id", k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register(
     "vocab_countmin_report",
     r"""

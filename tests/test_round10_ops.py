@@ -493,3 +493,49 @@ def test_cm_merge_equals_sketch_of_concatenation(spark):
     direct = {(r["row"], r["bucket"], r["cnt"])
               for r in cm_sketch(both, "k").collect()}
     assert merged == direct  # exact cell-level equality
+
+
+# ---------------------------------------------------------------------------
+# BM25 + RRF (round 10): hand-checked scoring and fusion
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_hand_scores(spark):
+    import math
+
+    from pl_fuzzy_frame_match_spark.operators.retrieval import (
+        bm25_idf,
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat cat cat fish"), (3, "bird")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            bm25_topk(docs, "text", "doc_id", ["cat"], k=10).collect()}
+    assert set(rows) == {1, 2}  # doc 3 has no query term
+    # N=3, df(cat)=2; doc1: tf=1, dl=2; doc2: tf=3, dl=4; avgdl=7/3
+    idf = bm25_idf(3, 2)
+    avgdl = 7.0 / 3.0
+    s1 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / avgdl))
+    s2 = idf * 3 * 2.2 / (3 + 1.2 * (0.25 + 0.75 * 4 / avgdl))
+    assert abs(rows[1]["bm25"] - round(s1, 6)) < 1e-9
+    assert abs(rows[2]["bm25"] - round(s2, 6)) < 1e-9
+    assert rows[2]["rank"] == 1 and rows[1]["rank"] == 2  # tf wins
+
+
+def test_rrf_fusion_hand_case(spark):
+    from pl_fuzzy_frame_match_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank long")
+    got = {r["doc_id"]: (r["rrf_score"], r["rank"]) for r in
+           rrf_fuse([a, b], "doc_id", k=10).collect()}
+    # 20 appears in both lists -> highest fused score
+    assert got[20][1] == 1
+    assert got[20][0] == round(1 / 62 + 1 / 61, 6)
+    assert got[10][0] == round(1 / 61, 6)
+    assert got[30][0] == round(1 / 62, 6)
+    # tie between 10 (1/61) and 30 (1/62): 10 scores higher
+    assert got[10][1] == 2 and got[30][1] == 3

@@ -1074,6 +1074,9 @@ _NL_ALLOWED = {
     # lineitem_exact_quantiles: 5-row broadcast position frame joined
     # on a cumulative-count RANGE condition — bounded BNLJ by design
     "lineitem_exact_quantiles",
+    # BM25 / hybrid retrieval: 1-row broadcast (N, avgdl) stats frame
+    # crossed into the per-term scores (single-row BNLJ)
+    "docs_bm25_topk", "docs_hybrid_retrieval",
 }
 
 
