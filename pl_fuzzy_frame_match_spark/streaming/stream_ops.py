@@ -1232,3 +1232,39 @@ def stream_entity_assign(
     return scored.groupBy("query_name").applyInPandasWithState(
         best, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_hll_registers(spark, path: str, schema, key_col: str):
+    """Streaming twin of `operators/hll.hll_registers` (round 10):
+    the register projection is a deterministic per-row expression and
+    the register state is a max-aggregate — exactly the mergeable
+    shape Structured Streaming wants, so the BATCH operator composes
+    onto the stream unchanged. Complete-mode output is the live
+    register table; at any trigger it equals the batch sketch of the
+    rows ingested so far (equivalence-tested), which is the streaming
+    distinct-count story at fleet scale: ~2^p rows of state no matter
+    how many keys flow through."""
+    from ..operators.hll import hll_registers
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+    return hll_registers(stream, key_col)
+
+
+def stream_cm_sketch(spark, path: str, schema, key_col: str):
+    """Streaming twin of `operators/countmin.cm_sketch` (round 10):
+    Count-Min cells are sum-mergeable, so the batch operator runs on
+    the stream as a streaming aggregation with <= depth * width rows
+    of state; the complete-mode table at any trigger equals the
+    batch sketch of everything ingested (equivalence-tested)."""
+    from ..operators.countmin import cm_sketch
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+    return cm_sketch(stream, key_col)

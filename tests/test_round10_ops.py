@@ -539,3 +539,75 @@ def test_rrf_fusion_hand_case(spark):
     assert got[30][0] == round(1 / 62, 6)
     # tie between 10 (1/61) and 30 (1/62): 10 scores higher
     assert got[10][1] == 2 and got[30][1] == 3
+
+
+# ---------------------------------------------------------------------------
+# Streaming twins of the round-10 sketches: batch == stream exactly
+# ---------------------------------------------------------------------------
+
+
+def _write_event_batches(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(str(tmp_path), "src")
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(1500, 5000).select(F.col("id").alias("k"))
+    a.coalesce(1).write.mode("append").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+    return src, a.unionByName(b)
+
+
+def test_stream_hll_registers_equals_batch(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.operators.hll import hll_registers
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_hll_registers,
+    )
+
+    src, all_rows = _write_event_batches(spark, tmp_path)
+    out = stream_hll_registers(spark, src, "k long", "k")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["reg_idx"], r["rho"])
+        for r in spark.sql("SELECT * FROM hll_regs").collect()
+    }
+    batch = {
+        (r["reg_idx"], r["rho"])
+        for r in hll_registers(all_rows, "k").collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_cm_sketch_equals_batch(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.operators.countmin import cm_sketch
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_cm_sketch,
+    )
+
+    src, all_rows = _write_event_batches(spark, tmp_path)
+    out = stream_cm_sketch(spark, src, "k long", "k")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cm_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["row"], r["bucket"], r["cnt"])
+        for r in spark.sql("SELECT * FROM cm_cells").collect()
+    }
+    batch = {
+        (r["row"], r["bucket"], r["cnt"])
+        for r in cm_sketch(all_rows, "k").collect()
+    }
+    assert streamed == batch
