@@ -108,6 +108,15 @@ def main() -> None:
         "graph_sgns_training",
         "docs_readability",
         "layout_zorder_lineitem",
+        # round-10 additions (entity_resolution_quality deliberately
+        # EXCLUDED: its truth side is a quadratic evaluation harness,
+        # sample-scale by design — 2e8 jaro-winkler pairs at sf0.1)
+        "events_hll_distinct",
+        "vocab_countmin_report",
+        "lineitem_exact_quantiles",
+        "graph_link_prediction",
+        "docs_bm25_topk",
+        "docs_hybrid_retrieval",
     ):
         if extra in registry:
             names.append(extra)
@@ -285,7 +294,7 @@ def main() -> None:
     flagship = [
         "fuzzy_join_lev", "fuzzy_join_multi", "fuzzy_join_exact_xl",
         "fuzzy_join_auto_xl", "fuzzy_join_xl_4b", "fuzzy_join_ann",
-        "dedup_minhash_lsh", "dedup_tfidf_cosine",
+        "dedup_minhash", "dedup_tfidf_cosine",
         "docs_dup_char_spans_exact", "entity_resolution_pipeline",
         "graph_pagerank_copurchase", "docs_dsir_select", "ann_topk",
         "pipeline_training_data", "text_bpe_first3_merges", "tpch_q1",

@@ -494,20 +494,31 @@ def link_prediction(
     mid = deg
     if max_degree is not None:
         mid = deg.where(F.col("_deg") <= F.lit(int(max_degree)))
+    # precompute the middle's Adamic-Adar weight once per NODE (tiny
+    # broadcast frame) so the 10^8-row wedge stream carries one ready
+    # double instead of paying a log per wedge row. Degree-1 nodes
+    # can never be a wedge middle — drop them BEFORE the 1/ln(deg)
+    # division (ln 1 = 0 would trip ANSI mode's divide-by-zero)
+    mid = mid.where(F.col("_deg") >= 2).select(
+        "node",
+        (F.lit(1.0) / F.log(F.col("_deg").cast("double"))).alias("_w"),
+    )
     a = sym.select(F.col("u").alias("z"), F.col("v").alias("x"))
     b = sym.select(F.col("u").alias("z"), F.col("v").alias("y"))
     wedges = (
         a.join(b, "z")
         .where(F.col("x") < F.col("y"))
-        .join(mid, mid["node"] == F.col("z"))
-        .select("x", "y", F.col("_deg").alias("_dz"))
+        .join(F.broadcast(mid), mid["node"] == F.col("z"))
+        .select("x", "y", "_w")
     )
     scores = wedges.groupBy("x", "y").agg(
         F.count(F.lit(1)).alias("common_neighbors"),
-        F.sum(F.lit(1.0) / F.log(F.col("_dz").cast("double"))).alias("_aa"),
+        F.sum("_w").alias("_aa"),
     )
+    # the edge set is orders smaller than the candidate-pair set —
+    # broadcast it so the anti join never shuffles the scores frame
     non_adj = scores.join(
-        e,
+        F.broadcast(e),
         (scores["x"] == e["u"]) & (scores["y"] == e["v"]),
         "left_anti",
     )

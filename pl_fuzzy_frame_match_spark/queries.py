@@ -8126,7 +8126,20 @@ def lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_link_prediction",
-    "WITH " + _COPURCHASE_EDGES_SQL + """,
+    """
+    WITH e AS (
+      SELECT u, v FROM (
+        SELECT u, v, count(*) AS cw FROM (
+          SELECT DISTINCT a.l_orderkey AS g,
+                 a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey IS NOT NULL AND b.l_partkey IS NOT NULL)
+        GROUP BY u, v)
+      WHERE cw >= 2),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS node, count(*) AS outdeg FROM sym GROUP BY u),
     w AS (SELECT s1.v AS x, s2.v AS y, d.outdeg AS dz
           FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
           JOIN deg d ON d.node = s1.u
@@ -8150,18 +8163,27 @@ def lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 predicted co-purchase links
-    (`operators/graph.link_prediction`): common-neighbor count,
-    Jaccard overlap and Adamic-Adar over all non-adjacent
-    distance-2 part pairs, hub middles purged at degree 1000 (their
-    1/ln(deg) score mass is negligible exactly where their deg^2
-    wedge cost explodes). The oracle replays the wedge join, all
-    three scores and the rounded deterministic top-k cut."""
+    (`operators/graph.link_prediction`) over the STRENGTH >= 2
+    co-purchase graph: an edge requires two shared orders, killing
+    the one-off co-occurrence noise that makes the raw graph
+    half-dense (at sf0.1 the raw graph's distance-2 candidate set is
+    101M pairs — measured; the thresholded graph's is thousands).
+    That is the honest scale shape for exact all-pairs Adamic-Adar:
+    the candidate set IS the answer domain, so density must be
+    controlled at the GRAPH level (edge-strength threshold), not
+    papered over in the operator. The oracle replays the threshold,
+    the wedge join, all three scores and the rounded deterministic
+    top-k cut."""
     from .operators.graph import cooccurrence_edges, link_prediction
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = (
+        cooccurrence_edges(li, "l_orderkey", "l_partkey", weighted=True)
+        .where(F.col("w") >= 2)
+        .select("u", "v")
+    )
     return link_prediction(edges, k=50, max_degree=1000)
 
 
@@ -8324,12 +8346,20 @@ _PRIORITY = [
     "fuzzy_join_phonetic",            # Soundex blocking join
     "layout_zorder_lineitem",         # Z-order clustered layout
     "text_bpe_first3_merges",         # 3 distributed BPE learn rounds
-    # Remaining oracle-green candidates for future rotations:
-    # docs_dsir_weights, graph_triangles_copurchase,
-    # graph_walks_copurchase, graph_skipgram_pairs,
-    # blocking_quality_report, fuzzy_join_sorted_neighborhood,
-    # docs_lm_kn_perplexity, multimodal_aiff_samples, docs_char_entropy,
-    # multimodal_bmp_pixels.
+    # ROUND-11 ROTATION CANDIDATES (policy: newest flagships promote
+    # the round after they land). Round-10 flagships, all oracled at
+    # both gate SFs: entity_resolution_quality (pair-P/R survivorship
+    # report, both closures replayed), events_hll_distinct (mergeable
+    # HLL, integer register sum), vocab_countmin_report (Count-Min,
+    # completes the sketch triad), lineitem_exact_quantiles
+    # (range-partition prefix-sum quantile_disc), graph_link_prediction
+    # (wedge-join Adamic-Adar with hub purge), docs_bm25_topk +
+    # docs_hybrid_retrieval (BM25 + RRF sparse/dense fusion).
+    # Older oracle-green pool: docs_dsir_weights,
+    # graph_triangles_copurchase, graph_walks_copurchase,
+    # graph_skipgram_pairs, blocking_quality_report,
+    # fuzzy_join_sorted_neighborhood, docs_lm_kn_perplexity,
+    # multimodal_aiff_samples, docs_char_entropy, multimodal_bmp_pixels.
 ]
 
 

@@ -81,9 +81,14 @@ def test_bench_record_shape_is_compact():
     assert "queries_min" not in record_keys
     assert "errors" not in record_keys
     assert {"metric", "value", "queries", "sf"} <= set(record_keys)
-    # print(json.dumps(record)) must be the final statement sequence
-    # after spark.stop() so no later stdout can displace it
-    assert src.index("spark.stop()") < src.index("print(json.dumps(record))")
+    # round 10 (VERDICT r9 #4): the record's queries dict is the
+    # bounded flagship subset and the serialized line is length-
+    # asserted against the driver's 2000-char tail capture
+    assert "n_queries" in record_keys
+    assert "len(line) < 1800" in src
+    # the headline print must come after spark.stop() so no later
+    # stdout can displace it
+    assert src.index("spark.stop()") < src.index("print(line)")
 
 
 # ---------------------------------------------------------------------------
