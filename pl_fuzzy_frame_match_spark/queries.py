@@ -7929,6 +7929,117 @@ def kernel_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_AUG_SQL = r"""
+    base AS (SELECT doc_id, text FROM documents
+             WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    aug AS (SELECT doc_id,
+      text
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' call 555-'
+                   || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                   || CAST((doc_id * 7) % 256 AS VARCHAR) || '.1'
+              ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+              THEN ' id ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS t
+      FROM base)
+"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PII_PHONE = r"\(?[0-9]{3}\)?[- ][0-9]{3}[- ][0-9]{4}"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+@register(
+    "docs_pii_scan",
+    "WITH " + _PII_AUG_SQL + f""",
+    sf AS (SELECT doc_id, t,
+                  regexp_replace(t, '{_PII_SSN}', '#', 'g') AS tf
+           FROM aug)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_SSN}')) AS BIGINT)
+             AS n_ssn,
+           CAST(len(regexp_extract_all(tf, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phone,
+           CAST(len(regexp_extract_all(tf, '{_PII_IPV4}')) AS BIGINT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}'))
+                + len(regexp_extract_all(t, '{_PII_SSN}'))
+                + len(regexp_extract_all(tf, '{_PII_PHONE}'))
+                + len(regexp_extract_all(tf, '{_PII_IPV4}')) AS BIGINT)
+             AS n_pii_total
+    FROM sf
+    """,
+)
+def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection (`functions/pii.pii_scan`): per-document counts
+    of email / SSN-shape / phone-shape / ipv4 hits over the corpus
+    with deterministically PLANTED synthetic PII
+    (`synthesize_pii_corpus` — the gate corpus contains none
+    naturally; the synthesize-then-verify pattern of the multimodal
+    codecs). Patterns use the Java-regex/RE2 common subset so every
+    count replays exactly; map-only, scan-speed at any scale."""
+    from .functions.pii import pii_scan, synthesize_pii_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_scan(
+        synthesize_pii_corpus(docs, "text", "doc_id"), "text", "doc_id"
+    )
+
+
+@register(
+    "docs_pii_redact",
+    "WITH " + _PII_AUG_SQL + f""",
+    sf AS (SELECT doc_id, t,
+                  regexp_replace(t, '{_PII_SSN}', '#', 'g') AS tf
+           FROM aug),
+    red AS (SELECT doc_id, t, tf,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                         '{_PII_SSN}', '[SSN]', 'g'),
+                       '{_PII_PHONE}', '[PHONE]', 'g'),
+                     '{_PII_IPV4}', '[IPV4]', 'g') AS clean
+            FROM sf)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}'))
+                + len(regexp_extract_all(t, '{_PII_SSN}'))
+                + len(regexp_extract_all(tf, '{_PII_PHONE}'))
+                + len(regexp_extract_all(tf, '{_PII_IPV4}')) AS BIGINT)
+             AS n_redacted,
+           md5(clean) AS redacted_md5
+    FROM red
+    """,
+)
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (`functions/pii.pii_redact`): every detected
+    form replaced by a typed placeholder in a fixed order (email,
+    SSN, phone, ipv4 — digit shapes most-specific-first), emitting
+    counts plus an md5 of each scrubbed document so the transform is
+    value-checked without shipping bodies (the
+    `remove_duplicate_spans` contract). Map-only codegen."""
+    from .functions.pii import pii_redact, synthesize_pii_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_redact(
+        synthesize_pii_corpus(docs, "text", "doc_id"), "text", "doc_id"
+    )
+
+
 _BM25_SQL = r"""
     base AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
              FROM documents

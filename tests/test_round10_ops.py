@@ -611,3 +611,60 @@ def test_stream_cm_sketch_equals_batch(spark, tmp_path):
         for r in cm_sketch(all_rows, "k").collect()
     }
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# PII scan/redact (round 10): hand-checked detection and scrubbing
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scan_hand_counts(spark):
+    from pl_fuzzy_frame_match_spark.functions.pii import pii_scan
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@test.org and x@y.io, ip 10.0.0.1"),
+         (2, "ssn 123-45-6789 and phone 555-123-4567"),
+         (3, "clean text, version 1.2 only")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scan(df, "text", "doc_id").collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_ipv4"] == 1
+    assert got[1]["n_pii_total"] == 3
+    # SSN precedence: the SSN must not double-count as a phone
+    assert got[2]["n_ssn"] == 1 and got[2]["n_phone"] == 1
+    assert got[2]["n_pii_total"] == 2
+    assert got[3]["n_pii_total"] == 0
+
+
+def test_pii_redact_scrubs_every_form(spark):
+    from pl_fuzzy_frame_match_spark.functions.pii import (
+        PII_PATTERNS,
+        pii_redact,
+        synthesize_pii_corpus,
+    )
+    import re
+
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(0, 40)],
+        "doc_id long, text string",
+    )
+    aug = synthesize_pii_corpus(base, "text", "doc_id")
+    red = pii_redact(aug, "text", "doc_id")
+    rows = {r["doc_id"]: r for r in red.collect()}
+    # doc 0 is divisible by 3, 5, 7 and 11: all four forms planted
+    assert rows[0]["n_redacted"] == 4
+    assert rows[1]["n_redacted"] == 0
+    # apply the same redaction order in Python and verify nothing
+    # matching any pattern survives in the redacted text
+    aug_rows = {r["doc_id"]: r["text"] for r in aug.collect()}
+    for i, txt in aug_rows.items():
+        clean = txt
+        for kind in ("email", "ssn", "phone", "ipv4"):
+            clean = re.sub(PII_PATTERNS[kind], f"[{kind.upper()}]", clean)
+        for kind, pat in PII_PATTERNS.items():
+            assert not re.search(pat, clean), (i, kind, clean)
+    # determinism of the fingerprint
+    again = {r["doc_id"]: r["redacted_md5"] for r in red.collect()}
+    assert again == {i: r["redacted_md5"] for i, r in rows.items()}
