@@ -117,6 +117,7 @@ def main() -> None:
         "graph_link_prediction",
         "docs_bm25_topk",
         "docs_hybrid_retrieval",
+        "docs_pii_redact",
     ):
         if extra in registry:
             names.append(extra)
