@@ -7929,6 +7929,61 @@ def kernel_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_markov_transitions",
+    """
+    WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                 AND ts IS NOT NULL),
+    nx AS (SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                    AS next_type
+           FROM e),
+    c AS (SELECT event_type, next_type, count(*) AS n
+          FROM nx WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type),
+    t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY event_type)
+    SELECT c.event_type, c.next_type,
+           CAST(n AS BIGINT) AS n_transitions,
+           round(CAST(n AS DOUBLE) / tot, 6) AS prob
+    FROM c JOIN t USING (event_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey Markov model: per-user event streams
+    ordered by (ts, event_id) — the deterministic tiebreak both
+    engines share — yield (event_type -> next_type) transition counts
+    and row-normalized probabilities. The funnel/retention family's
+    generative sibling: where the funnel asks "did the user reach
+    step 3", the transition matrix asks "where do users GO from step
+    2". One per-user window pass + one aggregate; the per-source
+    totals frame is a handful of rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = trans.groupBy("event_type").agg(
+        F.sum("n_transitions").alias("__tot")
+    )
+    return trans.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "next_type",
+        F.col("n_transitions").cast("long"),
+        F.round(F.col("n_transitions") / F.col("__tot"), 6).alias("prob"),
+    )
+
+
 _PII_AUG_SQL = r"""
     base AS (SELECT doc_id, text FROM documents
              WHERE text IS NOT NULL AND doc_id IS NOT NULL),

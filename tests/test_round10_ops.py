@@ -668,3 +668,54 @@ def test_pii_redact_scrubs_every_form(spark):
     # determinism of the fingerprint
     again = {r["doc_id"]: r["redacted_md5"] for r in red.collect()}
     assert again == {i: r["redacted_md5"] for i, r in rows.items()}
+
+
+# ---------------------------------------------------------------------------
+# Markov transitions (round 10): hand-checked chain + row-normalization
+# ---------------------------------------------------------------------------
+
+
+def test_markov_transitions_hand_chain(spark):
+    import datetime as dt
+
+    from pl_fuzzy_frame_match_spark.queries import events_markov_transitions
+
+    # build a tiny events table in a temp view shape the query reads?
+    # events_markov_transitions reads from parquet — test the logic
+    # inline instead with the same plan
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 10, t0, "a"), (2, 10, t0 + dt.timedelta(minutes=1), "b"),
+        (3, 10, t0 + dt.timedelta(minutes=2), "a"),
+        (4, 20, t0, "a"), (5, 20, t0 + dt.timedelta(minutes=1), "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r["event_type"], r["next_type"]): r["n"] for r in trans.collect()}
+    # user 10: a->b, b->a; user 20: a->a
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 1}
+
+
+def test_markov_probs_row_normalize(spark):
+    from pl_fuzzy_frame_match_spark.queries import events_markov_transitions
+
+    out = events_markov_transitions(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in rows:
+        sums[r["event_type"]] += r["prob"]
+    for et, s in sums.items():
+        assert abs(s - 1.0) < 1e-4, (et, s)  # rows normalize per source
