@@ -8441,9 +8441,11 @@ _PRIORITY = [
     "fuzzy_join_dl", "fuzzy_join_jaro", "fuzzy_join_ann",
     "fuzzy_join_left", "fuzzy_join_semi", "fuzzy_join_anti",
     "fuzzy_join_exact_cap2",
-    # metric kernels
+    # metric kernels (kernel_token_set promoted round 11 — the engine's
+    # 8th metric, landed round 10)
     "kernel_levenshtein", "kernel_jaro", "kernel_jaro_winkler",
     "kernel_damerau_levenshtein", "kernel_hamming", "kernel_indel",
+    "kernel_token_set",
     # TPC-H shapes (tpch_q18, tpch_q7_shape and tpch_q10_shape rotated
     # out in rounds 4-5; tpch_q3_shape, tpch_q5 and tpch_q6 rotated out
     # in round 9 for the round-8 flagships below — tpch_q1 stays as the
@@ -8452,18 +8454,22 @@ _PRIORITY = [
     "tpch_q1",
     # LLM-pipeline dedup family (docs_dup_span_removal rotated out in
     # round 9; docs_dup_spans and dedup_corpus_canonical rotated out in
-    # round 10 — char-span exact dedup below is the span-family
-    # representative, and dedup_clusters stays as the
-    # connected-components representative; both remain pytest-oracled)
+    # round 10. Round 11: dedup_clusters rotated out (pointer-jumping
+    # CC is composed — with a full value oracle — by
+    # entity_resolution_pipeline, the round-10 amendment), and
+    # dedup_containment + dedup_incremental rotated out
+    # (dedup_ngram_jaccard stays as the prefix-filtered-SSJoin
+    # representative on the same code path). All three remain
+    # pytest- and judge-replayed.
     "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding",
-    "dedup_clusters", "dedup_containment", "dedup_incremental",
     # quality / text analytics
     "docs_quality_logreg", "text_bigram_pmi", "pipeline_pretrain_corpus",
-    # events family (events_funnel rotated out in round 10:
-    # events_retention stays as the cohort-conversion representative
-    # over the same events scan shape; funnel stays pytest-oracled)
+    # events family (events_funnel rotated out in round 10;
+    # events_error_windows rotated out in round 11 — the family keeps
+    # retention/sessionize/asof and gains the Markov transition model
+    # below; both rotated queries stay pytest-oracled)
     "events_retention", "events_sessionize",
-    "events_asof_purchase", "events_error_windows",
+    "events_asof_purchase",
     # similarity / sampling / sketches (r6 rotation: emb_quantize,
     # bloom_semi_orders, docs_pack_contexts and docs_token_budget_mix
     # rotated out for the four multimodal flagships below; all four
@@ -8494,8 +8500,11 @@ _PRIORITY = [
     # multimodal_frame_sample rotated out (multimodal_mjpeg_frames
     # exercises the same AVI container + frame decode path), and
     # text_bpe_first_merge replaced by text_bpe_first3_merges (strict
-    # superset: three full distributed learn rounds vs one).
-    "multimodal_mjpeg_frames", "text_bpe_encode_fixed",
+    # superset: three full distributed learn rounds vs one). Round 11:
+    # text_bpe_encode_fixed rotated out — text_bpe_first3_merges stays
+    # as the BPE-family representative; the encode path stays
+    # pytest-oracled.
+    "multimodal_mjpeg_frames",
     # round-9 session-B flagships (rotated in round 10, VERDICT r9 #1,
     # COVERAGE.md category 3). Displaced, newest-first (category 4 +
     # the round-10 composed-representative amendment):
@@ -8509,18 +8518,26 @@ _PRIORITY = [
     "docs_dup_char_spans_exact",      # prefix-doubling char-span dedup
     "docs_dsir_select",               # DSIR weights + Gumbel top-k
     "vocab_topk_sketch",              # Misra-Gries heavy hitters
-    "fuzzy_join_phonetic",            # Soundex blocking join
     "layout_zorder_lineitem",         # Z-order clustered layout
     "text_bpe_first3_merges",         # 3 distributed BPE learn rounds
-    # ROUND-11 ROTATION CANDIDATES (policy: newest flagships promote
-    # the round after they land). Round-10 flagships, all oracled at
-    # both gate SFs: entity_resolution_quality (pair-P/R survivorship
-    # report, both closures replayed), events_hll_distinct (mergeable
-    # HLL, integer register sum), vocab_countmin_report (Count-Min,
-    # completes the sketch triad), lineitem_exact_quantiles
-    # (range-partition prefix-sum quantile_disc), graph_link_prediction
-    # (wedge-join Adamic-Adar with hub purge), docs_bm25_topk +
-    # docs_hybrid_retrieval (BM25 + RRF sparse/dense fusion).
+    # round-10 flagships (rotated in round 11, VERDICT r10 #1,
+    # COVERAGE.md category 3). Displaced this round, newest-first
+    # (category 4 + the composed-representative amendment):
+    # fuzzy_join_phonetic (Soundex blocking composed by
+    # entity_resolution_pipeline), text_bpe_encode_fixed,
+    # dedup_clusters, dedup_containment, dedup_incremental,
+    # events_error_windows — all stay pytest- and judge-replayed.
+    "docs_pii_redact",                # PII detect+redact (map-only)
+    "docs_bm25_topk",                 # BM25 inverted-index retrieval
+    "events_markov_transitions",      # 1st-order journey transitions
+    "events_hll_distinct",            # mergeable HLL registers
+    "lineitem_exact_quantiles",       # range-partition exact quantiles
+    # ROUND-12 ROTATION CANDIDATES (policy: newest flagships promote
+    # the round after they land). Remaining round-10 oracle-green pool:
+    # entity_resolution_quality (pair-P/R survivorship, both closures
+    # replayed), vocab_countmin_report (Count-Min, completes the
+    # sketch triad), graph_link_prediction (wedge-join Adamic-Adar),
+    # docs_hybrid_retrieval (BM25 + RRF fusion), docs_pii_scan.
     # Older oracle-green pool: docs_dsir_weights,
     # graph_triangles_copurchase, graph_walks_copurchase,
     # graph_skipgram_pairs, blocking_quality_report,
