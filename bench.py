@@ -25,8 +25,51 @@ HEADLINE = [
     "fuzzy_join_xl_4b",
 ]
 
+# the bounded per-query subset inlined into the final headline JSON
+# line (the driver contract's "queries" key); the full per-query
+# medians/mins/retimes live in BENCH_DETAIL.json
+FLAGSHIP = [
+    "fuzzy_join_lev", "fuzzy_join_multi", "fuzzy_join_exact_xl",
+    "fuzzy_join_auto_xl", "fuzzy_join_xl_4b", "fuzzy_join_ann",
+    "dedup_minhash", "dedup_tfidf_cosine",
+    "docs_dup_char_spans_exact", "entity_resolution_pipeline",
+    "graph_pagerank_copurchase", "docs_dsir_select", "ann_topk",
+    "pipeline_training_data", "text_bpe_first3_merges", "tpch_q1",
+]
+
+
+def _headline_line(timings: dict, total: float, sum_of_mins: float,
+                   n_queries: int, sf_val) -> str:
+    record = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in FLAGSHIP if n in timings},
+        "n_queries": n_queries,
+        "sum_of_mins": sum_of_mins,
+        "sf": sf_val,
+        "detail": "BENCH_DETAIL.json",
+    }
+    return json.dumps(record)
+
+
+def _check_headline_fits() -> None:
+    """Startup guard (ADVICE r10): validate the serialized headline
+    length with worst-case placeholder timings BEFORE the bench runs,
+    so a flagship list grown past the driver's 2000-char tail capture
+    fails in second 0 — not by discarding a completed run's record
+    via a post-hoc AssertionError."""
+    fake = {n: 99999.999 for n in FLAGSHIP}
+    line = _headline_line(fake, 99999.999, 99999.999, 9999, 99.999)
+    assert len(line) < 1800, (
+        f"headline line would be {len(line)} chars with worst-case "
+        "timings and overflow the driver's 2000-char tail capture — "
+        "trim FLAGSHIP"
+    )
+
 
 def main() -> None:
+    _check_headline_fits()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -292,31 +335,9 @@ def main() -> None:
     # carries the compact headline plus ONLY the flagship subset of
     # per-query medians (the driver contract's "queries" key, bounded);
     # the full 76-query medians/mins/retimes live in BENCH_DETAIL.json.
-    flagship = [
-        "fuzzy_join_lev", "fuzzy_join_multi", "fuzzy_join_exact_xl",
-        "fuzzy_join_auto_xl", "fuzzy_join_xl_4b", "fuzzy_join_ann",
-        "dedup_minhash", "dedup_tfidf_cosine",
-        "docs_dup_char_spans_exact", "entity_resolution_pipeline",
-        "graph_pagerank_copurchase", "docs_dsir_select", "ann_topk",
-        "pipeline_training_data", "text_bpe_first3_merges", "tpch_q1",
-    ]
-    record = {
-        "metric": "headline_queries_total_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "queries": {n: timings[n] for n in flagship if n in timings},
-        "n_queries": len(timings),
-        "sum_of_mins": sum_of_mins,
-        "sf": sf_val,
-        "detail": "BENCH_DETAIL.json",
-    }
     spark.stop()
     sys.stdout.flush()
-    line = json.dumps(record)
-    assert len(line) < 1800, (
-        f"headline line {len(line)} chars would overflow the driver's "
-        "2000-char tail capture — trim the flagship list"
-    )
+    line = _headline_line(timings, total, sum_of_mins, len(timings), sf_val)
     print(line)
     sys.stdout.flush()
     # Shipping gate (VERDICT r7 #3): round 7 shipped with a query

@@ -231,6 +231,56 @@ def blocking_quality(
 DEFAULT_MAX_BLOCK = 50
 
 
+def purged_block_report(
+    df: DataFrame,
+    key_col: str,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    prefix_len: int = 3,
+) -> DataFrame:
+    """Recall-loss visibility for block purging (ADVICE r10):
+    per purging tier, how many blocks a ``max_block`` cap drops and
+    how many distinct keys sit inside them. ``resolve_entities``
+    purges silently by design (an action inside the operator would
+    force an extra job on every call); callers who need the signal
+    run THIS lazy diagnostic on the same inputs — a nonzero
+    ``n_purged_blocks`` means the cap is trading recall for the
+    measured 1M-name blowup documented at ``DEFAULT_MAX_BLOCK``.
+
+    Output: (tier, n_purged_blocks, n_keys_in_purged,
+    largest_block). One distinct + one groupBy per tier; no pair
+    enumeration — the report is linear even when the purged blocks
+    are quadratically hot."""
+    from ..functions.phonetic import soundex_code
+
+    keys = (
+        df.select(F.col(key_col).alias("k"))
+        .where(F.col("k").isNotNull())
+        .distinct()
+    )
+    out = None
+    for tier, code in (
+        ("phonetic", soundex_code(F.col("k"))),
+        ("prefix", F.substring(F.lower(F.col("k")), 1, prefix_len)),
+    ):
+        over = (
+            keys.select(code.alias("_b"))
+            .where(F.col("_b").isNotNull())
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") > F.lit(int(max_block)))
+            .agg(
+                F.lit(tier).alias("tier"),
+                F.count(F.lit(1)).alias("n_purged_blocks"),
+                F.coalesce(F.sum("_bn"), F.lit(0)).alias(
+                    "n_keys_in_purged"
+                ),
+                F.coalesce(F.max("_bn"), F.lit(0)).alias("largest_block"),
+            )
+        )
+        out = over if out is None else out.unionByName(over)
+    return out
+
+
 def resolve_entities(
     df: DataFrame,
     key_col: str,
@@ -255,6 +305,9 @@ def resolve_entities(
     many keys (default ``DEFAULT_MAX_BLOCK`` — see the module constant
     for the measured 1M-name failure that motivates a bounded default).
     ``None`` disables purging for exhaustive small-corpus resolution.
+    Purging is silent here (no extra job per call); run
+    ``purged_block_report`` on the same inputs to see how many blocks
+    and keys the cap drops (ADVICE r10).
 
     Scale shape: tiers are linear candidate generators (see each
     tier's notes); components run on integer ranks from

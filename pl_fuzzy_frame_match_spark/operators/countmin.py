@@ -94,6 +94,18 @@ def cm_estimate(
     with the sketch's <= d * width rows broadcast, the lookup is
     map-only."""
     key = F.col(key_col)
+    # Fail fast on a depth mismatch (ADVICE r10): probing rows the
+    # sketch was never built with left-joins to nulls, coalesces to 0
+    # and min() silently returns 0 — violating the one-sided
+    # never-undercount guarantee. The sketch table is tiny (<= depth
+    # * width cells), so the probe is one cheap aggregate.
+    built = sketch.agg(F.max("row")).first()[0]
+    if built is not None and depth > int(built) + 1:
+        raise ValueError(
+            f"cm_estimate depth={depth} exceeds the sketch's build "
+            f"depth {int(built) + 1}; estimates would silently "
+            "undercount — probe with the build depth"
+        )
     rows = F.array(
         *[
             F.struct(

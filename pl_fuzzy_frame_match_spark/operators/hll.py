@@ -157,11 +157,22 @@ def hll_distinct_report(
                 "used_registers",
                 "hll_estimate",
                 F.col("exact_distinct").cast("long"),
-                F.round(
-                    F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
-                    / F.col("exact_distinct"),
-                    6,
-                ).alias("rel_error"),
+                # zero-guard (ADVICE r10): an empty / all-null key
+                # column has exact_distinct == 0 — emit 0.0 (the
+                # estimate is also 0, so the error is vacuously
+                # perfect; same fixed-point convention as
+                # blocking_quality / er_quality) instead of a null
+                # (default mode) or a divide error (ANSI mode)
+                F.when(
+                    F.col("exact_distinct") > 0,
+                    F.round(
+                        F.abs(
+                            F.col("hll_estimate") - F.col("exact_distinct")
+                        )
+                        / F.col("exact_distinct"),
+                        6,
+                    ),
+                ).otherwise(F.lit(0.0)).alias("rel_error"),
             )
         )
         out = row if out is None else out.unionByName(row)

@@ -107,3 +107,113 @@ def exact_quantiles(
             F.lit(n).cast("long").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram sketch (round 11) — the quantile path
+# that needs NO range repartition and NO ordering at all: one groupBy
+# over a bounded bin keyspace (map-side combine collapses each input
+# partition to <= n_bins rows before the only shuffle), sketches merge
+# by plain cell addition, and any quantile reads off the cumulative
+# bin counts with a deterministic (hi - lo) / n_bins value-space error
+# bound. The mergeable sibling of `exact_quantiles` (exact rank, two
+# ordered passes) — at 100 TB you roll per-shard histograms up a tree
+# and never move the column itself.
+# ---------------------------------------------------------------------------
+
+
+def hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """(bin, cnt) fixed-width histogram of ``value_col`` over
+    [lo, hi): bin = floor((x - lo) / (hi - lo) * n_bins), clamped to
+    [0, n_bins - 1] so out-of-range values land in the edge bins
+    (documented saturation, never dropped). Nulls excluded. Integer
+    bin arithmetic is exact in both engines, so the sketch replays
+    cell-for-cell in SQL."""
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(int(n_bins)))
+    clamped = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(int(n_bins) - 1).cast("long"), raw.cast("long")),
+    )
+    return (
+        df.where(x.isNotNull())
+        .select(clamped.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-sum merge — the sketch of the concatenated inputs,
+    exactly (bin counts are additive)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for nxt in sketches[1:]:
+        out = out.unionByName(nxt)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """(q, bin, upper_edge, position, n) per requested quantile: the
+    first bin whose cumulative count reaches position
+    ``max(1, ceil(q * n))`` (the same discrete-position contract as
+    `exact_quantiles`), reported as the bin's UPPER edge — a value
+    that is >= the exact quantile and overshoots by at most one bin
+    width. The sketch is <= n_bins rows, so the cumulative sum and
+    the position join are broadcast-scale no matter how much data the
+    sketch summarizes."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
+    spark = sketch.sparkSession
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # <= n_bins rows: the single-task window is bounded by construction
+    cum = sketch.select(
+        "bin", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    total = sketch.agg(F.sum("cnt").alias("n"))
+    pos = spark.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    ).crossJoin(F.broadcast(total)).select(
+        "q",
+        "n",
+        F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n"))
+        ).alias("position"),
+    )
+    width = float(hi - lo) / float(n_bins)
+    return (
+        pos.join(
+            F.broadcast(cum),
+            (F.col("cum") >= F.col("position"))
+            & (F.col("cum") - F.col("cnt") < F.col("position")),
+            "left",
+        )
+        .select(
+            "q",
+            "bin",
+            F.round(
+                F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width), 6
+            ).alias("upper_edge"),
+            "position",
+            "n",
+        )
+    )

@@ -8421,6 +8421,141 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 11: mergeable histogram quantile sketch + k-core + purge report
+# ---------------------------------------------------------------------------
+
+_HISTQ_SQL = """
+    WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+    b AS (SELECT GREATEST(CAST(0 AS BIGINT), LEAST(CAST(1023 AS BIGINT),
+                 CAST(floor(((x - 900.0) / 104100.0) * 1024) AS BIGINT)))
+                     AS bin
+          FROM v),
+    sk AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+    cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM sk),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
+    q(q) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)),
+    pos AS (SELECT q, n,
+                   GREATEST(CAST(1 AS BIGINT),
+                            CAST(ceil(q * n) AS BIGINT)) AS position
+            FROM q CROSS JOIN tot)
+    SELECT p.q, c.bin,
+           round(900.0 + (c.bin + 1) * (104100.0 / 1024), 6) AS upper_edge,
+           p.position, p.n
+    FROM pos p LEFT JOIN cum c
+      ON c.cum >= p.position AND c.cum - c.cnt < p.position
+"""
+
+
+@register("lineitem_hist_quantiles", _HISTQ_SQL)
+def lineitem_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a MERGEABLE fixed-bin histogram sketch (round
+    11): one groupBy over a bounded 1024-bin keyspace (map-side
+    combine collapses every input partition to <= 1024 rows before
+    the only shuffle — no range repartition, no ordering of the
+    column, unlike `lineitem_exact_quantiles`), then positions
+    max(1, ceil(q*n)) read off the <= 1024-row cumulative frame. The
+    oracle replays the bin arithmetic, the cumulative sum and the
+    position join cell-for-cell; accuracy is the documented one-bin
+    (101.66) value-space bound, NOT an estimate."""
+    from .operators.quantiles import hist_quantiles, hist_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = hist_sketch(li, "l_extendedprice", 900.0, 105000.0, 1024)
+    return hist_quantiles(sk, (0.25, 0.5, 0.75, 0.9, 0.99), 900.0, 105000.0, 1024)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled synchronous peeling (same spec as operators.graph.kcore
+    — peeling is confluent, so R >= rounds-to-fixpoint rounds of SQL
+    equal the Spark driver loop's fixpoint; convergence within
+    ``rounds`` at the gate SFs is asserted by the paired pytest)."""
+    # MATERIALIZED: each s_i references s_{i-1} three times (directly
+    # plus through both n_i joins); DuckDB inlines plain CTEs, which
+    # would blow the scan count up 3^rounds-fold
+    ctes = [
+        "s0 AS MATERIALIZED (SELECT u, v FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""n{i} AS MATERIALIZED (SELECT u AS node FROM s{i - 1}
+                  GROUP BY u HAVING count(*) >= {k}),
+    s{i} AS MATERIALIZED (SELECT s.u, s.v FROM s{i - 1} s
+                 JOIN n{i} a ON s.u = a.node
+                 JOIN n{i} b ON s.v = b.node)"""
+        )
+    return (
+        "WITH " + _COPURCHASE_EDGES_SQL + ",\n    "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT u AS part, CAST(count(*) AS BIGINT) AS core_degree
+    FROM s{rounds} GROUP BY u HAVING count(*) >= {k}"""
+    )
+
+
+@register("graph_kcore", _kcore_oracle_sql(80, 8))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80-core of the co-purchase graph (round 11): synchronous peel
+    to the fixpoint (driver loop, one scalar per round), oracled by an
+    8-round SQL unroll — peeling is confluent and monotone, so any
+    R >= rounds-to-fixpoint replays the fixpoint exactly (probed:
+    3 rounds/empty core at sf0.001, 6 rounds/1857-node core at
+    sf0.01 — a real multi-round cascade, 143 nodes peeled)."""
+    from .operators.graph import cooccurrence_edges, kcore
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = kcore(edges, k=80)
+    return out.select(
+        F.col("node").alias("part"), F.col("core_degree")
+    )
+
+
+_PURGE_REPORT_SQL = f"""
+    WITH k AS (SELECT DISTINCT p_name AS k FROM part
+               WHERE p_name IS NOT NULL),
+    lett AS (SELECT k, regexp_replace(lower(k), '[^a-z]', '', 'g')
+                 AS letters
+             FROM k),
+    codes AS (SELECT {_soundex_sql('letters')} AS b FROM lett),
+    pfx AS (SELECT substr(lower(k), 1, 3) AS b FROM k),
+    ph AS (SELECT CAST(count(*) AS BIGINT) AS n_purged_blocks,
+                  CAST(coalesce(sum(bn), 0) AS BIGINT)
+                      AS n_keys_in_purged,
+                  CAST(coalesce(max(bn), 0) AS BIGINT) AS largest_block
+           FROM (SELECT b, count(*) AS bn FROM codes
+                 WHERE b IS NOT NULL GROUP BY b)
+           WHERE bn > 40),
+    pf AS (SELECT CAST(count(*) AS BIGINT) AS n_purged_blocks,
+                  CAST(coalesce(sum(bn), 0) AS BIGINT)
+                      AS n_keys_in_purged,
+                  CAST(coalesce(max(bn), 0) AS BIGINT) AS largest_block
+           FROM (SELECT b, count(*) AS bn FROM pfx
+                 WHERE b IS NOT NULL GROUP BY b)
+           WHERE bn > 40)
+    SELECT 'phonetic' AS tier, * FROM ph
+    UNION ALL
+    SELECT 'prefix' AS tier, * FROM pf
+"""
+
+
+@register("blocking_purge_report", _PURGE_REPORT_SQL)
+def blocking_purge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-loss visibility for bounded entity resolution (ADVICE
+    r10): per purging tier, how many blocks a max_block=40 cap drops
+    over the part-name corpus, how many distinct keys they hold and
+    the hottest block's size — the diagnostic callers run next to
+    `resolve_entities` to see what `DEFAULT_MAX_BLOCK` trades. Linear:
+    one distinct + one groupBy per tier, no pair enumeration."""
+    from .operators.blocking import purged_block_report
+
+    part = load_table(spark, sf_dir, "part")
+    return purged_block_report(part, "p_name", max_block=40)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry slots
