@@ -161,6 +161,11 @@ def main() -> None:
         "docs_bm25_topk",
         "docs_hybrid_retrieval",
         "docs_pii_redact",
+        # round-11 additions
+        "lineitem_hist_quantiles",
+        "graph_kcore",
+        "blocking_purge_report",
+        "docs_datacard",
     ):
         if extra in registry:
             names.append(extra)

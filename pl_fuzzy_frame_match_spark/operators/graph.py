@@ -590,6 +590,13 @@ def link_prediction(
     ).limit(k)
 
 
+# Below this many directed (symmetrized) edges the walk adjacency is
+# packed into per-node neighbor arrays and broadcast per step (~8 B /
+# edge in the arrays -> ~64 MB at the bound); past it the unbounded
+# ranked-adjacency equi-join form runs.
+WALK_ADJ_BROADCAST_EDGES = 8_000_000
+
+
 def deterministic_walks(
     edges: DataFrame,
     length: int = 4,
@@ -609,18 +616,69 @@ def deterministic_walks(
     Output: (start, step, node) for step 0..length, one walk per
     start node (default: every edge-incident node).
 
-    Scale shape: the ranked adjacency (row_number per source over
-    id-sorted neighbors — per-node window partitions, distributed) is
-    built once and checkpointed; each step is one equi-join on
-    (node, drawn rank). Walk state is one row per walk — the frontier
-    never exceeds the start count, and steps are independent
-    equi-joins, not iterative shuffo-reduce.
+    Scale shape: below ``WALK_ADJ_BROADCAST_EDGES`` directed edges
+    the id-sorted adjacency packs into per-node neighbor ARRAYS (one
+    groupBy), checkpointed once; every step is then a BROADCAST join
+    + ``element_at`` — zero per-step exchanges (A/B in PLANS.md round
+    11). Past the bound the ranked-adjacency form runs instead
+    (row_number per source over id-sorted neighbors, one equi-join on
+    (node, drawn rank) per step) — the identical draw arithmetic,
+    shuffle-bound but unbounded. Walk state is one row per walk in
+    both forms; the two paths are equivalence-tested.
     """
     from pyspark.sql import Window
 
     if length < 0:
         raise ValueError("length must be >= 0")
     sym = _symmetrized(edges)
+
+    def _draw(t: int):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("node").cast("string"),
+                        F.lit(f":{t}:{seed}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    small = (
+        sym.limit(WALK_ADJ_BROADCAST_EDGES + 1).count()
+        <= WALK_ADJ_BROADCAST_EDGES
+    )
+    if small:
+        # packed-array form: sort_array(collect_list) is the same
+        # id-ascending neighbor order the row_number rank form walks
+        adj = (
+            sym.groupBy("u")
+            .agg(F.sort_array(F.collect_list("v")).alias("__nbrs"))
+            .localCheckpoint(eager=True)
+        )
+        if starts is None:
+            starts = adj.select(F.col("u").alias("start"))
+        cur = starts.select("start", F.col("start").alias("node"))
+        out = cur.select("start", F.lit(0).alias("step"), "node")
+        for t in range(length):
+            nxt = cur.join(
+                F.broadcast(adj), cur["node"] == adj["u"]
+            ).select(
+                "start",
+                F.element_at(
+                    "__nbrs",
+                    ((_draw(t) % F.size("__nbrs")) + F.lit(1)).cast("int"),
+                ).alias("node"),
+            )
+            out = out.unionByName(
+                nxt.select("start", F.lit(t + 1).alias("step"), "node")
+            )
+            cur = nxt
+        return out
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
     ranked = (
         sym.withColumn(
@@ -635,23 +693,9 @@ def deterministic_walks(
     cur = starts.select("start", F.col("start").alias("node"))
     out = cur.select("start", F.lit(0).alias("step"), "node")
     for t in range(length):
-        draw_u32 = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("node").cast("string"),
-                        F.lit(f":{t}:{seed}"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
         nxt = (
             cur.join(ranked, cur["node"] == ranked["u"])
-            .where(F.col("__rn") == draw_u32 % F.col("__deg") + 1)
+            .where(F.col("__rn") == _draw(t) % F.col("__deg") + 1)
             .select("start", F.col("v").alias("node"))
         )
         out = out.unionByName(
@@ -872,7 +916,13 @@ def negative_sampled_pairs(
         ).cast("bigint")
         % F.lit(n),
     )
-    neg = drawn.join(ranked, drawn["_draw"] == ranked["_rk"]).select(
+    # the ranked node table is (node, rank) longs — broadcast it below
+    # the same bound the pagerank loop uses instead of shuffling the
+    # (pairs x negatives)-sized drawn frame by _draw (round 11 A/B)
+    rank_side = (
+        F.broadcast(ranked) if n <= PAGERANK_BROADCAST_NODES else ranked
+    )
+    neg = drawn.join(rank_side, drawn["_draw"] == rank_side["_rk"]).select(
         "center",
         F.col("node").alias("context"),
         F.lit(0).alias("label"),

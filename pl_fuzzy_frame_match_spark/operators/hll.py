@@ -183,3 +183,78 @@ def hll_error_bound(p: int = HLL_P) -> float:
     """The 1.04 / sqrt(m) standard-error bound for ``p`` — exposed so
     callers can gate rel_error against the theory."""
     return 1.04 / math.sqrt(float(1 << p))
+
+
+def hll_registers_by(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = HLL_P,
+) -> DataFrame:
+    """Grouped register tables: (group_cols..., reg_idx, rho) — one
+    independent HLL sketch PER GROUP, built in a single groupBy pass
+    (<= 2^p surviving rows per group, map-side max combine). The
+    fleet-scale replacement for ``GROUP BY g, COUNT(DISTINCT k)``: the
+    shuffle moves bounded register rows per group instead of every
+    distinct (g, k) pair, and per-group sketches still merge exactly
+    across shards/days via the register max."""
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError("p must be a multiple of 4 in [4, 16]")
+    hexes = p // 4
+    h = F.md5(F.col(key_col).cast("string"))
+    idx = F.conv(F.substring(h, 1, hexes), 16, 10).cast("int")
+    w = F.conv(
+        F.substring(h, hexes + 1, HLL_W_BITS // 4), 16, 10
+    ).cast("bigint")
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1)
+        - F.length(F.conv(F.substring(h, hexes + 1, HLL_W_BITS // 4), 16, 2))
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            *group_cols,
+            idx.alias("reg_idx"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "reg_idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame,
+    group_cols: list[str],
+    p: int = HLL_P,
+) -> DataFrame:
+    """Per-group estimates from a grouped register table:
+    (group_cols..., m, used_registers, hll_estimate) — the identical
+    integer register sum and linear-counting switch as
+    :func:`hll_estimate`, evaluated per group in one aggregation."""
+    m = 1 << p
+    top = HLL_W_BITS + 1
+    alpha = _alpha(m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(
+            F.expr(f"CAST(power(2.0, {top} - rho) AS BIGINT)")
+        ).alias("s_used"),
+    )
+    s_int = (
+        F.coalesce(F.col("s_used"), F.lit(0))
+        + (F.lit(m) - F.col("used")) * F.lit(2 ** top).cast("bigint")
+    )
+    raw = (
+        F.lit(alpha * m * m * float(2 ** top)) / s_int.cast("double")
+    )
+    zeros = F.lit(m) - F.col("used")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.lit(m).cast("long").alias("m"),
+        F.col("used").cast("long").alias("used_registers"),
+        F.round(est, 4).alias("hll_estimate"),
+    )

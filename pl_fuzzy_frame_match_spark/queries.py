@@ -8555,6 +8555,92 @@ def blocking_purge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purged_block_report(part, "p_name", max_block=40)
 
 
+_DATACARD_SQL = """
+    WITH base AS (SELECT source, lang, n_chars,
+                         md5(CAST(text AS VARCHAR)) AS h
+                  FROM documents WHERE text IS NOT NULL),
+    regs AS (SELECT source, ('0x' || substr(h, 1, 3))::INT AS reg_idx,
+                    max(CASE WHEN ('0x' || substr(h, 4, 12))::BIGINT = 0
+                             THEN 49
+                             ELSE 49 - length(bin(
+                                  ('0x' || substr(h, 4, 12))::BIGINT))
+                        END) AS rho
+             FROM base GROUP BY 1, 2),
+    sums AS (SELECT source, count(*) AS used,
+                    sum(CAST(power(2.0, 49 - rho) AS BIGINT)) AS s_used
+             FROM regs GROUP BY source),
+    est AS (SELECT source,
+                   CASE WHEN raw <= 2.5 * 4096 AND used < 4096
+                        THEN 4096.0 * ln(4096.0 / (4096 - used))
+                        ELSE raw END AS est
+            FROM (SELECT source, used,
+                         CAST(0.7211100396160289 AS DOUBLE) * 4096.0
+                         * 4096.0 * power(2.0, 49)
+                         / CAST(s_used + (4096 - used)
+                                * CAST(power(2.0, 49) AS BIGINT)
+                                AS DOUBLE) AS raw
+                  FROM sums)),
+    agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT h) AS BIGINT)
+                       AS exact_distinct_text,
+                   round(avg(n_chars), 6) AS mean_chars,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50_chars
+            FROM base GROUP BY source)
+    SELECT a.source, n_docs, n_langs, exact_distinct_text,
+           round(e.est, 4) AS hll_estimate,
+           round(1.0 - exact_distinct_text / CAST(n_docs AS DOUBLE), 6)
+               AS dup_rate,
+           mean_chars, p50_chars
+    FROM agg a JOIN est e ON a.source = e.source
+"""
+
+
+@register("docs_datacard", _DATACARD_SQL)
+def docs_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datacard (round 11): the per-source summary a training
+    run publishes next to its dataset — doc counts, language breadth,
+    exact distinct texts WITH the grouped-HLL estimate beside them
+    (the `hll_registers_by` fleet path that replaces
+    GROUP BY source, COUNT(DISTINCT text) with bounded register rows
+    per group), duplication rate, mean/median lengths. One scan +
+    two grouped aggregates + a per-source join; every register, both
+    distinct counts and the quantile replay in the oracle."""
+    from .operators.hll import hll_estimate_by, hll_registers_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("text").isNotNull()).select(
+        "source", "lang", "n_chars", F.md5(F.col("text")).alias("h"),
+        "text",
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("exact_distinct_text"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias(
+            "p50_chars"
+        ),
+    )
+    est = hll_estimate_by(
+        hll_registers_by(base, "text", ["source"]), ["source"]
+    ).select("source", "hll_estimate")
+    return agg.join(est, "source").select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "exact_distinct_text",
+        "hll_estimate",
+        F.round(
+            F.lit(1.0)
+            - F.col("exact_distinct_text") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+        "mean_chars",
+        "p50_chars",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

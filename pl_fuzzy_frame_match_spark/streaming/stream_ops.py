@@ -1268,3 +1268,25 @@ def stream_cm_sketch(spark, path: str, schema, key_col: str):
         .parquet(path)
     )
     return cm_sketch(stream, key_col)
+
+
+def stream_hist_sketch(
+    spark, path: str, schema, value_col: str,
+    lo: float, hi: float, n_bins: int = 1024,
+):
+    """Streaming twin of `operators/quantiles.hist_sketch` (round 11):
+    fixed-bin histogram cells are sum-mergeable, so the batch operator
+    composes onto a stream unchanged as a streaming aggregation with
+    <= n_bins rows of state regardless of stream volume; the
+    complete-mode table at any trigger equals the batch sketch of
+    everything ingested (equivalence-tested), and `hist_quantiles`
+    reads quantiles off it between triggers without touching the
+    stream."""
+    from ..operators.quantiles import hist_sketch
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+    return hist_sketch(stream, value_col, lo, hi, n_bins)

@@ -85,15 +85,18 @@ def run_exact(spark, amplify: int) -> dict:
     n_l, n_r = left.count(), right.count()
     base = _shuffle_write_bytes(spark)
     t0 = time.perf_counter()
+    # force the exact path (at 800M pairs the auto planner would
+    # otherwise switch to the sketch tier — measured separately)
     out = fuzzy_match_dfs(
         left,
         right,
         [FuzzyMapping("c_name", "c_name", threshold_score=90.0)],
+        use_appr_nearest_neighbor=False,
     )
     out.write.mode("overwrite").format("noop").save()
     wall = time.perf_counter() - t0
     return {
-        "shape": "exact_xl",
+        "shape": "exact_xl_forced",
         "amplify": amplify,
         "pairs": n_l * n_r,
         "wall_sec": round(wall, 2),

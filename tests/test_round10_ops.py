@@ -102,10 +102,18 @@ def test_iterative_graph_ops_release_cache(spark):
     # Allow the checkpoint residue but catch adjacency leaks: the
     # cached-RDD count may not grow by the three adjacency frames.
     import gc
+    import time
 
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
-    after = _n_cached(spark)
+    # the ContextCleaner unpersists dropped checkpoint RDDs
+    # asynchronously — give it a bounded settle window before judging
+    # (observed flake when this file runs inside a long session)
+    for _ in range(5):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        after = _n_cached(spark)
+        if after - before < 6:
+            break
+        time.sleep(1.0)
     leaked_adjacency = after - before >= 6  # 3 adj + 3 result ckpts
     assert not leaked_adjacency, (before, after)
 
