@@ -166,6 +166,7 @@ def main() -> None:
         "graph_kcore",
         "blocking_purge_report",
         "docs_datacard",
+        "events_orders_join_size_cm",
     ):
         if extra in registry:
             names.append(extra)

@@ -36,7 +36,7 @@ CM_DEPTH = 4
 CM_WIDTH = 1024
 
 
-def _bucket(row: int, key) -> F.Column:
+def _bucket(row: int, key, width: int = CM_WIDTH) -> F.Column:
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws(":", F.lit(str(row)), key.cast("string"))),
@@ -46,21 +46,26 @@ def _bucket(row: int, key) -> F.Column:
         16,
         10,
     ).cast("bigint")
-    return (h % F.lit(CM_WIDTH)).cast("int")
+    return (h % F.lit(int(width))).cast("int")
 
 
 def cm_sketch(
-    df: DataFrame, key_col: str, depth: int = CM_DEPTH
+    df: DataFrame, key_col: str, depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
 ) -> DataFrame:
     """(row, bucket, cnt) Count-Min table of ``key_col`` occurrences
     (null keys excluded). One explode by depth (a constant, default
     4) and one groupBy with map-side combine — the only shuffle moves
-    at most depth * width rows per input partition."""
+    at most depth * width rows per input partition. ``width`` sizes
+    the error: eps = e / width of the stream mass — join-size
+    estimation over high-cardinality keys wants width ~ n_keys / 10
+    (the collision inner-product term shrinks linearly in width)."""
     key = F.col(key_col)
     rows = F.array(
         *[
             F.struct(
-                F.lit(j).alias("row"), _bucket(j, key).alias("bucket")
+                F.lit(j).alias("row"),
+                _bucket(j, key, width).alias("bucket"),
             )
             for j in range(depth)
         ]
@@ -85,7 +90,8 @@ def cm_merge(*sketches: DataFrame) -> DataFrame:
 
 
 def cm_estimate(
-    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = CM_DEPTH
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
 ) -> DataFrame:
     """(key_col, cm_estimate) for every row of ``keys``: min over the
     d rows of the key's bucket count — 0 for never-seen keys (their
@@ -109,7 +115,8 @@ def cm_estimate(
     rows = F.array(
         *[
             F.struct(
-                F.lit(j).alias("row"), _bucket(j, key).alias("bucket")
+                F.lit(j).alias("row"),
+                _bucket(j, key, width).alias("bucket"),
             )
             for j in range(depth)
         ]
@@ -130,4 +137,52 @@ def cm_estimate(
             .cast("long")
             .alias("cm_estimate")
         )
+    )
+
+
+def cm_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """One-row ``(cm_join_size)`` estimate of the equi-join
+    cardinality |A JOIN B| on the sketched key: the minimum over the
+    d rows of the cell-wise inner product — the Count-Min/AMS
+    join-size estimator (Cormode & Muthukrishnan 2005, §4.2). One-
+    sided: collisions only ADD mass, so the estimate never
+    undercounts the true join size, and it is exact when either
+    sketch is collision-free.
+
+    This is the 100 TB join-planning primitive: per-shard sketches
+    merge by cell sum (`cm_merge`), so the join size of two
+    petabyte-scale tables is estimated from two <= depth * width cell
+    tables without touching raw keys or running the join. The inner
+    product joins the two cell tables on (row, bucket); rows with no
+    overlapping buckets contribute an inner product of 0 (the
+    estimate is then 0 — disjoint key sets)."""
+    da = sketch_a.agg(F.max("row")).first()[0]
+    db = sketch_b.agg(F.max("row")).first()[0]
+    spark = sketch_a.sparkSession
+    if da is None or db is None:
+        return spark.createDataFrame([(0,)], "cm_join_size long")
+    if da != db:
+        raise ValueError(
+            f"sketch depth mismatch: {int(da) + 1} vs {int(db) + 1} — "
+            "join-size estimation needs sketches built with the same "
+            "depth"
+        )
+    prod = (
+        sketch_a.alias("a")
+        .join(
+            sketch_b.alias("b"),
+            (F.col("a.row") == F.col("b.row"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.row").alias("row"),
+            (F.col("a.cnt") * F.col("b.cnt")).alias("p"),
+        )
+    )
+    per_row = prod.groupBy("row").agg(F.sum("p").alias("ip"))
+    rows = spark.range(int(da) + 1).select(F.col("id").alias("row"))
+    return (
+        rows.join(per_row, "row", "left")
+        .select(F.coalesce(F.col("ip"), F.lit(0)).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("cm_join_size"))
     )

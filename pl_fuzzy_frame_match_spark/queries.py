@@ -8641,6 +8641,77 @@ def docs_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JOIN_SIZE_CM_SQL = """
+    WITH ak AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+                WHERE user_id IS NOT NULL),
+    bk AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+           WHERE o_custkey IS NOT NULL),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    ca AS (SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || k),
+                                     1, 8))::BIGINT % 1024 AS b,
+                  count(*) AS cnt
+           FROM ak CROSS JOIN rows_ GROUP BY 1, 2),
+    cb AS (SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || k),
+                                     1, 8))::BIGINT % 1024 AS b,
+                  count(*) AS cnt
+           FROM bk CROSS JOIN rows_ GROUP BY 1, 2),
+    ip AS (SELECT rows_.r,
+                  CAST(coalesce(sum(ca.cnt * cb.cnt), 0) AS BIGINT) AS ip
+           FROM rows_
+           LEFT JOIN ca ON ca.r = rows_.r
+           LEFT JOIN cb ON cb.r = ca.r AND cb.b = ca.b
+           GROUP BY rows_.r),
+    est AS (SELECT CAST(min(ip) AS BIGINT) AS cm_join_size FROM ip),
+    exact AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT)
+                  AS exact_join_size
+              FROM (SELECT k, count(*) AS na FROM ak GROUP BY k) a
+              JOIN (SELECT k, count(*) AS nb FROM bk GROUP BY k) b
+                USING (k))
+    SELECT cm_join_size, exact_join_size,
+           cm_join_size - exact_join_size AS overestimate
+    FROM est CROSS JOIN exact
+"""
+
+
+@register("events_orders_join_size_cm", _JOIN_SIZE_CM_SQL)
+def events_orders_join_size_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation WITHOUT running the join (round
+    11): |events JOIN orders ON user_id = o_custkey| from the min-of-
+    rows inner product of the two Count-Min sketches (Cormode &
+    Muthukrishnan 2005 §4.2) — the sketch answer to "can this join's
+    output fit / which strategy" at 100 TB, computed from two
+    <= 4x1024 integer cell tables that merge per-shard by plain sum.
+    Reported next to the exact join size (sum over keys of the count
+    product), so the one-sided overestimate certifies itself; every
+    cell, both inner products and the min replay in the oracle."""
+    from .operators.countmin import cm_join_size, cm_sketch
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    ).select(F.col("user_id").cast("string").alias("k"))
+    od = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull()
+    ).select(F.col("o_custkey").cast("string").alias("k"))
+    est = cm_join_size(cm_sketch(ev, "k"), cm_sketch(od, "k"))
+    na = ev.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+    nb = od.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+    exact = (
+        na.join(nb, "k")
+        .agg(
+            F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "cm_join_size",
+        "exact_join_size",
+        (F.col("cm_join_size") - F.col("exact_join_size")).alias(
+            "overestimate"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

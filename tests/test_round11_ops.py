@@ -491,3 +491,128 @@ def test_grouped_hll_matches_global_and_merges(spark):
     ).collect()[0]
     assert est_one["hll_estimate"] == est_by["hll_estimate"]
     assert est_one["used_registers"] == est_by["used_registers"]
+
+
+# ---------------------------------------------------------------------------
+# Round 11: Count-Min join-size estimation (sketch inner product)
+# ---------------------------------------------------------------------------
+
+
+def test_cm_join_size_exact_when_collision_free(spark):
+    from pl_fuzzy_frame_match_spark.operators.countmin import (
+        cm_join_size,
+        cm_sketch,
+    )
+
+    a = spark.createDataFrame(
+        [("x",)] * 3 + [("y",)] * 2 + [("z",)], ["k"]
+    )
+    b = spark.createDataFrame([("x",)] * 4 + [("y",)] * 5, ["k"])
+    est = cm_join_size(cm_sketch(a, "k"), cm_sketch(b, "k")).collect()[0]
+    # true join size: 3*4 + 2*5 = 22; 3 keys in 1024 buckets never
+    # collide into an overestimate below the min-of-rows
+    assert est["cm_join_size"] == 22
+
+
+def test_cm_join_size_never_undercounts_and_wider_is_tighter(spark):
+    from pyspark.sql import functions as F
+
+    from pl_fuzzy_frame_match_spark.operators.countmin import (
+        cm_join_size,
+        cm_sketch,
+    )
+
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(1500, 4500).select(F.col("id").alias("k"))
+    exact = 1500  # overlap, one row each side
+    narrow = cm_join_size(
+        cm_sketch(a, "k", width=64), cm_sketch(b, "k", width=64)
+    ).collect()[0]["cm_join_size"]
+    wide = cm_join_size(
+        cm_sketch(a, "k", width=4096), cm_sketch(b, "k", width=4096)
+    ).collect()[0]["cm_join_size"]
+    assert narrow >= exact and wide >= exact  # one-sided, always
+    assert wide <= narrow  # width shrinks the collision term
+    # theory: E[overestimate] ~ Na * Nb / width; allow 3x slack
+    assert wide - exact <= 3 * (3000 * 3000) // 4096
+    assert narrow - exact <= 3 * (3000 * 3000) // 64
+
+
+def test_cm_join_size_depth_mismatch_and_empty(spark):
+    from pl_fuzzy_frame_match_spark.operators.countmin import (
+        cm_join_size,
+        cm_sketch,
+    )
+
+    a = spark.createDataFrame([("x",)], ["k"])
+    empty = spark.createDataFrame([], "k string")
+    with pytest.raises(ValueError, match="depth mismatch"):
+        cm_join_size(cm_sketch(a, "k", depth=2), cm_sketch(a, "k", depth=4))
+    est = cm_join_size(cm_sketch(a, "k"), cm_sketch(empty, "k")).collect()[0]
+    assert est["cm_join_size"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Round 11: bucketed co-located join — the 100 TB layout answer for a
+# repeated big-big equi-join: both sides pre-bucketed on the key join
+# with ZERO exchanges in the physical plan
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS r11_orders_b")
+    spark.sql("DROP TABLE IF EXISTS r11_lineitem_b")
+    try:
+        (
+            orders.select("o_orderkey", "o_totalprice")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("r11_orders_b")
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable("r11_lineitem_b")
+        )
+        ob = spark.table("r11_orders_b")
+        lb = spark.table("r11_lineitem_b")
+        # merge-join hint: at this test SF the orders side is small
+        # enough that AQE would broadcast it (a BroadcastExchange, no
+        # shuffle either) — force the big-big sort-merge shape the
+        # bucketing exists for
+        joined = ob.hint("merge").join(
+            lb, ob["o_orderkey"] == lb["l_orderkey"]
+        ).groupBy("o_orderkey").agg(
+            F.sum("l_quantity").alias("sum_qty")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # bucketed layout satisfies the join AND the aggregation
+        # clustering: no hash-repartitioning shuffle anywhere
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        got = {
+            (r["o_orderkey"], float(r["sum_qty"]))
+            for r in joined.collect()
+        }
+        want = {
+            (r["o_orderkey"], float(r["sum_qty"]))
+            for r in orders.join(
+                lineitem,
+                orders["o_orderkey"] == lineitem["l_orderkey"],
+            )
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r11_orders_b")
+        spark.sql("DROP TABLE IF EXISTS r11_lineitem_b")
