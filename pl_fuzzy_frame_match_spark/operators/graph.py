@@ -445,6 +445,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
+    # NOT broadcast: an A/B this round measured broadcasting the two
+    # packed-array lookup sides (~10 MB each at bench scale) at
+    # 7.8 -> 10.8 s median — the hash-relation build over array
+    # payloads costs more than the two shuffle joins it removes
+    # (PLANS.md round 11). Shuffle hash joins stay.
     a_u = adj.select(F.col("src").alias("_u"), F.col("nbrs").alias("nu"))
     a_v = adj.select(F.col("src").alias("_v"), F.col("nbrs").alias("nv"))
     tris = (

@@ -8825,10 +8825,15 @@ _PRIORITY = [
     "events_hll_distinct",            # mergeable HLL registers
     "lineitem_exact_quantiles",       # range-partition exact quantiles
     # ROUND-12 ROTATION CANDIDATES (policy: newest flagships promote
-    # the round after they land). Remaining round-10 oracle-green pool:
-    # entity_resolution_quality (pair-P/R survivorship, both closures
-    # replayed), vocab_countmin_report (Count-Min, completes the
-    # sketch triad), graph_link_prediction (wedge-join Adamic-Adar),
+    # the round after they land). Round-11 flagships, all oracled at
+    # both gate SFs: docs_datacard (composed corpus report w/ grouped
+    # HLL), graph_kcore (confluent peeling, 8-round unroll),
+    # lineitem_hist_quantiles (mergeable no-ordering quantile sketch),
+    # events_orders_join_size_cm (CM inner-product join cardinality),
+    # blocking_purge_report (bounded-ER recall-loss visibility).
+    # Remaining round-10 oracle-green pool: entity_resolution_quality
+    # (pair-P/R survivorship), vocab_countmin_report (sketch triad),
+    # graph_link_prediction (wedge-join Adamic-Adar),
     # docs_hybrid_retrieval (BM25 + RRF fusion), docs_pii_scan.
     # Older oracle-green pool: docs_dsir_weights,
     # graph_triangles_copurchase, graph_walks_copurchase,
