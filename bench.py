@@ -325,6 +325,14 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "trials": TRIALS,
+        # provenance (VERDICT r10 #5): contended vs contention-free
+        # runs of the same tree differ ~10%+ and cost adjudication
+        # time when indistinguishable — the runner labels each
+        # artifact (e.g. "round-11 closing gate, solo" vs "driver
+        # verify, shares host with oracle suite")
+        "provenance": os.environ.get(
+            "SPARK_GRAFT_BENCH_NOTE", "unlabeled run"
+        ),
         "queries_median": timings,
         "queries_min": mins,
         "retimed": retimed,

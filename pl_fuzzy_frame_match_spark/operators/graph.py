@@ -998,45 +998,79 @@ def kcore(
     binds on adversarial long-chain graphs, where the caller should
     raise it explicitly.
 
-    Scale shape (100 TB): per round ONE semi-join of the live edge
-    frame against the surviving nodes (broadcast when small, shuffle
-    hash join otherwise — Catalyst/AQE picks) + one degree aggregate;
-    no wedge or pair enumeration anywhere. Live edges are persisted
-    per round and the previous round's cache is released; lineage is
-    cut every ``checkpoint_every`` rounds. Driver state: two scalars.
+    Scale shape (100 TB): the edge frame is hash-partitioned by ``u``
+    and cached ONCE — never rebuilt; each round re-filters it by the
+    current alive set (single-column node ids, BROADCAST below
+    ``PAGERANK_BROADCAST_NODES``, shuffle semi-joins above) with a
+    partition-local degree aggregate, and the alive set itself is
+    eagerly checkpointed so every round's plan stays the same shallow
+    shape. Per round on the small-graph path: one pass over the
+    cache, zero exchanges, two scalars of driver state. (Two earlier
+    forms were measured and rejected at the sf0.1 bench: the
+    checkpoint-cadence edge chain at 21.3 s and a per-round edge
+    persist chain at 26-31 s — stacked cached plans hit a replanning
+    cliff; PLANS.md round 11.)
 
     Output: (node, core_degree) — nodes of the k-core with their
     degree inside it (>= k by construction). Empty when no k-core
-    exists.
+    exists. ``checkpoint_every`` is retained for API stability but
+    the fixed-cache iteration supersedes it.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    live = _symmetrized(edges).localCheckpoint(eager=True)
+    del checkpoint_every  # superseded by the fixed-cache iteration
+    spark = edges.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # the EDGE cache is built once and never rebuilt: each round
+    # re-filters it by the current alive set instead of materializing
+    # a shrinking edge frame (a per-round edge persist chain measured
+    # 26-31 s at the sf0.1 bench — stacked cached plans hit a
+    # replanning cliff; this form is one cached pass per round)
+    sym = _symmetrized(edges).repartition(shuffle, "u").persist()
+    alive = None  # None == every node
     prev_n = None
-    for i in range(max_rounds):
-        deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.where(F.col("deg") >= F.lit(int(k))).select("u")
-        n = keep.count()
-        if n == 0:
-            return live.sparkSession.createDataFrame(
-                [], "node long, core_degree long"
+    try:
+        for _i in range(max_rounds):
+            if alive is None:
+                deg = sym.groupBy("u").agg(
+                    F.count(F.lit(1)).alias("deg")
+                )
+            else:
+                side = (
+                    F.broadcast(alive)
+                    if prev_n is not None
+                    and prev_n <= PAGERANK_BROADCAST_NODES
+                    else alive
+                )
+                deg = (
+                    sym.join(side, "u")
+                    .join(side.select(F.col("u").alias("v")), "v")
+                    .groupBy("u")
+                    .agg(F.count(F.lit(1)).alias("deg"))
+                )
+            keep = (
+                deg.where(F.col("deg") >= F.lit(int(k)))
+                .select("u")
+                # the survivor set is <= one row per node; an eager
+                # checkpoint per round keeps every round's plan the
+                # same shallow shape (cached edges + two joins)
+                .localCheckpoint(eager=True)
             )
-        if prev_n is not None and n == prev_n:
-            # fixpoint: nobody dropped below k this round
-            return deg.where(F.col("deg") >= F.lit(int(k))).select(
-                F.col("u").alias("node"), F.col("deg").alias("core_degree")
-            )
-        prev_n = n
-        nxt = (
-            live.join(keep, "u")
-            .join(keep.select(F.col("u").alias("v")), "v")
-            .select("u", "v")
-        )
-        live = (
-            nxt.localCheckpoint(eager=True)
-            if (i + 1) % checkpoint_every == 0
-            else nxt
-        )
+            n = keep.count()
+            if n == 0:
+                return spark.createDataFrame(
+                    [], "node long, core_degree long"
+                )
+            if prev_n is not None and n == prev_n:
+                # fixpoint: nobody dropped below k this round
+                return deg.where(F.col("deg") >= F.lit(int(k))).select(
+                    F.col("u").alias("node"),
+                    F.col("deg").alias("core_degree"),
+                ).localCheckpoint(eager=True)
+            prev_n = n
+            alive = keep
+    finally:
+        sym.unpersist()
     raise RuntimeError(
         f"kcore(k={k}) did not converge within max_rounds={max_rounds}; "
         "raise max_rounds for long-chain graphs"

@@ -1077,6 +1077,14 @@ _NL_ALLOWED = {
     # BM25 / hybrid retrieval: 1-row broadcast (N, avgdl) stats frame
     # crossed into the per-term scores (single-row BNLJ)
     "docs_bm25_topk", "docs_hybrid_retrieval",
+    # round 11 — the same bounded patterns:
+    # lineitem_hist_quantiles: 1-row total crossed into the 5-row
+    # position frame, then a RANGE join against the <= 1024-row
+    # cumulative bin frame (both broadcast, bounded by n_bins)
+    "lineitem_hist_quantiles",
+    # events_orders_join_size_cm: the 1-row estimate frame crossed
+    # into the 1-row exact-join-size frame (single-row BNLJ)
+    "events_orders_join_size_cm",
 }
 
 
