@@ -331,7 +331,10 @@ def main() -> None:
         # artifact (e.g. "round-11 closing gate, solo" vs "driver
         # verify, shares host with oracle suite")
         "provenance": os.environ.get(
-            "SPARK_GRAFT_BENCH_NOTE", "unlabeled run"
+            "SPARK_GRAFT_BENCH_NOTE",
+            "unlabeled (driver/ad-hoc) run — may share the host with "
+            "the verify oracle suite; the committed closing-gate "
+            "artifact carries its own label",
         ),
         "queries_median": timings,
         "queries_min": mins,
