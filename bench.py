@@ -167,6 +167,7 @@ def main() -> None:
         "blocking_purge_report",
         "docs_datacard",
         "events_orders_join_size_cm",
+        "docs_length_quantiles_by_lang",
     ):
         if extra in registry:
             names.append(extra)

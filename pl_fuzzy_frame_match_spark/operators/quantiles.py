@@ -217,3 +217,99 @@ def hist_quantiles(
             "n",
         )
     )
+
+
+def hist_sketch_by(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Grouped histogram sketches: (group_cols..., bin, cnt) — one
+    independent fixed-bin histogram PER GROUP in a single groupBy
+    pass (<= n_bins surviving rows per group, map-side combine); the
+    grouped sibling of :func:`hist_sketch`, same clamped binning,
+    same exact cell-sum mergeability. The fleet answer to per-group
+    quantiles: GROUP BY g + an ordered percentile over a 100 TB
+    column becomes bounded cells per group."""
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    x = F.col(value_col).cast("double")
+    raw = F.floor(
+        (x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(int(n_bins))
+    )
+    clamped = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(int(n_bins) - 1).cast("long"), raw.cast("long")),
+    )
+    return (
+        df.where(x.isNotNull())
+        .select(*group_cols, clamped.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles_by(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """(group_cols..., q, bin, upper_edge, position, n) — the grouped
+    form of :func:`hist_quantiles`: per-group cumulative bin counts
+    (a window PARTITIONED by the group, <= n_bins rows each — no
+    single-partition collapse), per-group totals, and the position
+    join carries the group equality so it plans as a hash join with
+    the range as a post-filter."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
+    spark = sketch.sparkSession
+    gcols = list(group_cols)
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sketch.select(
+        *gcols, "bin", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    total = sketch.groupBy(*gcols).agg(F.sum("cnt").alias("n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    pos = total.crossJoin(F.broadcast(qdf)).select(
+        *gcols,
+        "q",
+        "n",
+        F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n"))
+        ).alias("position"),
+    )
+    width = float(hi - lo) / float(n_bins)
+    cond = (
+        (F.col("c.cum") >= F.col("p.position"))
+        & (F.col("c.cum") - F.col("c.cnt") < F.col("p.position"))
+    )
+    for g in gcols:
+        cond = cond & (F.col(f"p.{g}") == F.col(f"c.{g}"))
+    return (
+        pos.alias("p")
+        .join(cum.alias("c"), cond, "left")
+        .select(
+            *[F.col(f"p.{g}") for g in gcols],
+            "p.q",
+            "c.bin",
+            F.round(
+                F.lit(float(lo)) + (F.col("c.bin") + 1) * F.lit(width), 6
+            ).alias("upper_edge"),
+            "p.position",
+            "p.n",
+        )
+    )

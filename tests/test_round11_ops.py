@@ -616,3 +616,70 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS r11_orders_b")
         spark.sql("DROP TABLE IF EXISTS r11_lineitem_b")
+
+
+# ---------------------------------------------------------------------------
+# Round 11: grouped histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_hist_single_group_matches_global(spark):
+    from pl_fuzzy_frame_match_spark.operators.quantiles import (
+        hist_quantiles,
+        hist_quantiles_by,
+        hist_sketch,
+        hist_sketch_by,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i * 7 % 500),) for i in range(1200)], ["x"]
+    ).select(F.lit("g").alias("g"), "x")
+    cells_by = {
+        (r["bin"], r["cnt"])
+        for r in hist_sketch_by(df, "x", ["g"], 0.0, 500.0, 50)
+        .drop("g")
+        .collect()
+    }
+    cells = {
+        (r["bin"], r["cnt"])
+        for r in hist_sketch(df, "x", 0.0, 500.0, 50).collect()
+    }
+    assert cells_by == cells
+    qs = (0.5, 0.9)
+    by = {
+        r["q"]: (r["bin"], r["upper_edge"], r["position"], r["n"])
+        for r in hist_quantiles_by(
+            hist_sketch_by(df, "x", ["g"], 0.0, 500.0, 50),
+            ["g"], qs, 0.0, 500.0, 50,
+        ).collect()
+    }
+    glob = {
+        r["q"]: (r["bin"], r["upper_edge"], r["position"], r["n"])
+        for r in hist_quantiles(
+            hist_sketch(df, "x", 0.0, 500.0, 50), qs, 0.0, 500.0, 50
+        ).collect()
+    }
+    assert by == glob
+
+
+def test_grouped_hist_groups_are_independent(spark):
+    from pl_fuzzy_frame_match_spark.operators.quantiles import (
+        hist_quantiles_by,
+        hist_sketch_by,
+    )
+
+    rows = [("a", float(i)) for i in range(100)] + [
+        ("b", float(i * 10)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    sk = hist_sketch_by(df, "x", ["g"], 0.0, 1000.0, 100)
+    got = {
+        (r["g"], r["q"]): r["upper_edge"]
+        for r in hist_quantiles_by(
+            sk, ["g"], (0.5,), 0.0, 1000.0, 100
+        ).collect()
+    }
+    # group a: values 0..99, p50 ~ 49 -> bin 4, upper edge 50
+    assert got[("a", 0.5)] == 50.0
+    # group b: values 0..990 step 10, p50 ~ 490 -> bin 49, edge 500
+    assert got[("b", 0.5)] == 500.0

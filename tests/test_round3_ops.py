@@ -1085,6 +1085,10 @@ _NL_ALLOWED = {
     # events_orders_join_size_cm: the 1-row estimate frame crossed
     # into the 1-row exact-join-size frame (single-row BNLJ)
     "events_orders_join_size_cm",
+    # docs_length_quantiles_by_lang: the per-group totals frame (one
+    # row per language) crossed into the literal 3-row q frame; the
+    # position join itself carries the group equality (hash join)
+    "docs_length_quantiles_by_lang",
 }
 
 
