@@ -1290,3 +1290,24 @@ def stream_hist_sketch(
         .parquet(path)
     )
     return hist_sketch(stream, value_col, lo, hi, n_bins)
+
+
+def stream_hll_registers_by(
+    spark, path: str, schema, key_col: str, group_cols: list,
+):
+    """Streaming twin of `operators/hll.hll_registers_by` (round 11):
+    per-group HLL register tables as a streaming aggregation — the
+    register projection is a deterministic per-row map and the
+    per-(group, register) max is mergeable, so the batch operator
+    composes onto the stream unchanged. Complete-mode state is
+    bounded at <= 2^p rows PER GROUP regardless of stream volume:
+    per-group distinct counts over an unbounded stream without
+    holding the keys."""
+    from ..operators.hll import hll_registers_by
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+    return hll_registers_by(stream, key_col, group_cols)

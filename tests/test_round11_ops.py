@@ -683,3 +683,38 @@ def test_grouped_hist_groups_are_independent(spark):
     assert got[("a", 0.5)] == 50.0
     # group b: values 0..990 step 10, p50 ~ 490 -> bin 49, edge 500
     assert got[("b", 0.5)] == 500.0
+
+
+def test_stream_grouped_hll_equals_batch(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.operators.hll import hll_registers_by
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_hll_registers_by,
+    )
+
+    src = os.path.join(str(tmp_path), "ghll_src")
+    a = spark.range(0, 3000).selectExpr("id % 3 AS g", "id AS k")
+    b = spark.range(1500, 5000).selectExpr("id % 3 AS g", "id AS k")
+    a.coalesce(1).write.mode("append").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+    out = stream_hll_registers_by(
+        spark, src, "g bigint, k bigint", "k", ["g"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ghll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["g"], r["reg_idx"], r["rho"])
+        for r in spark.sql("SELECT * FROM ghll_regs").collect()
+    }
+    batch = {
+        (r["g"], r["reg_idx"], r["rho"])
+        for r in hll_registers_by(
+            a.unionByName(b), "k", ["g"]
+        ).collect()
+    }
+    assert streamed == batch
