@@ -718,3 +718,37 @@ def test_stream_grouped_hll_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# Round 11: date-partitioned lake layout — a time filter must reach
+# the scan as a PARTITION filter (pruned directories, not row filters)
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tgt = str(tmp_path / "events_by_day")
+    (
+        events.withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(tgt)
+    )
+    lake = spark.read.parquet(tgt)
+    days = sorted(
+        r["day"] for r in lake.select("day").distinct().collect()
+    )
+    assert len(days) >= 3  # the shape needs something to prune
+    one = lake.where(F.col("day") == days[0]).select("event_id")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # the day predicate is satisfied by directory pruning: it shows as
+    # a PartitionFilter on the scan and NOT as a post-scan Filter
+    assert "PartitionFilters: [" in plan and "day" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    n_one = one.count()
+    n_all = lake.count()
+    assert 0 < n_one < n_all
