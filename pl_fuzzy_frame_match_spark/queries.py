@@ -8779,9 +8779,13 @@ def docs_length_quantiles_by_lang(
 
 _PRIORITY = [
     # SURVEY §2 flagship fuzzy joins + modes (all oracled)
+    # (round 12: fuzzy_join_jaro rotated out — the jaro metric stays
+    # windowed via kernel_jaro below and the composite-join machinery
+    # keeps 12 oracle rows incl. the shared-kernel jw_part; the query
+    # stays pytest- and judge-replayed.)
     "fuzzy_join_lev", "fuzzy_join_multi", "fuzzy_join_jw_part",
     "fuzzy_join_exact_xl", "fuzzy_join_auto_xl", "fuzzy_join_xl_4b",
-    "fuzzy_join_dl", "fuzzy_join_jaro", "fuzzy_join_ann",
+    "fuzzy_join_dl", "fuzzy_join_ann",
     "fuzzy_join_left", "fuzzy_join_semi", "fuzzy_join_anti",
     "fuzzy_join_exact_cap2",
     # metric kernels (kernel_token_set promoted round 11 — the engine's
@@ -8801,17 +8805,26 @@ _PRIORITY = [
     # CC is composed — with a full value oracle — by
     # entity_resolution_pipeline, the round-10 amendment), and
     # dedup_containment + dedup_incremental rotated out
-    # (dedup_ngram_jaccard stays as the prefix-filtered-SSJoin
-    # representative on the same code path). All three remain
-    # pytest- and judge-replayed.
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding",
-    # quality / text analytics
-    "docs_quality_logreg", "text_bigram_pmi", "pipeline_pretrain_corpus",
+    # (dedup_ngram_jaccard stayed as the prefix-filtered-SSJoin
+    # representative). Round 12: dedup_exact rotated out (exact md5
+    # keep-min dedup is composed — full value oracle — by
+    # pipeline_training_data's first stage) and dedup_ngram_jaccard
+    # rotated out (the prefix-filter edge path is composed by
+    # pipeline_training_data's leakage-safe split at gate scale, and
+    # dedup_tfidf_cosine stays as the explicit prefix-filtered SSJoin
+    # flagship). All displaced remain pytest- and judge-replayed.
+    "dedup_embedding",
+    # quality / text analytics (round 12: docs_quality_logreg rotated
+    # out — the logreg quality gate is composed, with a full value
+    # oracle, by pipeline_pretrain_corpus below; stays pytest-oracled)
+    "text_bigram_pmi", "pipeline_pretrain_corpus",
     # events family (events_funnel rotated out in round 10;
-    # events_error_windows rotated out in round 11 — the family keeps
-    # retention/sessionize/asof and gains the Markov transition model
-    # below; both rotated queries stay pytest-oracled)
-    "events_retention", "events_sessionize",
+    # events_error_windows rotated out in round 11. Round 12:
+    # events_sessionize rotated out — the same single per-user-window
+    # pass machinery is exercised by events_markov_transitions below,
+    # and sessionize keeps BOTH its pytest oracle and its streaming
+    # twin; the family keeps retention/asof/markov.)
+    "events_retention",
     "events_asof_purchase",
     # similarity / sampling / sketches (r6 rotation: emb_quantize,
     # bloom_semi_orders, docs_pack_contexts and docs_token_budget_mix
@@ -8824,11 +8837,14 @@ _PRIORITY = [
     # docs_train_shards) rotated out in round 10: pipeline_training_data
     # below composes all three behind ONE full value oracle (policy
     # amendment, COVERAGE.md round 10), and each stays pytest-oracled.
+    # Round 12: multimodal_png_pixels rotated out — dedup_images_dhash
+    # below drives the SAME PNG encode -> inflate -> unfilter decode
+    # path end-to-end (precedent: multimodal_jpeg_pixels, round 10);
+    # the byte-exactness pytest oracle stays.
     # Full rotation ledger (ADVICE r5): SIX queries left the window
     # across rounds 4-5 — tpch_q18, tpch_q7_shape, tpch_q10_shape
     # (TPC-H block above), kernel_hamming_full, tpch_q17_shape and
     # docs_stratified_sample; all six stay pytest- and judge-replayed.
-    "multimodal_png_pixels",
     # round-6 flagships: the multimodal dedup family over REAL
     # decoders (image dhash / audio fingerprint / video frame-hash
     # Jaccard). multimodal_jpeg_pixels rotated out in round 10:
@@ -8875,13 +8891,22 @@ _PRIORITY = [
     "events_markov_transitions",      # 1st-order journey transitions
     "events_hll_distinct",            # mergeable HLL registers
     "lineitem_exact_quantiles",       # range-partition exact quantiles
-    # ROUND-12 ROTATION CANDIDATES (policy: newest flagships promote
-    # the round after they land). Round-11 flagships, all oracled at
-    # both gate SFs: docs_datacard (composed corpus report w/ grouped
-    # HLL), graph_kcore (confluent peeling, 8-round unroll),
-    # lineitem_hist_quantiles (mergeable no-ordering quantile sketch),
-    # events_orders_join_size_cm (CM inner-product join cardinality),
-    # blocking_purge_report (bounded-ER recall-loss visibility).
+    # round-11 flagships (rotated in round 12, VERDICT r11 #1,
+    # standing policy: newest flagships promote the round after they
+    # land). Displaced this round, newest-first (category 4 + the
+    # composed-representative amendment — rationale inline above):
+    # dedup_exact, dedup_ngram_jaccard, docs_quality_logreg,
+    # events_sessionize, multimodal_png_pixels, fuzzy_join_jaro —
+    # all stay pytest- and judge-replayed.
+    "docs_datacard",                  # composed corpus datacard (HLL)
+    "graph_kcore",                    # confluent k-core peeling
+    "lineitem_hist_quantiles",        # mergeable histogram quantiles
+    "events_orders_join_size_cm",     # CM inner-product join size
+    "blocking_purge_report",          # bounded-ER recall-loss report
+    "docs_length_quantiles_by_lang",  # grouped histogram quantiles
+    # ROUND-13 ROTATION CANDIDATES (policy: newest flagships promote
+    # the round after they land) — see round-12 additions at the
+    # bottom of this file.
     # Remaining round-10 oracle-green pool: entity_resolution_quality
     # (pair-P/R survivorship), vocab_countmin_report (sketch triad),
     # graph_link_prediction (wedge-join Adamic-Adar),
