@@ -178,7 +178,15 @@ def hist_quantiles(
     that is >= the exact quantile and overshoots by at most one bin
     width. The sketch is <= n_bins rows, so the cumulative sum and
     the position join are broadcast-scale no matter how much data the
-    sketch summarizes."""
+    sketch summarizes.
+
+    An EMPTY sketch yields zero rows — the same convention as
+    `exact_quantiles` on an all-null column (ADVICE r11: without the
+    guard the total aggregate is NULL, position collapses to
+    greatest(1, NULL) = 1 and the left join emits one NULL row per
+    q). `hist_quantiles_by` already follows the convention by
+    construction: groups absent from the sketch produce no total row
+    and therefore no output rows."""
     if not qs:
         raise ValueError("qs must be non-empty")
     if any(not 0.0 <= q <= 1.0 for q in qs):
@@ -189,10 +197,12 @@ def hist_quantiles(
     cum = sketch.select(
         "bin", "cnt", F.sum("cnt").over(w).alias("cum")
     )
-    total = sketch.agg(F.sum("cnt").alias("n"))
+    total = sketch.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n")
+    )
     pos = spark.createDataFrame(
         [(float(q),) for q in qs], "q double"
-    ).crossJoin(F.broadcast(total)).select(
+    ).crossJoin(F.broadcast(total)).where(F.col("n") > 0).select(
         "q",
         "n",
         F.greatest(

@@ -8527,14 +8527,14 @@ _PURGE_REPORT_SQL = f"""
                   CAST(coalesce(max(bn), 0) AS BIGINT) AS largest_block
            FROM (SELECT b, count(*) AS bn FROM codes
                  WHERE b IS NOT NULL GROUP BY b)
-           WHERE bn > 40),
+           WHERE bn > 50),
     pf AS (SELECT CAST(count(*) AS BIGINT) AS n_purged_blocks,
                   CAST(coalesce(sum(bn), 0) AS BIGINT)
                       AS n_keys_in_purged,
                   CAST(coalesce(max(bn), 0) AS BIGINT) AS largest_block
            FROM (SELECT b, count(*) AS bn FROM pfx
                  WHERE b IS NOT NULL GROUP BY b)
-           WHERE bn > 40)
+           WHERE bn > 50)
     SELECT 'phonetic' AS tier, * FROM ph
     UNION ALL
     SELECT 'prefix' AS tier, * FROM pf
@@ -8544,15 +8544,18 @@ _PURGE_REPORT_SQL = f"""
 @register("blocking_purge_report", _PURGE_REPORT_SQL)
 def blocking_purge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-loss visibility for bounded entity resolution (ADVICE
-    r10): per purging tier, how many blocks a max_block=40 cap drops
-    over the part-name corpus, how many distinct keys they hold and
-    the hottest block's size — the diagnostic callers run next to
-    `resolve_entities` to see what `DEFAULT_MAX_BLOCK` trades. Linear:
-    one distinct + one groupBy per tier, no pair enumeration."""
-    from .operators.blocking import purged_block_report
+    r10): per purging tier, how many blocks the engine's default
+    `DEFAULT_MAX_BLOCK` cap (blocking.py:231) drops over the
+    part-name corpus, how many distinct keys they hold and the
+    hottest block's size — the diagnostic callers run next to
+    `resolve_entities` to see exactly what the default trades (ADVICE
+    r11: the probe cap now IS the default, both here and in the
+    oracle's `bn > 50`). Linear: one distinct + one groupBy per tier,
+    no pair enumeration."""
+    from .operators.blocking import DEFAULT_MAX_BLOCK, purged_block_report
 
     part = load_table(spark, sf_dir, "part")
-    return purged_block_report(part, "p_name", max_block=40)
+    return purged_block_report(part, "p_name", max_block=DEFAULT_MAX_BLOCK)
 
 
 _DATACARD_SQL = """
