@@ -9037,8 +9037,17 @@ _PRIORITY = [
     "blocking_purge_report",          # bounded-ER recall-loss report
     "docs_length_quantiles_by_lang",  # grouped histogram quantiles
     # ROUND-13 ROTATION CANDIDATES (policy: newest flagships promote
-    # the round after they land) — see round-12 additions at the
-    # bottom of this file.
+    # the round after they land). Round-12 flagship, oracled at both
+    # gate SFs: events_hll_shard_rollup (per-shard HLL tree-merge
+    # certified identical to the monolithic sketch inside the query).
+    # ALSO promote entity_resolution_quality (VERDICT r11 #5): it
+    # carries the only graded-quality metric family (pair-P/R
+    # survivorship with a full truth-closure oracle) not yet
+    # driver-visible — it was weighed for the round-12 window but the
+    # six round-11 flagships filled the displacement budget
+    # (category-4 displacements were already at six; a seventh would
+    # have cut into the fuzzy-join core); it is first in line for
+    # round 13.
     # Remaining round-10 oracle-green pool: entity_resolution_quality
     # (pair-P/R survivorship), vocab_countmin_report (sketch triad),
     # graph_link_prediction (wedge-join Adamic-Adar),
