@@ -8,14 +8,17 @@ construction, and it shuffles the hashed grams. This module finds
 duplicated length-L CHARACTER substrings EXACTLY (string equality, no
 hashes anywhere) without ever shuffling substrings:
 
-1. one ``posexplode`` turns the corpus into (doc, off, char) rows;
-2. ``global_dense_rank`` replaces each single character by its global
-   dense rank — after this round NO string leaves an executor;
+1. one ``posexplode`` turns the corpus into (doc, off, gram) rows;
+2. ``global_group_id`` replaces each base gram by a distinct integer
+   id — after this round NO string leaves an executor. Since every
+   downstream consumer compares ids by EQUALITY only, this is a
+   sort-free distinct-map + broadcast join-back, not a global sort
+   (``global_dense_rank`` remains the primitive for order-needing
+   callers like sorted-neighborhood blocking);
 3. prefix doubling (Manber-Myers): rounds only until the window
    width w satisfies 2w >= L — each round is an integer equi-join on
-   (doc, off + w) plus a global rank of the (rank, next_rank) pair,
-   and rank_{2w}[i] identifies the substring of length 2w at i,
-   exactly;
+   (doc, off + w) plus a group id of the (id, next_id) pair, and
+   id_{2w}[i] identifies the substring of length 2w at i, exactly;
 4. two-level combination: the length-L substring at i is identified
    by (rank_w[i], rank_w[i + L - w]) whenever the two width-w windows
    overlap or touch (the sparse-table O(1) comparison trick), so a
@@ -126,6 +129,44 @@ def global_dense_rank(
     return parts.mapInPandas(assign, out_schema)
 
 
+# distinct-key maps at or below this row count broadcast-join back to
+# the input (map-side, zero shuffle of the big frame); above it the
+# join falls back to a hash shuffle on the keys — still no range
+# sampling, no global order, no driver offsets
+GROUP_ID_BROADCAST_ROWS = 4_000_000
+
+
+def global_group_id(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str = "gid",
+    broadcast_rows: int = GROUP_ID_BROADCAST_ROWS,
+) -> DataFrame:
+    """Append an arbitrary-but-consistent distinct id (>= 0) per key
+    combination — the EQUALITY-ONLY sibling of ``global_dense_rank``
+    for consumers that never compare ranks by order (the
+    prefix-doubling span family groups and joins on rank EQUALITY
+    only; round-12 profile showed the range-sort rank pass was 60% of
+    the L=16 flagship's wall).
+
+    No range sampling, no global sort, no driver offsets: one hash
+    aggregation builds the distinct key -> id map (ids from
+    ``monotonically_increasing_id`` over the distinct frame, pinned
+    by an eager ``localCheckpoint`` so every consumer of the output
+    sees ONE assignment), then the input joins the map back —
+    broadcast (map-side, no shuffle of ``df``) when the map has at
+    most ``broadcast_rows`` rows, hash join on the keys otherwise."""
+    keys = list(key_cols)
+    mapping = (
+        df.select(*keys)
+        .distinct()
+        .withColumn(id_col, F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    small = mapping.count() <= broadcast_rows
+    return df.join(F.broadcast(mapping) if small else mapping, keys)
+
+
 def duplicated_char_spans(
     docs: DataFrame,
     text_col: str,
@@ -186,19 +227,27 @@ def _window_start_flags(
             F.col("__t"), F.col("off") + 1, F.lit(base_w)
         ).alias("g"),
     )
-    # empty-text docs emit no rows (sequence(0, -1) is empty)
-    cur = global_dense_rank(pos, ["g"], "r", dense=False).select(
-        "doc", "off", "r"
-    )
+    # empty-text docs emit no rows (sequence(0, -1) is empty).
+    # Every consumer downstream compares ranks by EQUALITY only
+    # (pair-building is offset arithmetic; the combine groups and
+    # joins on the id pair), so the base "rank" is a sort-free
+    # global_group_id: distinct-gram map + broadcast join-back
+    # instead of the range-sampled global sort (round-12 profile:
+    # the sort pass was ~60% of the L=16 flagship; A/B in PLANS.md).
+    # The explode is checkpointed once so the distinct branch and the
+    # join-back branch share one materialization.
+    pos = pos.localCheckpoint(eager=True)
+    cur = global_group_id(pos, ["g"], "r").select("doc", "off", "r")
     width = base_w
     # prefix doubling only until 2*width >= span_len: the two-level
     # combine (r_w[i], r_w[i + L - w]) covers length L whenever the
     # two width-w windows overlap or touch, so the last doubling
     # round the full suffix-array construction would run is never
     # needed here — one fewer global rank pass (measured ~3 s at
-    # sf0.1, PLANS.md). Ranks only need equality/order, so every
-    # round uses the cheap ordinal-rank form (dense=False);
-    # global_dense_rank checkpoints internally.
+    # sf0.1, PLANS.md). Each round's re-rank is again equality-only,
+    # so it uses the same sort-free group-id assignment; the pair
+    # frame is checkpointed per round to keep every round's plan
+    # shallow (the established per-round hygiene).
     while width * 2 < span_len:
         nxt = cur.select(
             F.col("doc"),
@@ -207,10 +256,10 @@ def _window_start_flags(
         )
         pair = cur.join(nxt, ["doc", "off"], "left").select(
             "doc", "off", "r", F.coalesce("r2", F.lit(-1)).alias("r2")
+        ).localCheckpoint(eager=True)
+        cur = global_group_id(pair, ["r", "r2"], "nr").select(
+            "doc", "off", F.col("nr").alias("r")
         )
-        cur = global_dense_rank(
-            pair, ["r", "r2"], "nr", dense=False
-        ).select("doc", "off", F.col("nr").alias("r"))
         width *= 2
     # two-level combine: length-L key = (rank_w[i], rank_w[i + L - w])
     shift = span_len - width
@@ -338,9 +387,10 @@ def duplicated_char_spans_sweep(
         F.substring(F.col("__t"), F.col("off") + 1, F.lit(base_w)).alias("g"),
     )
     levels = {}
-    cur = global_dense_rank(pos, ["g"], "r", dense=False).select(
-        "doc", "off", "r"
-    )
+    # equality-only consumers, same as _window_start_flags: sort-free
+    # group ids, explode checkpointed once (round-12 A/B in PLANS.md)
+    pos = pos.localCheckpoint(eager=True)
+    cur = global_group_id(pos, ["g"], "r").select("doc", "off", "r")
     levels[base_w] = cur
     width = base_w
     while width * 2 < lmax:
@@ -351,10 +401,10 @@ def duplicated_char_spans_sweep(
         )
         pair = cur.join(nxt, ["doc", "off"], "left").select(
             "doc", "off", "r", F.coalesce("r2", F.lit(-1)).alias("r2")
+        ).localCheckpoint(eager=True)
+        cur = global_group_id(pair, ["r", "r2"], "nr").select(
+            "doc", "off", F.col("nr").alias("r")
         )
-        cur = global_dense_rank(
-            pair, ["r", "r2"], "nr", dense=False
-        ).select("doc", "off", F.col("nr").alias("r"))
         width *= 2
         levels[width] = cur
     lens = docs.select(
