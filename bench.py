@@ -168,6 +168,13 @@ def main() -> None:
         "docs_datacard",
         "events_orders_join_size_cm",
         "docs_length_quantiles_by_lang",
+        # round-12 additions
+        "events_hll_shard_rollup",
+        "events_cdc_snapshot",
+        "events_scd2_history",
+        "events_cdc_incremental_merge",
+        "orders_price_outliers_mad",
+        "events_session_concurrency",
     ):
         if extra in registry:
             names.append(extra)

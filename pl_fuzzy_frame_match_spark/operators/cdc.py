@@ -1,0 +1,154 @@
+"""Changelog (CDC) processing: latest-wins snapshots, incremental
+merge, and SCD2 historization — the lakehouse incremental-processing
+primitives a 100 TB pipeline applies before any of the engine's
+dedup / fuzzy-match / analytics operators see the data.
+
+Engine-own extension family (no reference analogue — the reference
+is batch-only over already-materialized frames); it follows the same
+design rule as the sketch and graph families: state per key is O(1),
+every aggregation is commutative + associative so map-side partial
+aggregation and shard-level pre-merge work, and nothing sorts the
+full table.
+
+Semantics (Debezium/Delta-merge style):
+
+- A changelog row is ``(key, seq..., op, payload...)`` where ``op``
+  is ``'U'`` (upsert — insert and update are the same operation) or
+  ``'D'`` (delete tombstone). ``seq`` is one or more columns whose
+  lexicographic order totally orders the changes per key (e.g.
+  ``(commit_ts, log_offset)``).
+- ``cdc_latest_snapshot`` reduces a changelog to the CURRENT state:
+  the highest-``seq`` change per key wins; keys whose winning change
+  is a tombstone are dropped (or kept, with ``keep_tombstones=True``,
+  for safe incremental chaining).
+- ``cdc_apply`` advances a snapshot by a newer changelog slice —
+  ``latest(snapshot ∪ slice)``. Because latest-wins is associative,
+  ``cdc_apply(cdc_latest_snapshot(log ≤ T), log > T)`` equals
+  ``cdc_latest_snapshot(log)`` for ANY split point T; the
+  ``events_cdc_incremental_merge`` query certifies that equality
+  inside the query itself.
+- ``scd2_historize`` is the type-2 dimension view: every change
+  becomes a version row with ``[valid_from, valid_to)`` validity
+  bounds (``valid_to`` NULL on the current version) and a per-key
+  ``version`` ordinal.
+
+Scale notes (the reason this module exists):
+
+- ``cdc_latest_snapshot`` is ONE hash shuffle on the key and a
+  ``max(struct(seq..., payload...))`` aggregate — NOT a
+  ``row_number`` window. The max-struct is commutative, so Spark
+  runs a map-side partial aggregate and the exchange carries one
+  row per key per input partition, not the whole changelog; there
+  is no per-partition sort at all. The same shape is what makes the
+  streaming twin (``stream_cdc_snapshot``) hold O(keys) state.
+- ``scd2_historize`` genuinely needs the per-key order (each row's
+  ``valid_to`` is the NEXT change's ``valid_from``), so it pays one
+  shuffle on the key and a per-key sort bounded by that key's change
+  count — never a global order.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: struct field prefix used for the ordered seq columns inside the
+#: max-struct so payload columns cannot shadow them.
+_SEQ = "__cdc_seq_"
+
+
+def _as_list(cols: str | Sequence[str]) -> list[str]:
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
+def cdc_latest_snapshot(
+    changelog: DataFrame,
+    key_cols: str | Sequence[str],
+    seq_cols: str | Sequence[str],
+    op_col: str | None = None,
+    delete_value: str = "D",
+    keep_tombstones: bool = False,
+) -> DataFrame:
+    """Latest-wins current state of a changelog.
+
+    Returns one row per surviving key with the original column order
+    (key, then the remaining changelog columns, seq and op included —
+    the snapshot stays a valid changelog, which is what lets
+    ``cdc_apply`` chain it with later slices).
+
+    ``seq_cols`` must totally order each key's changes (ties are
+    broken by the remaining payload columns' values, so make the seq
+    unique — e.g. include a log offset — for deterministic output).
+    """
+    keys = _as_list(key_cols)
+    seqs = _as_list(seq_cols)
+    rest = [c for c in changelog.columns if c not in keys]
+    # seq columns lead the struct so struct-max == latest change;
+    # null seqs sort first (oldest) to match SQL `ORDER BY seq DESC`
+    # picking non-null rows over null ones.
+    packed = F.struct(
+        *[F.col(s).alias(f"{_SEQ}{i}") for i, s in enumerate(seqs)],
+        *[F.col(c).alias(c) for c in rest],
+    )
+    won = changelog.groupBy(*keys).agg(F.max(packed).alias("__w"))
+    out = won.select(
+        *keys, *[F.col(f"__w.{c}").alias(c) for c in rest]
+    )
+    if op_col is not None and not keep_tombstones:
+        out = out.where(F.col(op_col) != delete_value)
+    return out
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key_cols: str | Sequence[str],
+    seq_cols: str | Sequence[str],
+    op_col: str | None = None,
+    delete_value: str = "D",
+    keep_tombstones: bool = False,
+) -> DataFrame:
+    """Advance ``snapshot`` (a prior ``cdc_latest_snapshot`` output,
+    same schema as the changelog) by a newer changelog slice.
+
+    Latest-wins is associative, so this is simply
+    ``cdc_latest_snapshot(snapshot ∪ changelog)`` — one shuffle, and
+    a key untouched by the slice flows through the max-struct
+    unchanged. Correct for any split point even WITHOUT tombstones
+    retained in the snapshot: a key deleted before the split is
+    absent from both paths unless the slice revives it, in which case
+    the slice's change wins in both."""
+    merged = snapshot.unionByName(changelog)
+    return cdc_latest_snapshot(
+        merged, key_cols, seq_cols, op_col, delete_value, keep_tombstones
+    )
+
+
+def scd2_historize(
+    changelog: DataFrame,
+    key_cols: str | Sequence[str],
+    seq_cols: str | Sequence[str],
+    version_col: str = "version",
+    valid_to_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 view of a changelog: one row
+    per change, with a per-key ``version`` ordinal (1-based, in seq
+    order) and, for every seq column ``s``, a ``{s}_to`` column
+    holding the NEXT change's value (NULL on the current version) —
+    together the ``[valid_from, valid_to)`` validity interval.
+
+    ``valid_to_cols`` optionally renames the generated end columns
+    (``{seq_col: end_col_name}``). One shuffle on the key; the
+    per-key sort is bounded by that key's change count."""
+    keys = _as_list(key_cols)
+    seqs = _as_list(seq_cols)
+    ends = valid_to_cols or {s: f"{s}_to" for s in seqs}
+    w = Window.partitionBy(*keys).orderBy(*[F.col(s).asc() for s in seqs])
+    out = changelog.withColumn(
+        version_col, F.row_number().over(w).cast("long")
+    )
+    for s in seqs:
+        out = out.withColumn(ends[s], F.lead(F.col(s)).over(w))
+    return out

@@ -8896,6 +8896,321 @@ def events_hll_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CDC / changelog processing (round 12) — operators/cdc.py
+# ---------------------------------------------------------------------------
+# The events table doubles as a Debezium-style changelog: key =
+# user_id, seq = (unix_micros(ts), event_id) (unique total order),
+# op = 'D' on 'error' events (tombstone), 'U' otherwise.
+
+_CDC_CHANGELOG_SQL = """
+    SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS seq_us,
+           event_id,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           event_type, value
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+"""
+
+
+def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a changelog — the Spark side of _CDC_CHANGELOG_SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("seq_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+
+
+@register(
+    "events_cdc_snapshot",
+    f"""
+    WITH c AS ({_CDC_CHANGELOG_SQL}),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY seq_us DESC, event_id DESC) AS rn FROM c)
+    SELECT user_id, seq_us AS last_seq_us, event_id AS last_event_id,
+           event_type AS last_event_type, value AS last_value
+    FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def events_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC snapshot (round 12, `operators/cdc.py`): the
+    current state per user after applying the full changelog — users
+    whose newest change is a tombstone are absent. ONE hash shuffle
+    on the key and a commutative max-struct aggregate (map-side
+    partial agg; no row_number window, no per-partition sort) — the
+    shape that holds O(keys) state in the streaming twin. The oracle
+    replays it as the classic row_number-desc window."""
+    from .operators.cdc import cdc_latest_snapshot
+
+    snap = cdc_latest_snapshot(
+        _cdc_changelog(spark, sf_dir),
+        "user_id",
+        ["seq_us", "event_id"],
+        op_col="op",
+    )
+    return snap.select(
+        "user_id",
+        F.col("seq_us").alias("last_seq_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "events_scd2_history",
+    """
+    WITH c AS (SELECT user_id,
+                      CAST(epoch_ns(ts) // 1000 AS BIGINT) AS valid_from_us,
+                      event_id, value
+               FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                 AND ts IS NOT NULL),
+    v AS (SELECT *, row_number() OVER w AS version,
+                 lead(valid_from_us) OVER w AS valid_to_us
+          FROM c WINDOW w AS (PARTITION BY user_id
+                              ORDER BY valid_from_us ASC, event_id ASC))
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_id, value,
+           valid_from_us, valid_to_us,
+           CAST(valid_to_us IS NULL AS INTEGER) AS is_current
+    FROM v
+    """,
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 historization (round 12, `operators/cdc.py`): every
+    purchase becomes a version row with [valid_from, valid_to)
+    validity bounds (valid_to NULL on the current version) and a
+    per-user version ordinal — the type-2 dimension view a lakehouse
+    keeps next to the latest snapshot. One shuffle on the key; the
+    per-key sort is bounded by that key's change count, never a
+    global order."""
+    from .operators.cdc import scd2_historize
+
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.where(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("valid_from_us"),
+        "event_id",
+        "value",
+    )
+    hist = scd2_historize(
+        ch,
+        "user_id",
+        ["valid_from_us", "event_id"],
+        valid_to_cols={
+            "valid_from_us": "valid_to_us",
+            "event_id": "__eid_to",
+        },
+    )
+    return hist.select(
+        "user_id",
+        "version",
+        "event_id",
+        "value",
+        "valid_from_us",
+        "valid_to_us",
+        F.col("valid_to_us").isNull().cast("int").alias("is_current"),
+    )
+
+
+#: incremental-merge split point: 2024-01-15 00:00 UTC in epoch-us —
+#: mid-range of the events table's Jan 1-30 span at every gate SF
+_CDC_SPLIT_US = 1_705_276_800_000_000
+
+_CDC_MERGE_SQL = f"""
+    WITH c AS ({_CDC_CHANGELOG_SQL}),
+    pre AS (SELECT * FROM c WHERE seq_us <= {_CDC_SPLIT_US}),
+    post AS (SELECT * FROM c WHERE seq_us > {_CDC_SPLIT_US}),
+    snap AS (SELECT user_id, seq_us, event_id, op, event_type, value
+             FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY seq_us DESC, event_id DESC) AS rn
+                   FROM pre)
+             WHERE rn = 1 AND op <> 'D'),
+    merged_in AS (SELECT * FROM snap UNION ALL SELECT * FROM post),
+    merged AS (SELECT user_id, seq_us, event_id, value
+               FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                         ORDER BY seq_us DESC, event_id DESC) AS rn
+                     FROM merged_in)
+               WHERE rn = 1 AND op <> 'D'),
+    fullsnap AS (SELECT user_id, seq_us, event_id, value
+                 FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                           ORDER BY seq_us DESC, event_id DESC) AS rn
+                       FROM c)
+                 WHERE rn = 1 AND op <> 'D'),
+    mm AS (SELECT count(*) AS merge_mismatches
+           FROM merged m FULL JOIN fullsnap f ON m.user_id = f.user_id
+           WHERE m.user_id IS NULL OR f.user_id IS NULL
+              OR m.seq_us IS DISTINCT FROM f.seq_us
+              OR m.event_id IS DISTINCT FROM f.event_id
+              OR m.value IS DISTINCT FROM f.value),
+    np AS (SELECT count(*) AS n_users_pre FROM snap),
+    nf AS (SELECT count(*) AS n_users,
+                  round(sum(value), 4) AS sum_last_value
+           FROM fullsnap)
+    SELECT n_users, n_users_pre, merge_mismatches, sum_last_value
+    FROM nf, np, mm
+"""
+
+
+@register("events_cdc_incremental_merge", _CDC_MERGE_SQL)
+def events_cdc_incremental_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental CDC merge, certified inside the query (round 12,
+    `operators/cdc.py`): snapshot the changelog at a mid-range split
+    point, advance that snapshot by the newer slice with `cdc_apply`
+    (latest-wins is associative, so NO tombstone retention is needed
+    for a correct merge), and certify merged == full-replay with a
+    full-outer-join mismatch count that must be 0 — the
+    incremental-vs-backfill equivalence a 100 TB lakehouse merge
+    relies on. The oracle replays both paths and the certification in
+    SQL."""
+    from .operators.cdc import cdc_apply, cdc_latest_snapshot
+
+    ch = _cdc_changelog(spark, sf_dir)
+    pre = ch.where(F.col("seq_us") <= F.lit(_CDC_SPLIT_US))
+    post = ch.where(F.col("seq_us") > F.lit(_CDC_SPLIT_US))
+    keys, seqs = "user_id", ["seq_us", "event_id"]
+    snap = cdc_latest_snapshot(pre, keys, seqs, op_col="op")
+    merged = cdc_apply(snap, post, keys, seqs, op_col="op").select(
+        "user_id", "seq_us", "event_id", "value"
+    )
+    full = cdc_latest_snapshot(ch, keys, seqs, op_col="op").select(
+        "user_id", "seq_us", "event_id", "value"
+    )
+    m, f = merged.alias("m"), full.alias("f")
+    mm = (
+        m.join(f, F.col("m.user_id") == F.col("f.user_id"), "full")
+        .where(
+            F.col("m.user_id").isNull()
+            | F.col("f.user_id").isNull()
+            | ~(F.col("m.seq_us").eqNullSafe(F.col("f.seq_us")))
+            | ~(F.col("m.event_id").eqNullSafe(F.col("f.event_id")))
+            | ~(F.col("m.value").eqNullSafe(F.col("f.value")))
+        )
+        .agg(F.count(F.lit(1)).alias("merge_mismatches"))
+    )
+    np_ = snap.agg(F.count(F.lit(1)).alias("n_users_pre"))
+    nf = full.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_last_value"),
+    )
+    return nf.crossJoin(np_).crossJoin(mm).select(
+        "n_users", "n_users_pre", "merge_mismatches", "sum_last_value"
+    )
+
+
+@register(
+    "orders_price_outliers_mad",
+    """
+    WITH v AS (SELECT o_orderpriority AS g, o_totalprice AS x
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    r AS (SELECT g, x,
+                 row_number() OVER (PARTITION BY g ORDER BY x ASC) AS rn,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM v),
+    med AS (SELECT g, x AS med FROM r
+            WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+    d AS (SELECT v.g, v.x, med.med, abs(v.x - med.med) AS dd
+          FROM v JOIN med ON v.g = med.g),
+    r2 AS (SELECT g, dd,
+                  row_number() OVER (PARTITION BY g ORDER BY dd ASC) AS rn,
+                  count(*) OVER (PARTITION BY g) AS n
+           FROM d),
+    mad AS (SELECT g, dd AS mad FROM r2
+            WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
+    SELECT d.g AS o_orderpriority, count(*) AS n,
+           min(d.med) AS med, min(mad.mad) AS mad,
+           CAST(sum(CASE WHEN d.dd > 3.0 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN mad ON d.g = mad.g
+    GROUP BY d.g
+    """,
+)
+def orders_price_outliers_mad(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust per-group outlier screen (round 12,
+    `operators/robust.py`): median/MAD outliers of order totals per
+    priority — |x - med| > 3 * 1.4826 * mad. Both medians are the
+    DISCRETE lower median (the element at position ceil(n/2)), so
+    every statistic is an actual data value and the oracle replays
+    the exact integer positioning — no interpolation-flavor mismatch.
+    Two key-shuffles, per-group sorts only; the mergeable
+    hist_sketch_by is the declared variant for unbounded group
+    counts."""
+    from .operators.robust import mad_outliers
+
+    orders = load_table(spark, sf_dir, "orders")
+    return mad_outliers(orders, "o_totalprice", "o_orderpriority", k=3.0)
+
+
+@register(
+    "events_session_concurrency",
+    """
+    WITH e AS (
+      SELECT user_id, ts, epoch_ns(ts) // 1000000000 AS es FROM events
+    ),
+    g AS (
+      SELECT user_id, ts, es,
+        CASE WHEN es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    s AS (
+      SELECT user_id, es,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    ),
+    sess AS (SELECT user_id, session_seq,
+                    min(es) AS st, max(es) AS en
+             FROM s GROUP BY user_id, session_seq),
+    b AS (SELECT st AS t, 1 AS delta FROM sess
+          UNION ALL
+          SELECT en AS t, -1 AS delta FROM sess),
+    c AS (SELECT t, delta,
+                 sum(delta) OVER (ORDER BY t ASC, delta DESC
+                                  ROWS UNBOUNDED PRECEDING) AS open_now
+          FROM b),
+    n AS (SELECT count(*) AS n_intervals FROM sess),
+    mx AS (SELECT CAST(max(open_now) AS BIGINT) AS max_concurrent FROM c),
+    a AS (SELECT CAST(min(t) AS BIGINT) AS at_t
+          FROM c, mx WHERE open_now = max_concurrent)
+    SELECT n_intervals, max_concurrent, at_t FROM n, mx, a
+    """,
+)
+def events_session_concurrency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak session concurrency (round 12, `operators/sweepline.py`):
+    sessionize every user's events (30-min gap), then sweep the
+    session intervals' +1/-1 boundaries in global time order to find
+    the peak number of simultaneously-open sessions and the earliest
+    time it is reached. The running sum is the DISTRIBUTED prefix-sum
+    shape (range-repartition + per-partition offsets), never a
+    single-task Window.orderBy; the oracle replays the sweep with the
+    same closed-interval tie order (starts before ends at equal t)."""
+    from .operators.sweepline import interval_concurrency
+    from .streaming.stream_ops import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    sess = sessionize(events, gap_seconds=1800)
+    return interval_concurrency(sess, "session_start", "session_end")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry slots
@@ -9037,9 +9352,14 @@ _PRIORITY = [
     "blocking_purge_report",          # bounded-ER recall-loss report
     "docs_length_quantiles_by_lang",  # grouped histogram quantiles
     # ROUND-13 ROTATION CANDIDATES (policy: newest flagships promote
-    # the round after they land). Round-12 flagship, oracled at both
-    # gate SFs: events_hll_shard_rollup (per-shard HLL tree-merge
-    # certified identical to the monolithic sketch inside the query).
+    # the round after they land). Round-12 flagships, all oracled at
+    # both gate SFs: events_hll_shard_rollup (per-shard HLL tree-merge
+    # certified identical to the monolithic sketch inside the query),
+    # events_cdc_snapshot / events_cdc_incremental_merge (latest-wins
+    # max-struct snapshot; split-merge == full-replay certified inside
+    # the query), events_scd2_history (type-2 validity intervals),
+    # orders_price_outliers_mad (exact discrete median/MAD screen),
+    # events_session_concurrency (distributed sweep-line prefix sum).
     # ALSO promote entity_resolution_quality (VERDICT r11 #5): it
     # carries the only graded-quality metric family (pair-P/R
     # survivorship with a full truth-closure oracle) not yet

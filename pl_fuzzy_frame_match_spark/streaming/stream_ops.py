@@ -1311,3 +1311,30 @@ def stream_hll_registers_by(
         .parquet(path)
     )
     return hll_registers_by(stream, key_col, group_cols)
+
+
+def stream_cdc_snapshot(
+    spark, path: str, schema, key_cols, seq_cols,
+    op_col: str = None, delete_value: str = "D",
+):
+    """Streaming twin of `operators/cdc.cdc_latest_snapshot` (round
+    12, the 26th twin): latest-wins CDC state maintained on an
+    unbounded changelog stream. The batch operator is ONE max-struct
+    aggregation — commutative and mergeable — so it composes onto the
+    stream unchanged as a streaming aggregation with O(keys) state
+    (one struct per key, however many changes flow through); the
+    complete-mode table at any trigger equals the batch snapshot of
+    every change ingested so far (equivalence-tested), tombstone
+    filtering included. This is the streaming MERGE INTO: the state
+    store IS the materialized latest snapshot."""
+    from ..operators.cdc import cdc_latest_snapshot
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+    return cdc_latest_snapshot(
+        stream, key_cols, seq_cols, op_col=op_col,
+        delete_value=delete_value,
+    )

@@ -299,3 +299,243 @@ def test_sketch_shard_merge_from_partitioned_write(spark, tmp_path):
         .count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC / changelog processing (round 12, operators/cdc.py): latest-wins
+# snapshots via commutative max-struct (no window), incremental merge
+# associativity, SCD2 validity intervals, and the streaming twin.
+# ---------------------------------------------------------------------------
+
+
+def _changelog(spark):
+    """Hand changelog: key k, seq (s1, s2), op, payload v.
+    k=1: update then delete            -> absent from snapshot
+    k=2: delete then re-insert         -> present (revival)
+    k=3: three updates, seq ties on s1 -> s2 breaks the tie
+    k=4: single insert                 -> present
+    """
+    rows = [
+        (1, 10, 0, "U", 100.0),
+        (1, 20, 0, "D", None),
+        (2, 10, 0, "D", None),
+        (2, 30, 0, "U", 200.0),
+        (3, 10, 0, "U", 1.0),
+        (3, 10, 1, "U", 2.0),
+        (3, 5, 9, "U", 3.0),
+        (4, 7, 0, "U", 400.0),
+    ]
+    return spark.createDataFrame(rows, "k long, s1 long, s2 long, op string, v double")
+
+
+def test_cdc_latest_snapshot_hand_values(spark):
+    from pl_fuzzy_frame_match_spark.operators.cdc import cdc_latest_snapshot
+
+    snap = {
+        r["k"]: (r["s1"], r["s2"], r["op"], r["v"])
+        for r in cdc_latest_snapshot(
+            _changelog(spark), "k", ["s1", "s2"], op_col="op"
+        ).collect()
+    }
+    assert set(snap) == {2, 3, 4}          # k=1 tombstoned out
+    assert snap[2] == (30, 0, "U", 200.0)  # revival after delete
+    assert snap[3] == (10, 1, "U", 2.0)    # s2 breaks the s1 tie
+    assert snap[4] == (7, 0, "U", 400.0)
+
+
+def test_cdc_latest_snapshot_keep_tombstones(spark):
+    from pl_fuzzy_frame_match_spark.operators.cdc import cdc_latest_snapshot
+
+    snap = {
+        r["k"]: r["op"]
+        for r in cdc_latest_snapshot(
+            _changelog(spark), "k", ["s1", "s2"], op_col="op",
+            keep_tombstones=True,
+        ).collect()
+    }
+    assert snap[1] == "D" and len(snap) == 4
+
+
+def test_cdc_apply_associative_at_every_split(spark):
+    """cdc_apply(latest(log <= T), log > T) == latest(log) for EVERY
+    split point T — including splits that strand a tombstone on
+    either side (the property events_cdc_incremental_merge certifies
+    at gate scale)."""
+    from pl_fuzzy_frame_match_spark.operators.cdc import (
+        cdc_apply,
+        cdc_latest_snapshot,
+    )
+
+    log = _changelog(spark)
+    want = sorted(
+        tuple(r) for r in cdc_latest_snapshot(
+            log, "k", ["s1", "s2"], op_col="op"
+        ).collect()
+    )
+    for t in [0, 6, 10, 15, 25, 99]:
+        pre = log.where(F.col("s1") <= t)
+        post = log.where(F.col("s1") > t)
+        snap = cdc_latest_snapshot(pre, "k", ["s1", "s2"], op_col="op")
+        got = sorted(
+            tuple(r) for r in cdc_apply(
+                snap, post, "k", ["s1", "s2"], op_col="op"
+            ).collect()
+        )
+        assert got == want, f"split at {t}"
+
+
+def test_scd2_historize_intervals(spark):
+    from pl_fuzzy_frame_match_spark.operators.cdc import scd2_historize
+
+    hist = scd2_historize(
+        _changelog(spark).where(F.col("k") == 3),
+        "k",
+        ["s1", "s2"],
+        valid_to_cols={"s1": "s1_to", "s2": "s2_to"},
+    ).collect()
+    by_ver = {r["version"]: r for r in hist}
+    # seq order for k=3: (5,9) -> (10,0) -> (10,1)
+    assert [by_ver[i]["v"] for i in (1, 2, 3)] == [3.0, 1.0, 2.0]
+    assert (by_ver[1]["s1_to"], by_ver[1]["s2_to"]) == (10, 0)
+    assert (by_ver[2]["s1_to"], by_ver[2]["s2_to"]) == (10, 1)
+    assert by_ver[3]["s1_to"] is None and by_ver[3]["s2_to"] is None
+
+
+def test_stream_cdc_snapshot_equals_batch(spark, tmp_path):
+    """26th streaming twin: the complete-mode CDC state table equals
+    the batch snapshot of everything ingested — O(keys) state on an
+    unbounded changelog, tombstone filtering included."""
+    import os
+
+    from pl_fuzzy_frame_match_spark.operators.cdc import cdc_latest_snapshot
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_cdc_snapshot,
+    )
+
+    src = os.path.join(str(tmp_path), "cdc_src")
+    log = _changelog(spark)
+    # two files -> two triggers at maxFilesPerTrigger=2... write per
+    # seq half so late changes arrive in a later micro-batch
+    log.where(F.col("s1") <= 10).coalesce(1).write.mode("append").parquet(src)
+    log.where(F.col("s1") > 10).coalesce(1).write.mode("append").parquet(src)
+    out = stream_cdc_snapshot(
+        spark, src, "k long, s1 long, s2 long, op string, v double",
+        "k", ["s1", "s2"], op_col="op",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cdc_snap")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM cdc_snap").collect()
+    )
+    batch = sorted(
+        tuple(r) for r in cdc_latest_snapshot(
+            log, "k", ["s1", "s2"], op_col="op"
+        ).collect()
+    )
+    assert streamed == batch and len(batch) == 3
+
+
+# ---------------------------------------------------------------------------
+# Robust median/MAD outliers (round 12, operators/robust.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_hand_values(spark):
+    from pl_fuzzy_frame_match_spark.operators.robust import mad_outliers
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 100.0]] + [
+        ("b", v) for v in [5.0, 5.0, 5.0, 9.0]
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r["g"]: (r["n"], r["med"], r["mad"], r["n_outliers"])
+        for r in mad_outliers(df, "x", "g", k=3.0).collect()
+    }
+    # a: med = value at ceil(5/2)=3 -> 3.0; |x-3| sorted [0,1,1,2,97],
+    # mad at pos 3 -> 1.0; threshold 4.4478 -> only 100 flags
+    assert got["a"] == (5, 3.0, 1.0, 1)
+    # b: med 5.0, mad 0.0 (majority identical) -> every non-median
+    # value flags (the documented mad=0 behavior)
+    assert got["b"] == (4, 5.0, 0.0, 1)
+
+
+def test_mad_outliers_ignores_nulls(spark):
+    from pl_fuzzy_frame_match_spark.operators.robust import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 2.0), ("a", 3.0)],
+        "g string, x double",
+    )
+    [r] = mad_outliers(df, "x", "g").collect()
+    assert (r["n"], r["med"]) == (3, 2.0)
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval concurrency (round 12, operators/sweepline.py)
+# ---------------------------------------------------------------------------
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    import random
+
+    from pyspark.sql import Window
+
+    from pl_fuzzy_frame_match_spark.operators.sweepline import (
+        global_running_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(100), rng.choice([-1, 1])) for _ in range(500)]
+    # make the order total: add a unique third column via index
+    rows = [(t, d, i) for i, (t, d) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "t long, delta long, i long")
+    got = {
+        (r["t"], r["delta"], r["i"]): r["run"]
+        for r in global_running_sum(
+            df,
+            [F.col("t").asc(), F.col("delta").desc(), F.col("i").asc()],
+            "delta",
+            "run",
+            num_partitions=7,
+        ).collect()
+    }
+    w = Window.orderBy(
+        F.col("t").asc(), F.col("delta").desc(), F.col("i").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r["t"], r["delta"], r["i"]): r["run"]
+        for r in df.withColumn("run", F.sum("delta").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_interval_concurrency_hand_values(spark):
+    from pl_fuzzy_frame_match_spark.operators.sweepline import (
+        interval_concurrency,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 10), (5, 15), (10, 20), (30, 30)], "s long, e long"
+    )
+    [r] = interval_concurrency(df, "s", "e", num_partitions=3).collect()
+    # closed intervals: at t=10 the third interval STARTS before the
+    # first ENDS -> peak 3; the zero-length [30,30] still opens
+    assert (r["n_intervals"], r["max_concurrent"], r["at_t"]) == (4, 3, 10)
+
+
+def test_interval_concurrency_drops_bad_intervals(spark):
+    from pl_fuzzy_frame_match_spark.operators.sweepline import (
+        interval_concurrency,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 10), (9, 2), (None, 5), (3, None)], "s long, e long"
+    )
+    [r] = interval_concurrency(df, "s", "e").collect()
+    assert (r["n_intervals"], r["max_concurrent"]) == (1, 1)
