@@ -175,6 +175,7 @@ def main() -> None:
         "events_cdc_incremental_merge",
         "orders_price_outliers_mad",
         "events_session_concurrency",
+        "lineitem_profile",
     ):
         if extra in registry:
             names.append(extra)

@@ -9210,6 +9210,63 @@ def events_session_concurrency(
     return interval_concurrency(sess, "session_start", "session_end")
 
 
+_PROFILE_COL_SQL = """
+    SELECT '{c}' AS "column", count(*) AS n,
+           count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           {minn} AS min_num, {maxn} AS max_num,
+           {mins} AS min_str, {maxs} AS max_str
+    FROM lineitem
+"""
+
+
+def _profile_leg(c: str, kind: str) -> str:
+    null_d, null_s = "CAST(NULL AS DOUBLE)", "CAST(NULL AS VARCHAR)"
+    if kind == "num":
+        return _PROFILE_COL_SQL.format(
+            c=c,
+            minn=f"CAST(min({c}) AS DOUBLE)",
+            maxn=f"CAST(max({c}) AS DOUBLE)",
+            mins=null_s, maxs=null_s,
+        )
+    if kind == "str":
+        return _PROFILE_COL_SQL.format(
+            c=c, minn=null_d, maxn=null_d,
+            mins=f"min({c})", maxs=f"max({c})",
+        )
+    return _PROFILE_COL_SQL.format(
+        c=c, minn=null_d, maxn=null_d, mins=null_s, maxs=null_s
+    )
+
+
+_PROFILE_COLS = [
+    ("l_orderkey", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "other"),
+]
+
+
+@register(
+    "lineitem_profile",
+    " UNION ALL ".join(_profile_leg(c, k) for c, k in _PROFILE_COLS),
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile (round 12,
+    `operators/profile.py`): per-column row/null/exact-distinct
+    counts and typed min/max in long format. One aggregation PER
+    column (column-pruned scans; never a multi-distinct Expand that
+    would copy every row N times), typed min/max kept in separate
+    double/string columns so no engine-specific number formatting
+    enters the values."""
+    from .operators.profile import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, [c for c, _ in _PROFILE_COLS])
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (VERDICT r3 #1)
 # ---------------------------------------------------------------------------

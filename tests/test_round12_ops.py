@@ -539,3 +539,34 @@ def test_interval_concurrency_drops_bad_intervals(spark):
     )
     [r] = interval_concurrency(df, "s", "e").collect()
     assert (r["n_intervals"], r["max_concurrent"]) == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Table profiler (round 12, operators/profile.py)
+# ---------------------------------------------------------------------------
+
+
+def test_profile_columns_hand_values(spark):
+    from pl_fuzzy_frame_match_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (1, None, "b"), (3, 4.0, None)],
+        "k long, x double, s string",
+    )
+    got = {r["column"]: r.asDict() for r in profile_columns(df).collect()}
+    assert got["k"]["n"] == 3 and got["k"]["n_null"] == 0
+    assert got["k"]["n_distinct"] == 2  # exact, nulls excluded
+    assert (got["k"]["min_num"], got["k"]["max_num"]) == (1.0, 3.0)
+    assert got["k"]["min_str"] is None
+    assert got["x"]["n_null"] == 1 and got["x"]["n_distinct"] == 2
+    assert got["s"]["n_null"] == 1
+    assert (got["s"]["min_str"], got["s"]["max_str"]) == ("a", "b")
+    assert got["s"]["min_num"] is None
+
+
+def test_profile_columns_rejects_unknown(spark):
+    from pl_fuzzy_frame_match_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_columns(df, ["nope"])
