@@ -126,6 +126,63 @@ def cdc_apply(
     )
 
 
+def cdc_apply_joined(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key_cols: str | Sequence[str],
+    seq_cols: str | Sequence[str],
+    op_col: str | None = None,
+    delete_value: str = "D",
+    keep_tombstones: bool = False,
+) -> DataFrame:
+    """`cdc_apply` re-expressed as a full-outer JOIN merge — the
+    shape for a LAYOUT-MANAGED snapshot: when the snapshot table is
+    bucketed on the key and the changelog is reduced per-key (itself
+    exchange-free over a bucketed changelog scan), the merge runs
+    with ZERO hash-repartitioning of the snapshot — the 100 TB
+    MERGE INTO answer, where re-shuffling the full snapshot every
+    increment is the cost that matters. Semantics are identical to
+    ``cdc_apply`` (equivalence-tested): the changelog slice is first
+    reduced latest-wins WITH tombstones retained, each key's winner
+    is the max-struct of the two sides, and tombstone winners are
+    dropped unless ``keep_tombstones``."""
+    keys = _as_list(key_cols)
+    seqs = _as_list(seq_cols)
+    rest = [c for c in changelog.columns if c not in keys]
+
+    def pack(side: DataFrame) -> DataFrame:
+        packed = F.struct(
+            *[F.col(s).alias(f"{_SEQ}{i}") for i, s in enumerate(seqs)],
+            *[F.col(c).alias(c) for c in rest],
+        )
+        return side.select(*keys, packed.alias("__w"))
+
+    slice_latest = pack(
+        cdc_latest_snapshot(
+            changelog, keys, seqs, op_col, delete_value,
+            keep_tombstones=True,
+        )
+    ).withColumnRenamed("__w", "__wc")
+    snap = pack(snapshot)
+    joined = snap.join(slice_latest, keys, "full")
+    won = joined.select(
+        *keys,
+        F.when(
+            F.col("__wc").isNull(), F.col("__w")
+        ).when(
+            F.col("__w").isNull(), F.col("__wc")
+        ).when(
+            F.col("__wc") >= F.col("__w"), F.col("__wc")
+        ).otherwise(F.col("__w")).alias("__w"),
+    )
+    out = won.select(
+        *keys, *[F.col(f"__w.{c}").alias(c) for c in rest]
+    )
+    if op_col is not None and not keep_tombstones:
+        out = out.where(F.col(op_col) != delete_value)
+    return out
+
+
 def scd2_historize(
     changelog: DataFrame,
     key_cols: str | Sequence[str],

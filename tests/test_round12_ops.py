@@ -570,3 +570,77 @@ def test_profile_columns_rejects_unknown(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="unknown columns"):
         profile_columns(df, ["nope"])
+
+
+# ---------------------------------------------------------------------------
+# CDC join-merge: cdc_apply_joined == cdc_apply, and exchange-free
+# over a bucketed snapshot + bucketed changelog (the 100 TB MERGE
+# INTO layout answer)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_apply_joined_equals_apply(spark):
+    from pl_fuzzy_frame_match_spark.operators.cdc import (
+        cdc_apply,
+        cdc_apply_joined,
+        cdc_latest_snapshot,
+    )
+
+    log = _changelog(spark)
+    for t in [0, 6, 10, 15, 25, 99]:
+        pre = log.where(F.col("s1") <= t)
+        post = log.where(F.col("s1") > t)
+        snap = cdc_latest_snapshot(pre, "k", ["s1", "s2"], op_col="op")
+        want = sorted(
+            tuple(r) for r in cdc_apply(
+                snap, post, "k", ["s1", "s2"], op_col="op"
+            ).collect()
+        )
+        got = sorted(
+            tuple(r) for r in cdc_apply_joined(
+                snap, post, "k", ["s1", "s2"], op_col="op"
+            ).collect()
+        )
+        assert got == want, f"split at {t}"
+
+
+def test_cdc_apply_joined_bucketed_is_exchange_free(spark, tmp_path):
+    from pl_fuzzy_frame_match_spark.operators.cdc import (
+        cdc_apply,
+        cdc_apply_joined,
+        cdc_latest_snapshot,
+    )
+
+    log = _changelog(spark)
+    snap = cdc_latest_snapshot(
+        log.where(F.col("s1") <= 10), "k", ["s1", "s2"], op_col="op"
+    )
+    post = log.where(F.col("s1") > 10)
+    spark.sql("DROP TABLE IF EXISTS r12_cdc_snap_b")
+    spark.sql("DROP TABLE IF EXISTS r12_cdc_log_b")
+    try:
+        snap.write.bucketBy(4, "k").sortBy("k").mode(
+            "overwrite"
+        ).saveAsTable("r12_cdc_snap_b")
+        post.write.bucketBy(4, "k").sortBy("k").mode(
+            "overwrite"
+        ).saveAsTable("r12_cdc_log_b")
+        sb = spark.table("r12_cdc_snap_b")
+        lb = spark.table("r12_cdc_log_b").hint("merge")
+        merged = cdc_apply_joined(
+            sb, lb, "k", ["s1", "s2"], op_col="op"
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        # bucketed layout satisfies the changelog's per-key reduction
+        # AND the merge join: the snapshot is never re-shuffled
+        assert "Exchange hashpartitioning" not in plan, plan
+        got = sorted(tuple(r) for r in merged.collect())
+        want = sorted(
+            tuple(r) for r in cdc_apply(
+                snap, post, "k", ["s1", "s2"], op_col="op"
+            ).collect()
+        )
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r12_cdc_snap_b")
+        spark.sql("DROP TABLE IF EXISTS r12_cdc_log_b")
