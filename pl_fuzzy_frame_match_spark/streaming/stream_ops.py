@@ -1338,3 +1338,64 @@ def stream_cdc_snapshot(
         stream, key_cols, seq_cols, op_col=op_col,
         delete_value=delete_value,
     )
+
+
+def stream_cdc_merge_to_parquet(
+    spark, path: str, schema, snapshot_dir: str,
+    key_cols, seq_cols, op_col: str = None, delete_value: str = "D",
+):
+    """End-to-end streaming MERGE INTO a parquet lake (round 12): each
+    changelog microbatch advances an on-disk latest-wins snapshot via
+    ``foreachBatch`` + `operators/cdc.cdc_apply` — read the current
+    snapshot generation, merge the batch (latest-wins is associative,
+    so ANY micro-batching of the changelog yields the full-replay
+    snapshot), write the next generation, then flip a one-line
+    manifest. Generations make the flip atomic-enough for a
+    demonstration sink (readers resolve the manifest first); a real
+    lake would swap in a table format's transactional commit for the
+    manifest without touching the merge shape. With the snapshot
+    written bucketed on the key, `cdc_apply_joined` makes each
+    increment exchange-free for the snapshot side (plan-asserted in
+    tests); this function keeps plain parquet for simplicity.
+    Returns the started query (caller awaits/stops)."""
+    import os as _os
+
+    from ..operators.cdc import cdc_apply, cdc_latest_snapshot
+
+    manifest = _os.path.join(snapshot_dir, "MANIFEST")
+
+    def current_generation():
+        try:
+            with open(manifest) as fh:
+                return fh.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def update(batch_df, batch_id: int) -> None:
+        gen = current_generation()
+        if gen is None:
+            merged = cdc_latest_snapshot(
+                batch_df, key_cols, seq_cols, op_col, delete_value
+            )
+        else:
+            snap = spark.read.parquet(_os.path.join(snapshot_dir, gen))
+            merged = cdc_apply(
+                snap, batch_df, key_cols, seq_cols, op_col, delete_value
+            )
+        nxt = f"gen_{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            _os.path.join(snapshot_dir, nxt)
+        )
+        with open(manifest, "w") as fh:
+            fh.write(nxt)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return (
+        stream.writeStream.foreachBatch(update)
+        .trigger(availableNow=True)
+        .start()
+    )

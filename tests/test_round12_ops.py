@@ -644,3 +644,95 @@ def test_cdc_apply_joined_bucketed_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS r12_cdc_snap_b")
         spark.sql("DROP TABLE IF EXISTS r12_cdc_log_b")
+
+
+def test_cdc_latest_snapshot_matches_window_randomized(spark):
+    """max-struct latest-wins == the row_number-desc window reference
+    on a randomized changelog (seeded): 300 changes, 40 keys, random
+    ops, seq uniqueness via the change index."""
+    import random
+
+    from pyspark.sql import Window
+
+    from pl_fuzzy_frame_match_spark.operators.cdc import cdc_latest_snapshot
+
+    rng = random.Random(12)
+    rows = [
+        (rng.randrange(40), rng.randrange(50), i,
+         "D" if rng.random() < 0.3 else "U", float(i))
+        for i in range(300)
+    ]
+    log = spark.createDataFrame(
+        rows, "k long, s1 long, s2 long, op string, v double"
+    )
+    got = sorted(
+        tuple(r) for r in cdc_latest_snapshot(
+            log, "k", ["s1", "s2"], op_col="op"
+        ).collect()
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.col("s1").desc(), F.col("s2").desc()
+    )
+    want = sorted(
+        tuple(r) for r in log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .drop("rn")
+        .collect()
+    )
+    assert got == want and len(want) > 5
+
+
+def test_profile_scans_are_column_pruned(spark):
+    """Each per-column aggregate's parquet scan must read ONLY its
+    column — the design reason the profiler is one-agg-per-column
+    instead of a multi-distinct Expand."""
+    from pl_fuzzy_frame_match_spark.operators.profile import profile_columns
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = profile_columns(li, ["l_quantity", "l_returnflag"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<l_quantity:double>" in plan, plan
+    assert "ReadSchema: struct<l_returnflag:string>" in plan, plan
+    assert "Expand" not in plan, plan
+
+
+def test_stream_cdc_merge_to_parquet_equals_full_replay(spark, tmp_path):
+    """Streaming MERGE INTO: microbatch-merged on-disk snapshot ==
+    the batch full-replay snapshot, whatever the batch boundaries
+    (associativity end-to-end, tombstones included)."""
+    import os
+
+    from pl_fuzzy_frame_match_spark.operators.cdc import cdc_latest_snapshot
+    from pl_fuzzy_frame_match_spark.streaming.stream_ops import (
+        stream_cdc_merge_to_parquet,
+    )
+
+    src = os.path.join(str(tmp_path), "log_src")
+    snap_dir = os.path.join(str(tmp_path), "snap")
+    os.makedirs(snap_dir, exist_ok=True)
+    log = _changelog(spark)
+    # three files -> three microbatches at maxFilesPerTrigger=1
+    log.where(F.col("s1") <= 7).coalesce(1).write.mode("append").parquet(src)
+    log.where((F.col("s1") > 7) & (F.col("s1") <= 10)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    log.where(F.col("s1") > 10).coalesce(1).write.mode("append").parquet(src)
+    q = stream_cdc_merge_to_parquet(
+        spark, src, "k long, s1 long, s2 long, op string, v double",
+        snap_dir, "k", ["s1", "s2"], op_col="op",
+    )
+    q.awaitTermination(120)
+    gen = open(os.path.join(snap_dir, "MANIFEST")).read().strip()
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(snap_dir, gen))
+        .select("k", "s1", "s2", "op", "v")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in cdc_latest_snapshot(log, "k", ["s1", "s2"], op_col="op")
+        .select("k", "s1", "s2", "op", "v")
+        .collect()
+    )
+    assert got == want and len(want) == 3
