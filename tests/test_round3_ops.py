@@ -1089,6 +1089,18 @@ _NL_ALLOWED = {
     # row per language) crossed into the literal 3-row q frame; the
     # position join itself carries the group equality (hash join)
     "docs_length_quantiles_by_lang",
+    # round 12 — the same bounded 1-row summary patterns:
+    # events_hll_shard_rollup: the 1-row shard-count, mismatch-count
+    # and two 1-row estimate frames crossed into one certification row
+    "events_hll_shard_rollup",
+    # events_cdc_incremental_merge: 1-row full-snapshot stats x 1-row
+    # pre-split count x 1-row mismatch count (single-row BNLJs); the
+    # merge itself and the certification diff are key equi-joins
+    "events_cdc_incremental_merge",
+    # events_session_concurrency: 1-row n_intervals x 1-row peak x
+    # 1-row argmin-time frames; the peak lookup joins the swept frame
+    # against the ONE-row max (broadcast single-row BNLJ)
+    "events_session_concurrency",
 }
 
 
