@@ -38,9 +38,14 @@ Scale notes (the reason this module exists):
   ``max(struct(seq..., payload...))`` aggregate — NOT a
   ``row_number`` window. The max-struct is commutative, so Spark
   runs a map-side partial aggregate and the exchange carries one
-  row per key per input partition, not the whole changelog; there
-  is no per-partition sort at all. The same shape is what makes the
-  streaming twin (``stream_cdc_snapshot``) hold O(keys) state.
+  row per key per input partition, not the whole changelog. (Batch
+  cost vs the window form is measured PARITY, not a win: Spark 4's
+  WindowGroupLimit pushes a map-side top-1-per-key reduction below
+  the exchange for ``row_number() == 1`` too — PLANS.md round 12.
+  The max-struct is kept because it is what the window cannot be:
+  a mergeable aggregate, legal on streams — the streaming twin
+  ``stream_cdc_snapshot`` holds O(keys) state where a window is
+  unsupported — and associative for shard-level pre-merge.)
 - ``scd2_historize`` genuinely needs the per-key order (each row's
   ``valid_to`` is the NEXT change's ``valid_from``), so it pays one
   shuffle on the key and a per-key sort bounded by that key's change
