@@ -97,7 +97,8 @@ def interval_concurrency(
     ``[start_col, end_col]`` (integer/epoch units): one row
     ``(n_intervals, max_concurrent, at_t)`` where ``at_t`` is the
     EARLIEST time the peak is reached. Null or inverted intervals are
-    dropped."""
+    dropped. Empty input yields ONE row ``(0, NULL, NULL)`` — a real
+    zero count with undefined peak (pinned by test)."""
     iv = df.select(
         F.col(start_col).cast("long").alias("__s"),
         F.col(end_col).cast("long").alias("__e"),

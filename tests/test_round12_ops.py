@@ -736,3 +736,40 @@ def test_stream_cdc_merge_to_parquet_equals_full_replay(spark, tmp_path):
         .collect()
     )
     assert got == want and len(want) == 3
+
+
+def test_interval_concurrency_empty_input_convention(spark):
+    """Empty interval set -> ONE row (0, NULL, NULL): n_intervals is
+    a real zero, peak and its time are undefined (pinned so the empty
+    case is a convention, not an accident — the hist_quantiles
+    empty-sketch lesson from ADVICE r11)."""
+    from pl_fuzzy_frame_match_spark.operators.sweepline import (
+        interval_concurrency,
+    )
+
+    df = spark.createDataFrame([], "s long, e long")
+    [r] = interval_concurrency(df, "s", "e").collect()
+    assert r["n_intervals"] == 0
+    assert r["max_concurrent"] is None and r["at_t"] is None
+
+
+def test_cdc_null_seq_loses_to_any_value(spark):
+    """A null seq sorts FIRST in the max-struct (oldest) — matching
+    the SQL `ORDER BY seq DESC` convention where non-null rows
+    outrank null ones; a key whose only change has a null seq still
+    survives."""
+    from pl_fuzzy_frame_match_spark.operators.cdc import cdc_latest_snapshot
+
+    log = spark.createDataFrame(
+        [(1, None, 0, "U", 1.0), (1, 5, 0, "U", 2.0),
+         (2, None, 0, "U", 9.0)],
+        "k long, s1 long, s2 long, op string, v double",
+    )
+    snap = {
+        r["k"]: (r["s1"], r["v"])
+        for r in cdc_latest_snapshot(
+            log, "k", ["s1", "s2"], op_col="op"
+        ).collect()
+    }
+    assert snap[1] == (5, 2.0)
+    assert snap[2] == (None, 9.0)
