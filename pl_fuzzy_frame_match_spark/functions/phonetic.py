@@ -78,6 +78,8 @@ def phonetic_blocked_pairs(
     metric: str = "jaro_winkler",
     threshold: float = 0.0,
     max_block: int | None = None,
+    score: bool = True,
+    distinct_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Within-corpus candidate pairs via Soundex blocking.
 
@@ -101,6 +103,12 @@ def phonetic_blocked_pairs(
     scored pairs from 1M names, PLANS.md round 9 session B), and a
     hot block's pairs are better recalled by the linear tiers. None
     (the default) disables purging — gate-scale behavior unchanged.
+
+    ``score=False`` returns the raw (left_name, right_name) candidate
+    set with no kernel evaluation; ``distinct_keys`` injects a
+    pre-distinct non-null ``left_name`` frame — both for composition
+    sites that union tiers and score the distinct union once
+    (`operators/blocking.resolve_entities`, round-12 optimization).
     """
     from .kernels import distance_column
 
@@ -108,8 +116,10 @@ def phonetic_blocked_pairs(
         df.select(F.col(name_col).alias("left_name"))
         .where(F.col("left_name").isNotNull())
         .distinct()
-        .withColumn("_code", soundex_code(F.col("left_name")))
-        .where(F.col("_code").isNotNull())
+        if distinct_keys is None
+        else distinct_keys
+    ).withColumn("_code", soundex_code(F.col("left_name"))).where(
+        F.col("_code").isNotNull()
     )
     if max_block is not None:
         small = (
@@ -127,6 +137,8 @@ def phonetic_blocked_pairs(
         (F.col("_code") == F.col("_rcode"))
         & (F.col("left_name") < F.col("right_name")),
     )
+    if not score:
+        return pairs.select("left_name", "right_name")
     sim = F.lit(1.0) - distance_column(
         metric, F.lower(F.col("left_name")), F.lower(F.col("right_name"))
     )

@@ -30,6 +30,8 @@ def sorted_neighborhood_pairs(
     window: int = 3,
     metric: str = "jaro_winkler",
     threshold: float = 0.0,
+    score: bool = True,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs whose DISTINCT blocking keys sort within
     ``window`` positions of each other, scored with ``metric`` and
@@ -39,18 +41,29 @@ def sorted_neighborhood_pairs(
     left_name < right_name (rank order == key order, so no mirrored
     or self pairs). Each distinct key pair is scored exactly once no
     matter how many rows carry the keys.
-    """
+
+    ``score=False`` returns the UNSCORED candidate set
+    (left_name, right_name) — for composition sites like
+    ``resolve_entities`` that union several tiers, dedupe, and score
+    once: with the default a threshold-0 tier scores every candidate
+    with the kernel only to have the caller discard the column and
+    re-score the distinct union (round-12 optimization; guide §1.2
+    "don't compute things you throw away"). ``ranked`` injects a
+    precomputed ``(left_name, _rank)`` dense-rank frame so a caller
+    that already ranked the keys (resolve_entities ranks them for the
+    component ids anyway) does not pay a second global rank pass."""
     if window < 2:
         raise ValueError("window must be >= 2 (w-1 neighbors per key)")
     from ..functions.kernels import distance_column
     from .suffixdedup import global_dense_rank
 
-    keys = (
-        df.select(F.col(key_col).alias("left_name"))
-        .where(F.col("left_name").isNotNull())
-        .distinct()
-    )
-    ranked = global_dense_rank(keys, ["left_name"], rank_col="_rank")
+    if ranked is None:
+        keys = (
+            df.select(F.col(key_col).alias("left_name"))
+            .where(F.col("left_name").isNotNull())
+            .distinct()
+        )
+        ranked = global_dense_rank(keys, ["left_name"], rank_col="_rank")
     probes = ranked.select(
         "left_name",
         F.explode(
@@ -61,6 +74,8 @@ def sorted_neighborhood_pairs(
         F.col("left_name").alias("right_name"), F.col("_rank").alias("_r")
     )
     pairs = probes.join(right, probes["_probe"] == right["_r"])
+    if not score:
+        return pairs.select("left_name", "right_name")
     sim = F.lit(1.0) - distance_column(
         metric, F.lower(F.col("left_name")), F.lower(F.col("right_name"))
     )
@@ -78,21 +93,27 @@ def prefix_block_pairs(
     metric: str = "jaro_winkler",
     threshold: float = 0.0,
     max_block: int | None = None,
+    score: bool = True,
+    distinct_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Prefix blocking: candidate pairs of DISTINCT keys sharing their
     first ``prefix_len`` lowercased characters — the cheapest classic
     block (an equi-join on a short prefix), with the usual recall
     blind spot for edits inside the prefix. Output contract matches
     the other tiers: (left_name, right_name, similarity),
-    left_name < right_name."""
+    left_name < right_name. ``score=False`` skips the kernel and
+    returns the raw (left_name, right_name) candidates;
+    ``distinct_keys`` injects a pre-distinct non-null single-column
+    ``left_name`` frame (see ``sorted_neighborhood_pairs``)."""
     from ..functions.kernels import distance_column
 
     keys = (
         df.select(F.col(key_col).alias("left_name"))
         .where(F.col("left_name").isNotNull())
         .distinct()
-        .withColumn("_pfx", F.substring(F.lower(F.col("left_name")), 1, prefix_len))
-    )
+        if distinct_keys is None
+        else distinct_keys
+    ).withColumn("_pfx", F.substring(F.lower(F.col("left_name")), 1, prefix_len))
     if max_block is not None:
         # block purging, same contract as phonetic_blocked_pairs
         small = (
@@ -110,6 +131,8 @@ def prefix_block_pairs(
         (F.col("_pfx") == F.col("_rp"))
         & (F.col("left_name") < F.col("right_name")),
     )
+    if not score:
+        return pairs.select("left_name", "right_name")
     sim = F.lit(1.0) - distance_column(
         metric, F.lower(F.col("left_name")), F.lower(F.col("right_name"))
     )
@@ -325,27 +348,48 @@ def resolve_entities(
         .where(F.col("name").isNotNull())
         .distinct()
     )
+    # Round-12 restructure (guide §1.2 / §2.4): rank the distinct
+    # names ONCE and derive everything from it. Before, each tier
+    # re-scanned + re-distinct-ed the input, the sorted-neighborhood
+    # tier ran its own second global rank pass, and every tier scored
+    # ALL its candidates with the kernel at threshold 0 only for the
+    # scores to be discarded here and the distinct union re-scored —
+    # double Python-kernel work plus four redundant exchanges.
+    # global_dense_rank materializes its sort internally; the extra
+    # eager checkpoint here pins the RANK OUTPUT too, so the ~6
+    # consumers below (two tier key sides, the neighborhood rank
+    # frame, both id joins, the final label join) read plain blocks
+    # instead of each re-running the Arrow rank-assignment pass.
+    ranked = global_dense_rank(names, ["name"], rank_col="_rid").localCheckpoint(
+        eager=True
+    )
+    keyed = ranked.select(F.col("name").alias("left_name"))
     cands = (
         phonetic_blocked_pairs(
-            df, key_col, metric=metric, max_block=max_block
+            df, key_col, metric=metric, max_block=max_block,
+            score=False, distinct_keys=keyed,
         )
         .unionByName(
-            sorted_neighborhood_pairs(df, key_col, window=window, metric=metric)
+            sorted_neighborhood_pairs(
+                df, key_col, window=window, metric=metric, score=False,
+                ranked=ranked.select(
+                    F.col("name").alias("left_name"),
+                    F.col("_rid").alias("_rank"),
+                ),
+            )
         )
         .unionByName(
             prefix_block_pairs(
                 df, key_col, prefix_len=prefix_len, metric=metric,
-                max_block=max_block,
+                max_block=max_block, score=False, distinct_keys=keyed,
             )
         )
-        .select("left_name", "right_name")
         .distinct()
     )
     sim = F.lit(1.0) - distance_column(
         metric, F.lower(F.col("left_name")), F.lower(F.col("right_name"))
     )
     matches = cands.where(sim >= F.lit(threshold))
-    ranked = global_dense_rank(names, ["name"], rank_col="_rid")
     lid = ranked.select(
         F.col("name").alias("left_name"), F.col("_rid").alias("left_id")
     )

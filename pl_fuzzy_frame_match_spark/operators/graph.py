@@ -416,10 +416,29 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     Output: (node, degree, triangles, clustering) — clustering =
     2T / (deg * (deg - 1)) for deg >= 2, else 0.0.
     """
-    e = _canonical_edges(edges)
-    sym = _symmetrized(e)
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).select(
-        F.col("u").alias("node"), "deg"
+    # The edge pipeline feeds MANY consumers below (symmetrize, both
+    # degree sides, the orientation join, both packed-adjacency lookup
+    # sides, the final degree join): without a materialization each
+    # branch re-executes the whole upstream candidate build — the
+    # committed before-plan (plans/r12/graph_triangles_copurchase_
+    # before.txt) shows 188 parquet scans / 552 Exchanges in ONE plan
+    # for the co-purchase flagship (guide §2.4: remove shuffles
+    # outright; §5: cut lineage when an intermediate is reused).
+    # One eager checkpoint of the canonical edge set collapses that to
+    # a single evaluation; deg / oriented / adj below get the same
+    # treatment because each is read 2-3 times.
+    e = _canonical_edges(edges).localCheckpoint(eager=True)
+    # e is already canonical — symmetrize directly (the defensive
+    # re-canonicalization in _symmetrized would add a second distinct
+    # exchange over data that cannot contain mirrored duplicates)
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("u").alias("node"), "deg")
+        .localCheckpoint(eager=True)
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
@@ -441,10 +460,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     # intersection in one codegen'd array_intersect per edge: 8x
     # faster than the row-level wedge self-join at the bench scale
     # (41M wedges / 1.2M edges: 27 s -> 3.1 s, A/B in PLANS.md r9).
-    oriented = oriented.drop("ddst")
+    oriented = oriented.drop("ddst").localCheckpoint(eager=True)
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
-    )
+    ).localCheckpoint(eager=True)
     # NOT broadcast: an A/B this round measured broadcasting the two
     # packed-array lookup sides (~10 MB each at bench scale) at
     # 7.8 -> 10.8 s median — the hash-relation build over array
@@ -461,10 +480,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.explode(F.array_intersect("nu", "nv")).alias("c"),
         )
     )
-    corners = (
-        tris.select(F.col("src").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
+    # one evaluation of the wedge join instead of three: the 3-way
+    # corner union re-executed the tris subtree per branch; exploding
+    # a 3-element corner array is the identical multiset in ONE pass
+    corners = tris.select(
+        F.explode(F.array("src", "b", "c")).alias("node")
     )
     per_node = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
     return deg.join(per_node, "node", "left").select(
@@ -534,10 +554,20 @@ def link_prediction(
     purging for exhaustive small-graph runs."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    e = _canonical_edges(edges)
-    sym = _symmetrized(e)
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_deg")).select(
-        F.col("u").alias("node"), "_deg"
+    # same multi-consumer lineage hygiene as triangle_stats: e feeds
+    # the symmetrize (hence both wedge sides) AND the anti-join
+    # broadcast; deg feeds the middle filter and both endpoint degree
+    # joins. The committed before-plan showed 44 parquet scans / 130
+    # Exchanges from the re-executed candidate build (guide §2.4/§5).
+    e = _canonical_edges(edges).localCheckpoint(eager=True)
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .select(F.col("u").alias("node"), "_deg")
+        .localCheckpoint(eager=True)
     )
     mid = deg
     if max_degree is not None:
@@ -635,7 +665,10 @@ def deterministic_walks(
 
     if length < 0:
         raise ValueError("length must be >= 0")
-    sym = _symmetrized(edges)
+    # sym feeds the size probe AND the adjacency build (and, on the
+    # large path, the degree aggregate too) — materialize once so the
+    # upstream edge pipeline is not re-executed per consumer
+    sym = _symmetrized(edges).localCheckpoint(eager=True)
 
     def _draw(t: int):
         return F.conv(

@@ -1059,14 +1059,24 @@ def tfidf_cosine_pairs(
 
 def _dense_tfidf_pairs(tf, dft, id_col, n_docs, n_vocab, threshold):
     """Small-vocab arm of :func:`tfidf_cosine_pairs`: dense tf-idf
-    vectors (term slots from the distributed rank primitive) fed to
-    the exact GEMM pair scan. Zero-norm docs produce all-zero vectors
-    whose cosine is 0 — excluded by any positive threshold, matching
-    the sparse arm's explicit norm filter."""
-    from .suffixdedup import global_dense_rank
+    vectors fed to the exact GEMM pair scan. Zero-norm docs produce
+    all-zero vectors whose cosine is 0 — excluded by any positive
+    threshold, matching the sparse arm's explicit norm filter.
 
-    ranked = global_dense_rank(dft, ["__t"], rank_col="__slot")
-    w = tf.join(ranked, "__t").select(
+    Term slots: this arm only runs when the vocabulary is at most
+    ``dense_vocab_cap`` (<= 2048) terms, so the slot assignment is a
+    BOUNDED driver collect + broadcast join — sorted-position slots,
+    identical to the dense rank it replaces, without the range
+    repartition + sort + checkpoint + Arrow rank pass the distributed
+    primitive pays (round-12; the caller has already counted the
+    vocabulary, so the bound is enforced before this runs)."""
+    spark = tf.sparkSession
+    terms = sorted(r["__t"] for r in dft.select("__t").collect())
+    slot_map = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "__t string, __slot long"
+    )
+    ranked = slot_map.join(dft, "__t")
+    w = tf.join(F.broadcast(ranked), "__t").select(
         F.col(id_col),
         F.col("__slot").cast("int").alias("__slot"),
         (F.col("__tf") * F.log(F.lit(float(n_docs)) / F.col("__df"))).alias(

@@ -6444,7 +6444,14 @@ def multimodal_image_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id").isNotNull()
     ).select("doc_id")
-    vec = image_feature_vectors(synthesize_png_corpus(docs))
+    # the decoded feature frame feeds THREE evaluations (the planner's
+    # corpus-stats probe, the broadcast bench-matrix collect, and the
+    # map-only corpus scoring pass) — checkpoint it so the PNG
+    # decode+featurize Python pass runs ONCE, not per consumer
+    # (round-12; guide §5 lineage truncation for reused intermediates)
+    vec = image_feature_vectors(synthesize_png_corpus(docs)).localCheckpoint(
+        eager=True
+    )
     bench = vec.where(F.pmod(F.col("doc_id"), F.lit(37)) == 0).select(
         F.col("doc_id").alias("vec_id"), F.col("v")
     )
@@ -6816,6 +6823,14 @@ def pipeline_training_data(
     split = leakage_safe_split(
         deduped, "text", "doc_id", test_rate=0.2, threshold=0.2
     )
+    # NOTE (round-12 A/B): train feeds two consumers (the
+    # temperature-rate aggregation and the mixture-rate application),
+    # but an eager localCheckpoint here measured as a WASH —
+    # interleaved same-session A/B: no-ckpt median 11.57/min 6.74 vs
+    # ckpt median 10.08/min 7.50 — serializing the text payload costs
+    # about what the re-executed dedup+split lineage does (same
+    # verdict as the exact_quantiles pre-range checkpoint, PLANS.md
+    # round 12). Left unmaterialized to keep the better floor.
     train = split.where(F.col("split") == "train")
     rates = temperature_rates(train, "lang", "text")
     kept = apply_mixture_rates(train, rates, "lang", "doc_id")

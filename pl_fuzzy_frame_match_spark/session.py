@@ -33,8 +33,22 @@ def get_spark(app_name: str = "pl-fuzzy-frame-match-spark", shuffle_partitions: 
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         # local-mode driver == the only JVM: all 32 task threads share
-        # this heap, so size it like an executor fleet, not a driver
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # this heap. Sized to the measured working set, NOT "as big as
+        # the box": this sandbox supplies never-touched pages at only
+        # ~70-250 MB/s (Firecracker-class lazy host paging, measured
+        # round 12 — /proc sampling showed 0% user + 10-28% sys during
+        # multi-GB heap growth bursts, turning 5 s queries into 70-100 s
+        # stalls). A 48g ceiling let G1 grow RSS past 13 GB instead of
+        # collecting; pinning -Xms to a bounded heap keeps the JVM
+        # reusing already-faulted pages — graph_triangles trials went
+        # from [5.3, 82.8, 102.3, 72.4] to a stable 5.5-8.9 s band
+        # (OPTIMIZATION_r12.md). Override via SPARK_GRAFT_DRIVER_MEM
+        # for memory-heavier ad-hoc work.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
         .config("spark.sql.crossJoin.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
