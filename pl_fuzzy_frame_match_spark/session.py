@@ -24,6 +24,19 @@ def get_spark(app_name: str = "pl-fuzzy-frame-match-spark", shuffle_partitions: 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash join when the per-partition
+        # build side fits (guide §3.1): round-12 in-session toggle A/B —
+        # graph_kcore 5.07 -> 4.09 s, dedup_clusters_minhash 3.32 ->
+        # 2.66 s, fuzzy_join_lev 9.64 -> 7.32 s median, no query worse
+        # beyond noise. Safe at scale: AQE advisory partition sizing
+        # bounds the per-partition build, and the 64 MB local-map
+        # threshold only rewrites a sort-merge join when every
+        # post-shuffle partition is provably below it.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64MB",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batches default to 10k rows; per-batch Python fixed
         # cost then dominates scan-shaped pandas UDFs (measured: the
@@ -103,6 +116,13 @@ def cluster_conf(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
             target_partition_mb * 1024 * 1024
         ),
+        # shuffled-hash preference (guide §3.1, measured round 12 —
+        # see get_spark): per-partition builds are bounded by the
+        # advisory partition size above, and the AQE rewrite
+        # threshold stays well under it so the runtime only converts
+        # sort-merge joins whose partitions provably fit in memory
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64MB",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
         "spark.sql.session.timeZone": "UTC",
