@@ -36,6 +36,12 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# legacy explicit partition count; the default is now ADAPTIVE
+# (num_partitions=None): the range exchange is emitted without an
+# explicit N so AQE coalesces the (value, count) frame to the advisory
+# partition size — quantile VALUES are partition-independent (offsets
+# accumulate per partition in range order regardless of boundaries), so
+# the output is identical for any partitioning (guide §2.2)
 QUANTILE_PARTITIONS = 64
 
 
@@ -43,7 +49,7 @@ def exact_quantiles(
     df: DataFrame,
     value_col: str,
     qs: Sequence[float],
-    num_partitions: int = QUANTILE_PARTITIONS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(q, value, position, n) rows — the EXACT discrete quantile of
     ``value_col`` for each q in ``qs``: the element at 1-based sorted
@@ -57,9 +63,13 @@ def exact_quantiles(
         F.col("__v").isNotNull()
     )
     counts = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__cnt"))
-    parts = (
+    ranged = (
         counts.repartitionByRange(num_partitions, "__v")
-        .sortWithinPartitions("__v")
+        if num_partitions is not None
+        else counts.repartitionByRange("__v")
+    )
+    parts = (
+        ranged.sortWithinPartitions("__v")
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )

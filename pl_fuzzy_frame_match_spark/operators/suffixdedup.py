@@ -49,9 +49,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# partitions for the range-partitioned rank sort; modest default so
-# tiny test frames do not fragment (driver collects one offset row
-# per partition — 64 rows)
+# legacy explicit partition count for the range-partitioned rank sort;
+# the default is now ADAPTIVE (num_partitions=None): the range exchange
+# is emitted without an explicit N so AQE coalesces it to the advisory
+# partition size — a 20k-row node table collapses to 1 task instead of
+# 64 fixed-cost ones, while a 5M-position span frame on a cluster keeps
+# spark.sql.shuffle.partitions-scale parallelism (guide §2.2; the rank
+# VALUES are partition-independent by construction, so the output is
+# identical for any partitioning)
 RANK_PARTITIONS = 64
 
 
@@ -59,7 +64,7 @@ def global_dense_rank(
     df: DataFrame,
     key_cols: Sequence[str],
     rank_col: str = "rank",
-    num_partitions: int = RANK_PARTITIONS,
+    num_partitions: int | None = None,
     dense: bool = True,
 ) -> DataFrame:
     """Append a global rank (0-based, ties share a rank) over
@@ -79,9 +84,13 @@ def global_dense_rank(
     Consumers that only need equality/order (the prefix-doubling
     loop) use the cheap form."""
     keys = list(key_cols)
-    parts = (
+    ranged = (
         df.repartitionByRange(num_partitions, *keys)
-        .sortWithinPartitions(*keys)
+        if num_partitions is not None
+        else df.repartitionByRange(*keys)
+    )
+    parts = (
+        ranged.sortWithinPartitions(*keys)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
