@@ -514,16 +514,36 @@ def cooccurrence_edges(
     one edge. ``weighted=True`` adds ``w`` = the number of groups the
     pair shares (co-purchase strength), the natural input for the
     weighted PageRank walk."""
-    items = df.select(
-        F.col(group_col).alias("g"), F.col(item_col).alias("u")
-    ).where(F.col(group_col).isNotNull() & F.col(item_col).isNotNull()).distinct()
-    other = items.select(F.col("g"), F.col("u").alias("v"))
-    pairs = items.join(other, "g").where(F.col("u") < F.col("v"))
+    # one exchange instead of three (guide §2.4): the old form ran
+    # distinct(g, u) -> self-equi-join on g -> distinct(u, v), each its
+    # own shuffle (plus AQE stage jobs). collect_set dedupes items
+    # within the basket in the same map-side-combined aggregation, and
+    # the u < v pairs are generated INSIDE the sorted basket array with
+    # higher-order functions — the only remaining shuffles are the
+    # basket groupBy and the final pair dedup/count. Per-basket fan-out
+    # stays quadratic in basket size exactly as the join form was.
+    baskets = (
+        df.select(F.col(group_col).alias("g"), F.col(item_col).alias("u"))
+        .where(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_set("u")).alias("__items"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__items, (x, i) -> "
+                "transform(slice(__items, i + 2, size(__items)), "
+                "y -> named_struct('u', x, 'v', y))))"
+            )
+        ).alias("__p")
+    ).select(F.col("__p.u").alias("u"), F.col("__p.v").alias("v"))
     if weighted:
+        # collect_set made each basket contribute a pair at most once,
+        # so the count is exactly "number of groups sharing the pair"
         return pairs.groupBy("u", "v").agg(
             F.count(F.lit(1)).cast("double").alias("w")
         )
-    return pairs.select("u", "v").distinct()
+    return pairs.distinct()
 
 
 def link_prediction(
