@@ -207,6 +207,16 @@ def _window_start_flags(
     marking."""
     if span_len < 2:
         raise ValueError("span_len must be >= 2")
+    # fan out the docs scan BEFORE the position explode: a small
+    # single-file corpus arrives in 1 partition, so the explode, the
+    # pos checkpoint, and every shuffle FROM that 1-partition
+    # checkpoint ran as serial 1-task stages (round-12 profile: 1.67 s
+    # checkpoint + two 0.8 s 18 MB map stages, all on one core). At
+    # real scale the scan already has enough partitions and this is a
+    # no-op (the `_fanout` contract).
+    from .dedup import _fanout
+
+    docs = _fanout(docs.select(id_col, text_col))
     t = F.lower(F.col(text_col))
     # base rank over multi-char grams when the span allows (each
     # doubling round skipped is one global rank pass saved). Near the
