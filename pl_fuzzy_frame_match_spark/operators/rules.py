@@ -40,19 +40,37 @@ def association_rules(
     baskets, confidence = pair baskets / antecedent baskets,
     lift = confidence / (consequent baskets / all baskets).
     """
-    items = (
+    # basket form (guide §2.4, same rewrite as graph.cooccurrence_edges):
+    # ONE map-side-combined groupBy collects each basket's distinct
+    # item array; the basket count, the item supports and the ordered
+    # pairs all derive from that checkpointed frame — the old
+    # distinct -> self-equi-join on g shape paid two more exchanges
+    # and re-shuffled the item rows by g for the join
+    baskets = (
         df.select(F.col(group_col).alias("g"), F.col(item_col).alias("item"))
         .where(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
-        .distinct()
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_set("item")).alias("__items"))
         .localCheckpoint(eager=True)
     )
-    n_baskets = items.select("g").distinct().count()
-    isup = items.groupBy("item").agg(F.count(F.lit(1)).alias("icnt"))
-    other = items.select(F.col("g"), F.col("item").alias("citem"))
+    n_baskets = baskets.count()
+    isup = (
+        baskets.select(F.explode("__items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("icnt"))
+    )
     pairs = (
-        items.join(other, "g")
-        .where(F.col("item") != F.col("citem"))
-        .groupBy(F.col("item").alias("antecedent"), F.col("citem").alias("consequent"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__items, x -> "
+                    "transform(filter(__items, y -> y != x), "
+                    "y -> named_struct('antecedent', x, 'consequent', y))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.antecedent", "__p.consequent")
+        .groupBy("antecedent", "consequent")
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .where(F.col("pair_count") >= F.lit(int(min_support_count)))
     )

@@ -40,7 +40,7 @@ def global_running_sum(
     order_cols: Sequence[Column],
     value_col: str,
     sum_col: str = "running",
-    num_partitions: int = SWEEP_PARTITIONS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Append the running sum of ``value_col`` over the GLOBAL
     ``order_cols`` order — distributed: range-repartition + local
@@ -53,9 +53,19 @@ def global_running_sum(
     orderings; they must totally order the rows for the running sum
     to be deterministic."""
     order = list(order_cols)
-    parts = (
+    # ADAPTIVE default (num_partitions=None): no explicit N on the
+    # range exchange so AQE coalesces small boundary frames to the
+    # advisory partition size instead of 64 fixed-cost tasks, and a
+    # cluster inherits shuffle.partitions-scale parallelism; running-
+    # sum values are partition-independent (same rationale as the
+    # rank/quantile primitives, guide §2.2)
+    ranged = (
         df.repartitionByRange(num_partitions, *order)
-        .sortWithinPartitions(*order)
+        if num_partitions is not None
+        else df.repartitionByRange(*order)
+    )
+    parts = (
+        ranged.sortWithinPartitions(*order)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -91,7 +101,7 @@ def interval_concurrency(
     df: DataFrame,
     start_col: str,
     end_col: str,
-    num_partitions: int = SWEEP_PARTITIONS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Peak-concurrency sweep over closed intervals
     ``[start_col, end_col]`` (integer/epoch units): one row
