@@ -1088,16 +1088,30 @@ def _dense_tfidf_pairs(tf, dft, id_col, n_docs, n_vocab, threshold):
             F.collect_list(F.struct("__slot", "__w"))
         ).alias("__m")
     )
+    # embedding_dedup_pairs evaluates its input up to three times
+    # (planner stats aggregate, matrix collect, scoring scan) — the
+    # join + groupBy + densify lineage re-ran per consumer (round-12
+    # profile: two extra 8 s-exec passes). Checkpoint the bounded
+    # dense frame once, and skip the stats pass entirely: this arm
+    # already KNOWS the row count (n_docs) and dimension (n_vocab).
+    from ..plans.planner import choose_vector_blocks
+
     vec = entries.select(
         F.col(id_col),
         F.transform(
             F.sequence(F.lit(0), F.lit(int(n_vocab) - 1)),
             lambda i: F.coalesce(F.element_at("__m", i.cast("int")), F.lit(0.0)),
         ).alias("__vec"),
-    )
+    ).localCheckpoint(eager=True)
     from .dedup import embedding_dedup_pairs
 
-    out = embedding_dedup_pairs(vec, "__vec", id_col, threshold=float(threshold))
+    out = embedding_dedup_pairs(
+        vec,
+        "__vec",
+        id_col,
+        threshold=float(threshold),
+        n_blocks=choose_vector_blocks(n_docs, n_vocab),
+    )
     return out.select(
         "left_id", "right_id", F.round("cosine_sim", 6).alias("cosine_sim")
     )
