@@ -720,23 +720,35 @@ def deterministic_walks(
         )
         if starts is None:
             starts = adj.select(F.col("u").alias("start"))
-        cur = starts.select("start", F.col("start").alias("node"))
-        out = cur.select("start", F.lit(0).alias("step"), "node")
+        # ONE linear chain carrying the whole path as an array, then a
+        # single posexplode — the former per-step unionByName re-built
+        # every prefix chain per branch (O(L^2) broadcast joins across
+        # the union's subtrees; guide §2.4). Walks that die (a node
+        # with no adjacency row — impossible on a symmetrized graph,
+        # but the operator is generic) LEFT-join to a null next node;
+        # nulls then propagate through the draw arithmetic for the
+        # remaining steps and the final filter drops them, which is
+        # exactly the rows the old inner-join branches never emitted.
+        state = starts.select(
+            "start",
+            F.col("start").alias("node"),
+            F.array(F.col("start")).alias("__path"),
+        )
         for t in range(length):
-            nxt = cur.join(
-                F.broadcast(adj), cur["node"] == adj["u"]
+            nxt = F.element_at(
+                "__nbrs",
+                ((_draw(t) % F.size("__nbrs")) + F.lit(1)).cast("int"),
+            )
+            state = state.join(
+                F.broadcast(adj), state["node"] == adj["u"], "left"
             ).select(
                 "start",
-                F.element_at(
-                    "__nbrs",
-                    ((_draw(t) % F.size("__nbrs")) + F.lit(1)).cast("int"),
-                ).alias("node"),
+                nxt.alias("node"),
+                F.concat(F.col("__path"), F.array(nxt)).alias("__path"),
             )
-            out = out.unionByName(
-                nxt.select("start", F.lit(t + 1).alias("step"), "node")
-            )
-            cur = nxt
-        return out
+        return state.select(
+            "start", F.posexplode("__path").alias("step", "node")
+        ).where(F.col("node").isNotNull())
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
     ranked = (
         sym.withColumn(
