@@ -947,6 +947,12 @@ def semantic_cluster_assign(
     # front — rows with either null are dropped from the assignment,
     # matching the kmeans twin's contract (ADVICE r4 + r5 review).
     df = df.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+    # a single-file embeddings scan arrives in 1 partition, so the
+    # assignment GEMM + the downstream per-row norm fold ran serially
+    # into the pair stage's checkpoint (round-12 profile: a 2.2 s
+    # single-task stage). Fan out first — no-op at real scale.
+    if not df.isStreaming:
+        df = _fanout(df)
     cent = (
         df.select(id_col, vec_col)
         .orderBy(F.col(id_col))
