@@ -475,18 +475,32 @@ def temperature_resample(
 
 
 def temperature_rates(
-    df: DataFrame, lang_col: str, text_col: str, alpha: float = 0.5
+    df: DataFrame,
+    lang_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+    count_col: str | None = None,
 ) -> DataFrame:
     """The PLAN half of :func:`temperature_resample`: the per-language
     ``resample_rate`` table (|langs| rows), derived from exact int64
     token mass and round-6 quantized. Computed offline on a corpus
     snapshot; a stream applies it at ingest
-    (`streaming/stream_ops.stream_temperature_resample`)."""
+    (`streaming/stream_ops.stream_temperature_resample`).
+
+    ``count_col`` names an ALREADY-COMPUTED per-row token count to sum
+    instead of tokenizing ``text_col`` here (which is then ignored) —
+    for callers that checkpoint a narrow (key, lang, count) frame and
+    drop the text payload (guide §8: decide on a lightweight proxy).
+    Values are identical by construction when the column was produced
+    by ``token_count`` over the same rows."""
     from .text import token_count
 
-    s = df.groupBy(lang_col).agg(
-        F.sum(token_count(F.col(text_col))).alias("__ntok")
+    mass = (
+        F.col(count_col)
+        if count_col is not None
+        else token_count(F.col(text_col))
     )
+    s = df.groupBy(lang_col).agg(F.sum(mass).alias("__ntok"))
     tot = s.agg(F.sum("__ntok").cast("double").alias("__nt"))
     share = F.col("__ntok") / F.col("__nt")
     raw = (

@@ -652,35 +652,18 @@ def link_prediction(
 WALK_ADJ_BROADCAST_EDGES = 8_000_000
 
 
-def deterministic_walks(
+def _walks_core(
     edges: DataFrame,
-    length: int = 4,
-    seed: str = "w",
-    starts: DataFrame | None = None,
-) -> DataFrame:
-    """Uniform random walks over an undirected graph with a
-    DETERMINISTIC pseudo-random draw — the corpus-generation step of
-    DeepWalk/node2vec (walk sequences feeding a skip-gram embedding),
-    made reproducible across engines, runs and partitionings: step t
-    from node x follows neighbor rank
-    ``md5_u32(x ':' t ':' seed) mod deg(x)`` in the id-sorted
-    adjacency — the same md5-prefix draw the sampling family uses
-    (`functions/sampling.shard_of`), so a SQL engine replays every
-    step exactly.
-
-    Output: (start, step, node) for step 0..length, one walk per
-    start node (default: every edge-incident node).
-
-    Scale shape: below ``WALK_ADJ_BROADCAST_EDGES`` directed edges
-    the id-sorted adjacency packs into per-node neighbor ARRAYS (one
-    groupBy), checkpointed once; every step is then a BROADCAST join
-    + ``element_at`` — zero per-step exchanges (A/B in PLANS.md round
-    11). Past the bound the ranked-adjacency form runs instead
-    (row_number per source over id-sorted neighbors, one equi-join on
-    (node, drawn rank) per step) — the identical draw arithmetic,
-    shuffle-bound but unbounded. Walk state is one row per walk in
-    both forms; the two paths are equivalence-tested.
-    """
+    length: int,
+    seed: str,
+    starts: DataFrame | None,
+) -> tuple[str, DataFrame]:
+    """Shared walk engine behind :func:`deterministic_walks` and
+    :func:`walk_path_arrays`. Returns ``("paths", df)`` on the small
+    (broadcast-adjacency) route — one row per walk, ``path`` array of
+    length+1 node entries, null from the first dead step onward — or
+    ``("rows", df)`` on the large (ranked-adjacency) route — the
+    exploded (start, step, node) rows, dead steps simply absent."""
     from pyspark.sql import Window
 
     if length < 0:
@@ -746,9 +729,9 @@ def deterministic_walks(
                 nxt.alias("node"),
                 F.concat(F.col("__path"), F.array(nxt)).alias("__path"),
             )
-        return state.select(
-            "start", F.posexplode("__path").alias("step", "node")
-        ).where(F.col("node").isNotNull())
+        return "paths", state.select(
+            "start", F.col("__path").alias("path")
+        )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
     ranked = (
         sym.withColumn(
@@ -772,7 +755,128 @@ def deterministic_walks(
             nxt.select("start", F.lit(t + 1).alias("step"), "node")
         )
         cur = nxt
-    return out
+    return "rows", out
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    length: int = 4,
+    seed: str = "w",
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Uniform random walks over an undirected graph with a
+    DETERMINISTIC pseudo-random draw — the corpus-generation step of
+    DeepWalk/node2vec (walk sequences feeding a skip-gram embedding),
+    made reproducible across engines, runs and partitionings: step t
+    from node x follows neighbor rank
+    ``md5_u32(x ':' t ':' seed) mod deg(x)`` in the id-sorted
+    adjacency — the same md5-prefix draw the sampling family uses
+    (`functions/sampling.shard_of`), so a SQL engine replays every
+    step exactly.
+
+    Output: (start, step, node) for step 0..length, one walk per
+    start node (default: every edge-incident node).
+
+    Scale shape: below ``WALK_ADJ_BROADCAST_EDGES`` directed edges
+    the id-sorted adjacency packs into per-node neighbor ARRAYS (one
+    groupBy), checkpointed once; every step is then a BROADCAST join
+    + ``element_at`` — zero per-step exchanges (A/B in PLANS.md round
+    11). Past the bound the ranked-adjacency form runs instead
+    (row_number per source over id-sorted neighbors, one equi-join on
+    (node, drawn rank) per step) — the identical draw arithmetic,
+    shuffle-bound but unbounded. Walk state is one row per walk in
+    both forms; the two paths are equivalence-tested.
+    """
+    kind, df = _walks_core(edges, length, seed, starts)
+    if kind == "rows":
+        return df
+    return df.select(
+        "start", F.posexplode("path").alias("step", "node")
+    ).where(F.col("node").isNotNull())
+
+
+def walk_path_arrays(
+    edges: DataFrame,
+    length: int = 4,
+    seed: str = "w",
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """The walk corpus of :func:`deterministic_walks` in PATH-ARRAY
+    form: one row per walk, ``(start, path)``, where ``path[i]`` is
+    the node at step i. A walk's rows are exactly its non-null path
+    positions and row steps equal array indices (a dead walk stays
+    dead, so nulls — or, on the large route, missing steps — only
+    ever trail), hence ``deterministic_walks(...) ==
+    walk_path_arrays(...)`` exploded on position with nulls dropped
+    (pinned by test). Per-walk consumers (the skip-gram window
+    generator) read this form directly and skip the explode + walk-id
+    self-join entirely (guide §2.4).
+
+    Scale shape: identical to `deterministic_walks` on the small
+    route (the broadcast array chain IS this frame). On the large
+    ranked-adjacency route the step rows are re-assembled with one
+    per-walk groupBy — walk state stays one row per walk."""
+    kind, df = _walks_core(edges, length, seed, starts)
+    if kind == "paths":
+        return df
+    return df.groupBy("start").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("step", "node"))),
+            lambda s: s["node"],
+        ).alias("path")
+    )
+
+
+def skipgram_pairs_from_paths(
+    paths: DataFrame, window: int = 2
+) -> DataFrame:
+    """:func:`skipgram_pairs` computed INSIDE each walk's path array —
+    (center, context, cnt) for every ordered position pair with
+    ``|i - j| <= window``, i != j, both entries non-null — instead of
+    exploding the paths and self-joining on the walk id (guide §2.4:
+    the join's two hash exchanges disappear; the only exchange left
+    is the final pair-count aggregation). Identical to
+    ``skipgram_pairs(deterministic_walks(...), window)`` because walk
+    rows are exactly the non-null path positions and row steps equal
+    array indices (equivalence pinned by test; the sgns oracle
+    value-pins every pair at both gate SFs)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    p = F.col("path")
+    sz = F.size(p)
+    w = F.lit(window)
+    pairs_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), sz - 1),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(
+                        F.greatest(i - w, F.lit(0)),
+                        F.least(i + w, sz - 1),
+                    ),
+                    lambda j: F.struct(
+                        F.element_at(p, (i + 1).cast("int")).alias(
+                            "center"
+                        ),
+                        F.element_at(p, (j + 1).cast("int")).alias(
+                            "context"
+                        ),
+                        (j != i).alias("__k"),
+                    ),
+                ),
+                lambda s: s["__k"]
+                & s["center"].isNotNull()
+                & s["context"].isNotNull(),
+            ),
+        )
+    )
+    return (
+        paths.select(F.explode(pairs_arr).alias("__pr"))
+        .select(F.col("__pr.center").alias("center"),
+                F.col("__pr.context").alias("context"))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:

@@ -6823,22 +6823,31 @@ def pipeline_training_data(
     split = leakage_safe_split(
         deduped, "text", "doc_id", test_rate=0.2, threshold=0.2
     )
-    # NOTE (round-12 A/B): train feeds two consumers (the
-    # temperature-rate aggregation and the mixture-rate application),
-    # but an eager localCheckpoint here measured as a WASH —
-    # interleaved same-session A/B: no-ckpt median 11.57/min 6.74 vs
-    # ckpt median 10.08/min 7.50 — serializing the text payload costs
-    # about what the re-executed dedup+split lineage does (same
-    # verdict as the exact_quantiles pre-range checkpoint, PLANS.md
-    # round 12). Left unmaterialized to keep the better floor.
-    train = split.where(F.col("split") == "train")
-    rates = temperature_rates(train, "lang", "text")
+    # round-12 opt: everything downstream of the split needs only
+    # (doc_id, lang, split, token count) — never the text — so the
+    # dedup+split lineage materializes ONCE as this ~30-byte/row
+    # frame instead of re-executing per consumer (the rate
+    # aggregation and the mixture application each replayed the full
+    # 20-scan plan; guide §8: decide on a lightweight proxy, not the
+    # payload). The earlier raw-text checkpoint A/B was a wash
+    # precisely because it serialized the payload; the narrow
+    # projection keeps the checkpoint nearly free. Token counts are
+    # computed pre-checkpoint by the same `token_count` expression —
+    # values identical by construction, oracle-pinned at both SFs.
+    slim = split.select(
+        "doc_id",
+        "lang",
+        "split",
+        token_count(F.col("text")).alias("__dt"),
+    ).localCheckpoint(eager=True)
+    train = slim.where(F.col("split") == "train")
+    rates = temperature_rates(train, "lang", "text", count_col="__dt")
     kept = apply_mixture_rates(train, rates, "lang", "doc_id")
     return (
         kept.select(
             "doc_id",
             shard_of(F.col("doc_id"), 16).alias("shard"),
-            token_count(F.col("text")).alias("__dt"),
+            "__dt",
         )
         .groupBy("shard")
         .agg(
@@ -7387,19 +7396,22 @@ def graph_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram (center, context) pair extraction over the walk
     corpus (window 2) — the training-pair step of a DeepWalk
     embedding pipeline. The oracle rebuilds the walks hop by hop,
-    then replays the band join and the multiplicity counts."""
+    then replays the band join and the multiplicity counts. Round-12
+    opt: pairs are generated inside the path array
+    (`skipgram_pairs_from_paths`, §16) — the former self-join
+    evaluated the UNCHECKPOINTED walk chain once per join side."""
     from .operators.graph import (
         cooccurrence_edges,
-        deterministic_walks,
-        skipgram_pairs,
+        skipgram_pairs_from_paths,
+        walk_path_arrays,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    walks = deterministic_walks(edges, length=4, seed="w")
-    return skipgram_pairs(walks, window=2)
+    paths = walk_path_arrays(edges, length=4, seed="w")
+    return skipgram_pairs_from_paths(paths, window=2)
 
 
 @register(
@@ -7839,27 +7851,32 @@ def graph_sgns_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     every negative draw — is replayed by the SQL oracle."""
     from .operators.graph import (
         cooccurrence_edges,
-        deterministic_walks,
         negative_sampled_pairs,
-        skipgram_pairs,
+        skipgram_pairs_from_paths,
+        walk_path_arrays,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    # the walk DAG feeds THREE consumers (both sides of the skip-gram
-    # band join + the node table) and the pair frame two (positives +
-    # negative draws) — checkpoint each once so the 4-round walk plan
-    # never re-executes per consumer (12.8 -> ~10.5 s at sf0.1; the
-    # remainder is the ~30 sequential stages of 4 walk rounds + rank,
-    # per-stage fixed cost a real cluster amortizes — same boundary
-    # as the span-family rank rounds, PLANS.md)
-    walks = deterministic_walks(edges, length=4, seed="w").localCheckpoint(
+    # round-12 opt: the walk corpus stays in PATH-ARRAY form (one row
+    # per walk) and the skip-gram window pairs are generated INSIDE
+    # the array — the former explode + walk-id self-join (two hash
+    # exchanges over 5x-node rows) is gone; equivalence pinned by
+    # test + the full sgns oracle at both gate SFs. The path frame
+    # feeds two consumers (pair generation + the node table) and the
+    # pair frame two (positives + negative draws) — each checkpointed
+    # once so no stage re-executes per consumer.
+    paths = walk_path_arrays(edges, length=4, seed="w").localCheckpoint(
         eager=True
     )
-    pairs = skipgram_pairs(walks, window=2).localCheckpoint(eager=True)
-    nodes = walks.select("node")
+    pairs = skipgram_pairs_from_paths(paths, window=2).localCheckpoint(
+        eager=True
+    )
+    nodes = paths.select(F.explode("path").alias("node")).where(
+        F.col("node").isNotNull()
+    )
     return negative_sampled_pairs(pairs, nodes, negatives=2, seed="n")
 
 
