@@ -71,6 +71,8 @@ def _doc_buckets(
     """(id?, bucket) — one row per gram occurrence (unigrams +
     bigrams, multiplicity kept). Empty/whitespace-only docs emit no
     rows, matching the SQL oracle's unnest."""
+    from ..operators.dedup import _fanout
+
     grams = F.concat(
         word_ngrams_all(F.col(text_col), 1),
         word_ngrams_all(F.col(text_col), 2),
@@ -78,7 +80,12 @@ def _doc_buckets(
     cols = ([F.col(id_col)] if id_col else []) + [
         F.explode(grams).alias("g")
     ]
-    out = df.select(*cols)
+    # fan out the (single-file, 1-partition at bench scale) docs scan
+    # before the gram explode + per-gram md5 — otherwise the whole
+    # tokenize/hash pass runs as ONE task fused into the scan stage
+    # (measured 1.27 s serial inside docs_dsir_select); no-op at real
+    # scale (guide §2.5, same class as the span-family fanout)
+    out = _fanout(df.select(*(([id_col] if id_col else []) + [text_col]))).select(*cols)
     keep = ([id_col] if id_col else []) + [
         gram_bucket(F.col("g"), buckets).alias("bucket")
     ]
@@ -149,14 +156,20 @@ def dsir_bucket_model_flagged(
     one bucket-keyed aggregation computing raw and target counts
     together — half the corpus passes of :func:`dsir_bucket_model`,
     identical model (equivalence-tested)."""
+    from ..operators.dedup import _fanout
+
     spark = df.sparkSession
-    flagged = df.select(
-        target_flag.cast("boolean").alias("__t"), F.col(text_col)
+    flagged = _fanout(
+        df.select(
+            target_flag.cast("boolean").alias("__t"), F.col(text_col)
+        )
     )
     grams = F.concat(
         word_ngrams_all(F.col(text_col), 1),
         word_ngrams_all(F.col(text_col), 2),
     )
+    # fanout above: the gram explode + md5 otherwise fuses into the
+    # 1-partition scan stage and runs serial (guide §2.5)
     gb = flagged.select(
         "__t", F.explode(grams).alias("g")
     ).select("__t", gram_bucket(F.col("g"), buckets).alias("bucket"))

@@ -633,6 +633,11 @@ def _pq_encode_frame(corpus, vec_col, id_col, books, cluster_centroids=None):
             out["codes"] = list(_pq_assign_codes(v, bks))
             yield pd.DataFrame(out)
 
+    # NOTE: deliberately NO fanout here — pq_topk's downstream ADC
+    # scan pays a per-task LUT/init cost, and fanning its code table
+    # to 2x cores regressed ann_pq 2.2x same-day (A/B in PLANS.md);
+    # ivfpq_topk fans out its corpus at the call site instead, where
+    # the cluster equi-join absorbs the partitioning.
     return corpus.select(id_col, vec_col).mapInPandas(encode, enc_schema)
 
 
@@ -830,8 +835,21 @@ def ivfpq_topk(
                 if nv > 0:
                     cents[c] = v / nv
     books = _pq_train_codebooks(s_mat, m, ksub, kmeans_iters, seed + 1)
+    # fan out the (single-file, 1-partition at bench scale) corpus
+    # scan before the Arrow encode pass — otherwise the whole
+    # normalize + assign + PQ-code pass runs as ONE task fused into
+    # the scan stage (measured 1.76 s serial inside ann_ivfpq; A/B in
+    # PLANS.md); no-op at real scan widths (guide §2.5). Applied here
+    # and not inside _pq_encode_frame: the flat-scan pq_topk path
+    # regresses under the same fanout (per-task ADC init).
+    from .dedup import _fanout
+
     code_table = _pq_encode_frame(
-        corpus, vec_col, id_col, books, cluster_centroids=cents
+        _fanout(corpus.select(id_col, vec_col)),
+        vec_col,
+        id_col,
+        books,
+        cluster_centroids=cents,
     )
 
     # probe side: LUTs + probed-cluster list (both tiny, broadcast)

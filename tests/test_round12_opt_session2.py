@@ -152,3 +152,43 @@ def test_sgns_query_matches_pre_fusion_form(spark):
     )
     assert new.exceptAll(old).count() == 0
     assert old.exceptAll(new).count() == 0
+
+
+def test_pq_encode_and_dsir_grams_fan_out(spark):
+    """The ivfpq-style fanned-out encode pass and the DSIR gram
+    explode must not fuse into a 1-partition scan stage (the
+    serial-stage class the round-12 fanouts remove): outputs carry
+    >= 2x parallelism. pq_topk's flat path deliberately stays
+    unfanned (its ADC scan pays per-task init; A/B in PLANS.md)."""
+    import numpy as np
+
+    from pl_fuzzy_frame_match_spark.functions.dsir import _doc_buckets
+    from pl_fuzzy_frame_match_spark.operators.dedup import _fanout
+    from pl_fuzzy_frame_match_spark.operators.similarity import (
+        _pq_encode_frame,
+    )
+
+    floor = spark.sparkContext.defaultParallelism * 2
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 2.0, 3.0]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    books = np.ones((2, 3, 2), dtype=np.float64)
+    # the ivfpq call-site composition: fanout survives the encode
+    enc = _pq_encode_frame(
+        _fanout(corpus.select("vec_id", "embedding")),
+        "embedding",
+        "vec_id",
+        books,
+    )
+    assert enc.rdd.getNumPartitions() >= floor
+    # the flat pq path stays unfanned
+    flat = _pq_encode_frame(corpus, "embedding", "vec_id", books)
+    assert flat.rdd.getNumPartitions() == 1
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(64)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    gb = _doc_buckets(docs, "text", "doc_id", 64)
+    assert gb.rdd.getNumPartitions() >= floor
