@@ -1,12 +1,13 @@
 """Capture `.explain("formatted")` for registry queries into text
-files (optimization-round evidence: plans/r12/<query>_<tag>.txt).
+files (optimization-round evidence: plans/<round>/<query>_<tag>.txt).
 
     python scripts/capture_plans.py before q1 q2 ...
     python scripts/capture_plans.py after q1 q2 ...
 
 Construction alone is enough for the plan (fuzzy_match_dfs runs its
 eager planner actions during construction; that is part of the plan
-shape we want on record). Output dir: plans/r12/.
+shape we want on record). Output dir: plans/$SPARK_GRAFT_PLAN_ROUND
+(default r13).
 """
 
 from __future__ import annotations
@@ -37,7 +38,9 @@ def main() -> None:
     from pl_fuzzy_frame_match_spark.session import get_spark
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r12")
+    outdir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13")
+    )
     os.makedirs(outdir, exist_ok=True)
 
     spark = get_spark(f"plans_{tag}")
